@@ -1,0 +1,130 @@
+"""Model construction / forward-shape / aux-output tests (SURVEY.md §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipers.core.registry import build_model, list_models
+from vipers.models.interpolate import interpolate_pos_embedding
+from vipers.models.vit import split_qkv_torchvision, stacked_qkv_dump
+from vipers.models.dino_vit import split_qkv_dino
+from vipers.pruning import prunable_paths
+
+
+def test_registry_lists_required_models():
+    names = list_models()
+    for required in [
+        "resnet18", "resnet50", "resnet50_bottom", "vgg16", "vgg16_bottom",
+        "vit_s_16", "vit_b_16", "vit_b_32", "vit_l_16", "vit_l_32", "vit_h_14",
+        "dino_vit_tiny", "dino_vit_small", "dino_vit_base",
+    ]:
+        assert required in names, required
+
+
+@pytest.mark.parametrize("name,dilate,hw", [("resnet18", 1, 7), ("resnet50", 2, 14)])
+def test_resnet_forward(name, dilate, hw):
+    spec = build_model(name, num_classes=10, dilate=dilate)
+    x = jnp.zeros((2, 224, 224, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    logits, aux = spec.module.apply(variables, x, train=False)
+    assert logits.shape == (2, 10)
+    assert aux["features"].shape[1] == hw  # dilate=2 keeps stride 16
+
+
+def test_resnet_headless():
+    spec = build_model("resnet50_bottom", dilate=2)
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    feats, _ = spec.module.apply(variables, x, train=False)
+    assert feats.shape == (1, 14, 14, 2048)
+
+
+def test_vgg16_headless_stride16():
+    spec = build_model("vgg16_bottom")
+    x = jnp.zeros((1, 224, 224, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    feats, _ = spec.module.apply(variables, x, train=False)
+    assert feats.shape == (1, 14, 14, 512)  # last maxpool removed => /16
+
+
+def test_vit_forward_and_aux():
+    spec = build_model("vit_s_16", num_classes=10, image_size=(32, 48))
+    x = jnp.zeros((2, 32, 48, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    logits, aux = spec.module.apply(variables, x, train=False)
+    t = (32 // 16) * (48 // 16) + 1
+    assert logits.shape == (2, 10)
+    assert aux["qkv_input"].shape == (2, t, 384)
+    assert aux["attn"].shape == (2, 6, t, t)
+    rows = np.asarray(aux["attn"]).sum(-1)
+    np.testing.assert_allclose(rows, 1.0, atol=1e-5)
+
+
+def test_vit_qkv_exclusion_from_pruning():
+    spec = build_model("vit_s_16", image_size=(32, 32))
+    variables = spec.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    paths = prunable_paths(variables["params"], exclude=spec.prune_exclude)
+    joined = ["/".join(p) for p in paths]
+    assert not any("qkv" in j for j in joined)
+    assert any("attention/out" in j for j in joined)
+    assert any("conv_proj" in j for j in joined)
+    assert any("mlp" in j for j in joined)
+
+
+def test_vit_rectangular_pos_embed_override():
+    spec = build_model("vit_s_16", num_classes=5, image_size=(224, 224))
+    variables = spec.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
+    pos = variables["params"]["pos_embedding"]
+    new_pos = interpolate_pos_embedding(pos, (20, 30))
+    assert new_pos.shape == (1, 20 * 30 + 1, 384)
+    x = jnp.zeros((1, 320, 480, 3))
+    logits, aux = spec.module.apply(
+        variables, x, train=False, override_pos_embedding=new_pos
+    )
+    assert logits.shape == (1, 5)
+    assert aux["attn"].shape[-1] == 601
+
+
+def test_stacked_qkv_scramble_matches_torch():
+    """The LOST feature path depends on the reference's exact (scrambled)
+    reshape of the stacked dump (main_lost.py:478-490). Oracle in torch."""
+    import torch
+
+    torch.manual_seed(0)
+    n, t, d, nh = 1, 7, 12, 3
+    x = torch.randn(n, t, d)
+    dump = torch.concat((x, x, x))
+    qkv = dump.reshape(n, t, 3, nh, -1).permute(2, 0, 3, 1, 4)
+    tq, tk, tv = [z.transpose(1, 2).reshape(n, t, -1) for z in (qkv[0], qkv[1], qkv[2])]
+
+    j_dump = stacked_qkv_dump(jnp.asarray(x.numpy()))
+    jq, jk, jv = split_qkv_torchvision(j_dump, nh)
+    np.testing.assert_allclose(np.asarray(jk), tk.numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(jq), tq.numpy(), atol=0)
+    np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=0)
+
+
+def test_dino_vit_forward_and_qkv():
+    spec = build_model("dino_vit_tiny", patch_size=16)
+    x = jnp.zeros((1, 64, 96, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    feats, aux = spec.module.apply(variables, x, train=False)
+    t = (64 // 16) * (96 // 16) + 1
+    assert feats.shape == (1, 192)  # num_classes=0 -> CLS feature
+    assert aux["attn"].shape == (1, 3, t, t)
+    assert aux["qkv"].shape == (1, t, 3 * 192)
+    q, k, v = split_qkv_dino(aux["qkv"], 3)
+    assert k.shape == (1, t, 192)
+
+
+def test_dino_qkv_split_matches_torch_layout():
+    import torch
+
+    torch.manual_seed(0)
+    n, t, d, nh = 2, 5, 8, 2
+    qkv_out = torch.randn(n, t, 3 * d)
+    qkv = qkv_out.reshape(n, t, 3, nh, d // nh).permute(2, 0, 3, 1, 4)
+    tk = qkv[1].transpose(1, 2).reshape(n, t, -1)
+    jq, jk, jv = split_qkv_dino(jnp.asarray(qkv_out.numpy()), nh)
+    np.testing.assert_allclose(np.asarray(jk), tk.numpy(), atol=0)

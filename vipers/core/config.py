@@ -1,0 +1,126 @@
+"""Single dataclass config replacing the reference's per-script argparse
+duplication (`/root/reference/train.py:716-871` and four near-copies; see
+SURVEY §5 'Config / flag system').  All hard-coded cluster paths from the
+reference (`/scratch/...`, `/home/cassano/...`) are parameters here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from typing import Optional
+
+from vipers.train.optim import OptimConfig
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # model/data
+    model: str = "resnet18"
+    data_path: str = "/data/imagenet"
+    num_classes: int = 1000
+    train_crop_size: int = 224
+    val_resize_size: int = 256
+    val_crop_size: int = 224
+    batch_size: int = 32
+    workers: int = 16
+    # pruning
+    pruning_method: str = "snip"  # snip | magnitude
+    target_sparsity: float = 0.9  # SNIP
+    pruning_rate: float = 0.2  # magnitude per-iteration
+    pruning_threshold: float = 95.0  # magnitude stop (% sparsity)
+    starting_pruning_iteration: int = 0
+    # optimization
+    optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
+    # augmentation
+    mixup_alpha: float = 0.0
+    cutmix_alpha: float = 0.0
+    random_erase: float = 0.0
+    # EMA
+    model_ema: bool = False
+    model_ema_steps: int = 32
+    model_ema_decay: float = 0.99998
+    # runtime
+    seed: int = 42
+    amp: bool = False  # bf16 compute on TPU
+    print_freq: int = 100
+    output_dir: str = "./output"
+    resume: str = ""
+    test_only: bool = False
+    # logging
+    metrics_path: Optional[str] = None
+
+
+def add_train_args(p: argparse.ArgumentParser):
+    p.add_argument("--model", default="resnet18")
+    p.add_argument("--data-path", default="/data/imagenet")
+    p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--workers", type=int, default=16)
+    p.add_argument("--epochs", type=int, default=90)
+    p.add_argument("--pruning-method", default="snip", choices=["snip", "magnitude"])
+    p.add_argument("--target-sparsity", type=float, default=0.9)
+    p.add_argument("--pruning-rate", type=float, default=0.2)
+    p.add_argument("--pruning-threshold", type=float, default=95.0)
+    p.add_argument("--starting-pruning-iteration", type=int, default=0)
+    p.add_argument("--opt", default="sgd")
+    p.add_argument("--lr", type=float, default=0.1)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--norm-weight-decay", type=float, default=None)
+    p.add_argument("--bias-weight-decay", type=float, default=None)
+    p.add_argument("--transformer-embedding-decay", type=float, default=None)
+    p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--clip-grad-norm", type=float, default=None)
+    p.add_argument("--lr-scheduler", default="steplr")
+    p.add_argument("--lr-step-size", type=int, default=30)
+    p.add_argument("--lr-gamma", type=float, default=0.1)
+    p.add_argument("--lr-min", type=float, default=0.0)
+    p.add_argument("--lr-warmup-epochs", type=int, default=0)
+    p.add_argument("--lr-warmup-method", default="constant")
+    p.add_argument("--lr-warmup-decay", type=float, default=0.01)
+    p.add_argument("--mixup-alpha", type=float, default=0.0)
+    p.add_argument("--cutmix-alpha", type=float, default=0.0)
+    p.add_argument("--random-erase", type=float, default=0.0)
+    p.add_argument("--model-ema", action="store_true")
+    p.add_argument("--model-ema-steps", type=int, default=32)
+    p.add_argument("--model-ema-decay", type=float, default=0.99998)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--amp", action="store_true", help="bf16 compute")
+    p.add_argument("--print-freq", type=int, default=100)
+    p.add_argument("--output-dir", default="./output")
+    p.add_argument("--resume", default="")
+    p.add_argument("--test-only", action="store_true")
+    p.add_argument("--train-crop-size", type=int, default=224)
+    p.add_argument("--val-resize-size", type=int, default=256)
+    p.add_argument("--val-crop-size", type=int, default=224)
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    optim = OptimConfig(
+        opt=args.opt, lr=args.lr, momentum=args.momentum,
+        weight_decay=args.weight_decay, norm_weight_decay=args.norm_weight_decay,
+        bias_weight_decay=args.bias_weight_decay,
+        transformer_embedding_decay=args.transformer_embedding_decay,
+        label_smoothing=args.label_smoothing, clip_grad_norm=args.clip_grad_norm,
+        lr_scheduler=args.lr_scheduler, lr_step_size=args.lr_step_size,
+        lr_gamma=args.lr_gamma, lr_min=args.lr_min,
+        lr_warmup_epochs=args.lr_warmup_epochs,
+        lr_warmup_method=args.lr_warmup_method,
+        lr_warmup_decay=args.lr_warmup_decay, epochs=args.epochs,
+    )
+    return TrainConfig(
+        model=args.model, data_path=args.data_path, num_classes=args.num_classes,
+        train_crop_size=args.train_crop_size, val_resize_size=args.val_resize_size,
+        val_crop_size=args.val_crop_size, batch_size=args.batch_size,
+        workers=args.workers, pruning_method=args.pruning_method,
+        target_sparsity=args.target_sparsity, pruning_rate=args.pruning_rate,
+        pruning_threshold=args.pruning_threshold,
+        starting_pruning_iteration=args.starting_pruning_iteration,
+        optim=optim, mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
+        random_erase=args.random_erase, model_ema=args.model_ema,
+        model_ema_steps=args.model_ema_steps, model_ema_decay=args.model_ema_decay,
+        seed=args.seed, amp=args.amp, print_freq=args.print_freq,
+        output_dir=args.output_dir, resume=args.resume, test_only=args.test_only,
+    )

@@ -1,0 +1,111 @@
+"""Model registry.
+
+TPU-native analog of the reference's vendored torchvision registry
+(`/root/reference/_api.py:193-277`: `register_model`, `get_model`,
+`list_models`, `BUILTIN_MODELS`).  Instead of returning stateful
+``nn.Module`` objects, builders return a :class:`ModelSpec` bundling the
+flax module, functional init/apply helpers, and pruning metadata (which
+parameter paths are prunable — mirroring the reference's
+``isinstance(m, (nn.Conv2d, nn.Linear))`` selection in
+`/root/reference/train.py:264-268`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Sequence
+
+_BUILTIN_MODELS: Dict[str, Callable[..., "ModelSpec"]] = {}
+
+
+@dataclasses.dataclass
+class ModelSpec:
+    """A constructed model plus the metadata the framework needs.
+
+    Attributes:
+      name: registry name (e.g. ``"resnet18"``).
+      module: the flax ``nn.Module`` instance.
+      input_size: default (H, W) eval resolution.
+      num_classes: classifier width (0 => headless/feature model).
+      prune_exclude: substrings; a parameter path containing any of them is
+        never pruned even if it is a conv/dense kernel. The reference never
+        prunes the ViT attention in-projection because
+        ``nn.MultiheadAttention`` is not an ``nn.Linear`` *module* — only its
+        ``out_proj`` is (`/root/reference/train.py:264-268` +
+        torch ``MultiheadAttention`` structure). We reproduce that with
+        ``("qkv",)`` on ViTs.
+      patch_size: ViT patch size, if applicable.
+      family: coarse family tag: "resnet" | "vit" | "dino_vit" | "vgg" | "swin".
+      extra: free-form metadata (dilation, weights url, ...).
+    """
+
+    name: str
+    module: Any
+    input_size: tuple = (224, 224)
+    num_classes: int = 1000
+    prune_exclude: Sequence[str] = ()
+    patch_size: Optional[int] = None
+    family: str = ""
+    extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    def init(self, rng, sample_input=None, train: bool = False):
+        """Initialize variables; returns the full variables dict."""
+        import jax.numpy as jnp
+
+        if sample_input is None:
+            h, w = self.input_size
+            sample_input = jnp.zeros((1, h, w, 3), jnp.float32)
+        return self.module.init(rng, sample_input, train=train)
+
+
+def register_model(name: Optional[str] = None):
+    """Decorator registering a builder: ``fn(**kwargs) -> ModelSpec``."""
+
+    def wrapper(fn):
+        key = name if name is not None else fn.__name__
+        if key in _BUILTIN_MODELS:
+            raise ValueError(f"model {key!r} already registered")
+        _BUILTIN_MODELS[key] = fn
+        return fn
+
+    return wrapper
+
+
+def list_models(module_filter: Optional[str] = None):
+    _ensure_builtins_imported()
+    names = sorted(_BUILTIN_MODELS)
+    if module_filter:
+        names = [n for n in names if module_filter in n]
+    return names
+
+
+def get_model_builder(name: str) -> Callable[..., ModelSpec]:
+    _ensure_builtins_imported()
+    name = name.lower()
+    try:
+        return _BUILTIN_MODELS[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown model {name!r}. Available: {sorted(_BUILTIN_MODELS)}"
+        ) from None
+
+
+def build_model(name: str, **kwargs) -> ModelSpec:
+    return get_model_builder(name)(**kwargs)
+
+
+_IMPORTED = False
+
+
+def _ensure_builtins_imported():
+    """Import model modules lazily so registry import stays cheap."""
+    global _IMPORTED
+    if _IMPORTED:
+        return
+    _IMPORTED = True
+    from vipers.models import resnet, vgg, vit, dino_vit  # noqa: F401
+
+    try:
+        from vipers.models import swin  # noqa: F401
+    except ImportError:  # pragma: no cover - swin is best-effort
+        pass

@@ -1,0 +1,52 @@
+"""Vectorized box IoU family: IoU / GIoU / DIoU / CIoU.
+
+Same math and edge-handling as `/root/reference/datasets.py:312-364`
+(ultralytics-style): box1 is (4,), box2 is (n, 4); the +eps terms sit on the
+heights and union exactly where the reference puts them, so values match to
+float rounding.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def bbox_iou(box1, box2, x1y1x2y2: bool = True, GIoU: bool = False,
+             DIoU: bool = False, CIoU: bool = False, eps: float = 1e-7):
+    box1 = np.asarray(box1, dtype=np.float64)
+    box2 = np.asarray(box2, dtype=np.float64).T  # (4, n)
+
+    if x1y1x2y2:
+        b1_x1, b1_y1, b1_x2, b1_y2 = box1[0], box1[1], box1[2], box1[3]
+        b2_x1, b2_y1, b2_x2, b2_y2 = box2[0], box2[1], box2[2], box2[3]
+    else:
+        b1_x1, b1_x2 = box1[0] - box1[2] / 2, box1[0] + box1[2] / 2
+        b1_y1, b1_y2 = box1[1] - box1[3] / 2, box1[1] + box1[3] / 2
+        b2_x1, b2_x2 = box2[0] - box2[2] / 2, box2[0] + box2[2] / 2
+        b2_y1, b2_y2 = box2[1] - box2[3] / 2, box2[1] + box2[3] / 2
+
+    inter = np.clip(np.minimum(b1_x2, b2_x2) - np.maximum(b1_x1, b2_x1), 0, None) * \
+        np.clip(np.minimum(b1_y2, b2_y2) - np.maximum(b1_y1, b2_y1), 0, None)
+
+    w1, h1 = b1_x2 - b1_x1, b1_y2 - b1_y1 + eps
+    w2, h2 = b2_x2 - b2_x1, b2_y2 - b2_y1 + eps
+    union = w1 * h1 + w2 * h2 - inter + eps
+
+    iou = inter / union
+    if GIoU or DIoU or CIoU:
+        cw = np.maximum(b1_x2, b2_x2) - np.minimum(b1_x1, b2_x1)
+        ch = np.maximum(b1_y2, b2_y2) - np.minimum(b1_y1, b2_y1)
+        if CIoU or DIoU:
+            c2 = cw ** 2 + ch ** 2 + eps
+            rho2 = ((b2_x1 + b2_x2 - b1_x1 - b1_x2) ** 2
+                    + (b2_y1 + b2_y2 - b1_y1 - b1_y2) ** 2) / 4
+            if DIoU:
+                return iou - rho2 / c2
+            v = (4 / math.pi ** 2) * (np.arctan(w2 / h2) - np.arctan(w1 / h1)) ** 2
+            alpha = v / (v - iou + (1 + eps))
+            return iou - (rho2 / c2 + v * alpha)
+        c_area = cw * ch + eps
+        return iou - (c_area - union) / c_area
+    return iou

@@ -1,0 +1,110 @@
+"""ImageFolder dataset + threaded host loader feeding the device.
+
+Counterpart of the reference's torchvision ``ImageFolder`` + ``DataLoader``
+usage (`/root/reference/train.py:153-238`: workers decode/augment on host,
+batches stream to device).  Here a thread pool decodes, batches are stacked
+as uint8 numpy and normalized on device (see ``data.preprocess``), which
+keeps host->device transfer at 1 byte/pixel.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm")
+
+
+class ImageFolder:
+    """Directory-per-class dataset: root/<class>/<image>."""
+
+    def __init__(self, root: str):
+        self.root = root
+        classes = sorted(
+            d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
+        )
+        if not classes:
+            raise FileNotFoundError(f"no class directories under {root}")
+        self.classes = classes
+        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        self.samples: List[Tuple[str, int]] = []
+        for c in classes:
+            cdir = os.path.join(root, c)
+            for fname in sorted(os.listdir(cdir)):
+                if fname.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append((os.path.join(cdir, fname), self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+
+class ImageFolderLoader:
+    """Batched loader over an index stream with a decode thread pool.
+
+    ``decode_fn(path, rng) -> uint8 (H, W, C)`` must produce a fixed size.
+    Yields (images_u8 (B,H,W,C), labels (B,)) numpy pairs; the last partial
+    batch is dropped when ``drop_last`` (train) and kept otherwise (eval,
+    matching torch DataLoader defaults in `/root/reference/train.py:576-586`).
+    """
+
+    def __init__(
+        self,
+        dataset: ImageFolder,
+        indices: Sequence[int],
+        batch_size: int,
+        decode_fn: Callable,
+        num_workers: int = 8,
+        drop_last: bool = False,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.indices = list(indices)
+        self.batch_size = batch_size
+        self.decode_fn = decode_fn
+        self.num_workers = num_workers
+        self.drop_last = drop_last
+        self.seed = seed
+
+    def __len__(self):
+        n = len(self.indices)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        bs = self.batch_size
+        idxs = self.indices
+        batches = [idxs[i : i + bs] for i in range(0, len(idxs), bs)]
+        if self.drop_last and batches and len(batches[-1]) < bs:
+            batches.pop()
+
+        def decode_one(args):
+            pos, idx = args
+            path, label = self.dataset.samples[idx]
+            rng = np.random.default_rng((self.seed, pos, idx))
+            return self.decode_fn(path, rng), label
+
+        with cf.ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            it = iter(enumerate(batches))
+
+            def submit_next():
+                try:
+                    bpos, batch = next(it)
+                except StopIteration:
+                    return False
+                futs = [pool.submit(decode_one, (bpos * bs + j, i)) for j, i in enumerate(batch)]
+                pending.append(futs)
+                return True
+
+            # double-buffer: keep 2 batches in flight
+            submit_next()
+            submit_next()
+            while pending:
+                futs = pending.pop(0)
+                results = [f.result() for f in futs]
+                submit_next()
+                images = np.stack([r[0] for r in results])
+                labels = np.asarray([r[1] for r in results], dtype=np.int32)
+                yield images, labels

@@ -1,0 +1,71 @@
+"""Index sampling: repeated-augmentation (DeiT RASampler) + host sharding.
+
+Counterpart of `/root/reference/sampler.py:7-62` (RASampler) and the
+DistributedSampler selection (`/root/reference/train.py:228-236`).  In JAX,
+"rank" is `jax.process_index()` and sharding happens in the input pipeline:
+each host draws the same permutation (same seed+epoch) and takes its strided
+slice.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def ra_sampler_indices(
+    n: int,
+    num_replicas: int,
+    rank: int,
+    epoch: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    repetitions: int = 3,
+):
+    """Exactly the reference's index stream, with numpy's RNG for the
+    permutation: each sample appears ``repetitions`` times across ranks, the
+    stream is padded to a multiple and truncated to
+    floor(len/256)*256/replicas selected samples."""
+    num_samples = int(math.ceil(n * float(repetitions) / num_replicas))
+    total_size = num_samples * num_replicas
+    num_selected = int(math.floor(n // 256 * 256 / num_replicas))
+
+    if shuffle:
+        g = np.random.default_rng(seed + epoch)
+        indices = g.permutation(n).tolist()
+    else:
+        indices = list(range(n))
+    indices = [ele for ele in indices for _ in range(repetitions)]
+    indices += indices[: (total_size - len(indices))]
+    assert len(indices) == total_size
+    indices = indices[rank:total_size:num_replicas]
+    assert len(indices) == num_samples
+    return indices[:num_selected]
+
+
+def shard_indices_for_host(
+    n: int,
+    num_replicas: int,
+    rank: int,
+    epoch: int,
+    seed: int = 0,
+    shuffle: bool = True,
+    drop_last: bool = False,
+):
+    """torch DistributedSampler semantics: pad (repeat from front) to a
+    multiple of world size unless drop_last, then stride by rank."""
+    if shuffle:
+        g = np.random.default_rng(seed + epoch)
+        indices = g.permutation(n).tolist()
+    else:
+        indices = list(range(n))
+    if drop_last:
+        per = n // num_replicas
+        total = per * num_replicas
+        indices = indices[:total]
+    else:
+        per = int(math.ceil(n / num_replicas))
+        total = per * num_replicas
+        indices += indices[: total - len(indices)]
+    return indices[rank:total:num_replicas]

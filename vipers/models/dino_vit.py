@@ -1,0 +1,188 @@
+"""DINO Vision Transformer (vit_tiny/small/base, patch 8/16), first-class.
+
+The reference *imports* this model from an external ``dino`` package that is
+absent from its tree (`/root/reference/networks.py:21`,
+`/root/reference/main_lost.py:33`) and uses it frozen with ``num_classes=0``
+for LOST (`/root/reference/networks.py:48-79`,
+`/root/reference/main_lost_original.py:221-228`).  We implement it natively.
+
+Behavioral surface needed by the pipeline:
+  * arbitrary input resolutions via forward-time pos-embedding interpolation
+    (DINO's ``interpolate_pos_encoding``; bicubic, half-pixel centers),
+  * ``get_last_selfattention`` semantics — per-head attention of the last
+    block — plus the last block's *real* qkv projection output, the feature
+    LOST consumes (`/root/reference/main_lost_original.py:221-246`):
+        feats, aux = model.apply(vars, x)
+        aux["qkv"]:  (N, T, 3*D)  last block qkv output
+        aux["attn"]: (N, nh, T, T)
+  * ``num_classes=0`` => forward returns the CLS feature after the final
+    LayerNorm (timm/DINO convention).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vipers.core.registry import ModelSpec, register_model
+from vipers.models.interpolate import bicubic_resize_2d
+
+
+class DinoAttention(nn.Module):
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        n, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv_out = nn.Dense(3 * d, name="qkv")(x)  # (N, T, 3D), timm layout
+        qkv = qkv_out.reshape(n, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        scale = hd ** -0.5
+        logits = jnp.einsum(
+            "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
+        out = nn.Dense(d, name="proj")(out)
+        return out, attn, qkv_out
+
+
+class DinoBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        d = x.shape[-1]
+        y, attn, qkv_out = DinoAttention(self.num_heads, name="attn")(
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        )
+        x = x + y
+        z = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        z = nn.Dense(int(d * self.mlp_ratio), name="fc1")(z)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dense(d, name="fc2")(z)
+        return x + z, attn, qkv_out
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoViTConfig:
+    patch_size: int = 16
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: float = 4.0
+    num_classes: int = 0
+
+
+class DinoVisionTransformer(nn.Module):
+    cfg: DinoViTConfig
+    # Grid side the stored pos_embed corresponds to (DINO pretrains at 224).
+    base_grid: int = 14
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.cfg
+        p = c.patch_size
+        n, h, w, _ = x.shape
+        gh, gw = h // p, w // p
+        x = nn.Conv(
+            c.embed_dim, (p, p), strides=(p, p), padding="VALID", name="patch_embed"
+        )(x)
+        x = x.reshape(n, gh * gw, c.embed_dim)
+
+        cls = self.param("cls_token", nn.initializers.zeros, (1, 1, c.embed_dim))
+        x = jnp.concatenate([jnp.tile(cls, (n, 1, 1)), x], axis=1)
+
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(stddev=0.02),
+            (1, self.base_grid * self.base_grid + 1, c.embed_dim),
+        )
+        x = x + self._interp_pos(pos, gh, gw)
+
+        attn = qkv_out = None
+        for i in range(c.depth):
+            x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(x)
+            if i == c.depth - 1:
+                attn, qkv_out = attn_i, qkv_i
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        cls_feat = x[:, 0]
+        out = (
+            nn.Dense(c.num_classes, name="head")(cls_feat)
+            if c.num_classes
+            else cls_feat
+        )
+        return out, {"attn": attn, "qkv": qkv_out, "tokens": x}
+
+    def _interp_pos(self, pos, gh, gw):
+        """DINO interpolate_pos_encoding: bicubic, half-pixel centers."""
+        if gh == self.base_grid and gw == self.base_grid:
+            return pos
+        dim = pos.shape[-1]
+        tok, img = pos[:, :1], pos[:, 1:]
+        grid = img.reshape(1, self.base_grid, self.base_grid, dim).transpose(0, 3, 1, 2)
+        grid = bicubic_resize_2d(grid, (gh, gw), align_corners=False)
+        grid = grid.transpose(0, 2, 3, 1).reshape(1, gh * gw, dim).astype(pos.dtype)
+        return jnp.concatenate([tok, grid], axis=1)
+
+
+def split_qkv_dino(qkv_out, num_heads: int):
+    """`/root/reference/main_lost_original.py:231-246`: (N, T, 3D) ->
+    q/k/v each (N, T, D), the true timm/DINO layout."""
+    n, t, d3 = qkv_out.shape
+    d = d3 // 3
+    hd = d // num_heads
+    qkv = qkv_out.reshape(n, t, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+
+    def flat(z):
+        return z.transpose(0, 2, 1, 3).reshape(n, t, d)
+
+    return flat(qkv[0]), flat(qkv[1]), flat(qkv[2])
+
+
+def _build(name, cfg: DinoViTConfig):
+    module = DinoVisionTransformer(cfg=cfg)
+    return ModelSpec(
+        name=name,
+        module=module,
+        input_size=(224, 224),
+        num_classes=cfg.num_classes,
+        # DINO backbones are frozen in the reference (networks.py:50-51);
+        # nothing is pruned, but exclude qkv anyway for consistency.
+        prune_exclude=("qkv",),
+        patch_size=cfg.patch_size,
+        family="dino_vit",
+        extra={"num_heads": cfg.num_heads, "embed_dim": cfg.embed_dim},
+    )
+
+
+@register_model("dino_vit_tiny")
+def dino_vit_tiny(patch_size=16, num_classes=0):
+    return _build(
+        "dino_vit_tiny",
+        DinoViTConfig(patch_size, 192, 12, 3, 4.0, num_classes),
+    )
+
+
+@register_model("dino_vit_small")
+def dino_vit_small(patch_size=16, num_classes=0):
+    return _build(
+        "dino_vit_small",
+        DinoViTConfig(patch_size, 384, 12, 6, 4.0, num_classes),
+    )
+
+
+@register_model("dino_vit_base")
+def dino_vit_base(patch_size=16, num_classes=0):
+    return _build(
+        "dino_vit_base",
+        DinoViTConfig(patch_size, 768, 12, 12, 4.0, num_classes),
+    )

@@ -1,0 +1,213 @@
+"""ResNet-18/50 in flax, TPU-native (NHWC), with torchvision-parity options.
+
+Capability parity targets from the reference:
+  * classifier forward for pruning/training/eval
+    (`/root/reference/train.py:592-596` uses torchvision resnets),
+  * ``replace_stride_with_dilation`` variants dilate in {1,2,4} used for LOST
+    on CNN features (`/root/reference/networks.py:25-41`,
+    `/root/reference/evaluate_models.py:373-379`),
+  * headless "Bottom" variant returning the layer4 feature map
+    (`/root/reference/networks.py:96-105` keeps children[:-2]).
+
+Design differences from the reference (deliberate, TPU-first):
+  * NHWC layout and flax Conv (XLA's native conv layout on TPU),
+  * BatchNorm batch statistics reduce over the *global* (sharded) batch under
+    jit, so SyncBN (`/root/reference/train.py:598-599`) is the default
+    behavior rather than an opt-in wrapper,
+  * forward returns ``(logits, aux)`` with the pre-pool feature map in
+    ``aux["features"]`` — replacing the reference's separate headless model
+    objects with a single compiled function.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from vipers.core.registry import ModelSpec, register_model
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    strides: int = 1
+    dilation: int = 1
+    prev_dilation: int = 1
+    downsample: bool = False
+    norm: ModuleDef = nn.BatchNorm
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(
+            self.filters, (3, 3), strides=(self.strides, self.strides),
+            kernel_dilation=(self.prev_dilation, self.prev_dilation),
+            padding=[(self.prev_dilation,) * 2] * 2, use_bias=False, name="conv1",
+        )(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters, (3, 3),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation,) * 2] * 2, use_bias=False, name="conv2",
+        )(y)
+        y = self.norm(name="bn2")(y)
+        if self.downsample:
+            residual = nn.Conv(
+                self.filters, (1, 1), strides=(self.strides, self.strides),
+                use_bias=False, name="downsample_conv",
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    strides: int = 1
+    dilation: int = 1
+    prev_dilation: int = 1
+    downsample: bool = False
+    norm: ModuleDef = nn.BatchNorm
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.filters, (3, 3), strides=(self.strides, self.strides),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation,) * 2] * 2, use_bias=False, name="conv2",
+        )(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+        if self.downsample:
+            residual = nn.Conv(
+                self.filters * self.expansion, (1, 1),
+                strides=(self.strides, self.strides), use_bias=False,
+                name="downsample_conv",
+            )(x)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet with torchvision block/stage structure.
+
+    replace_stride_with_dilation: 3 bools for stages 2..4; when True, the
+    stage keeps stride 1 and dilates its 3x3 convs instead (torchvision
+    `_make_layer` semantics, exercised by `/root/reference/networks.py:25-41`).
+    """
+
+    stage_sizes: Sequence[int]
+    block: Callable
+    num_classes: int = 1000
+    num_filters: int = 64
+    replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
+    headless: bool = False  # skip pool+fc, return feature map as output
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        norm = partial(
+            nn.BatchNorm, use_running_average=not train,
+            momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+        )
+        x = nn.Conv(
+            self.num_filters, (7, 7), strides=(2, 2),
+            padding=[(3, 3), (3, 3)], use_bias=False, name="conv1",
+        )(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        expansion = getattr(self.block, "expansion", 1)
+        if self.block is Bottleneck:
+            expansion = 4
+        else:
+            expansion = 1
+
+        dilation = 1
+        in_planes = self.num_filters
+        for stage, num_blocks in enumerate(self.stage_sizes):
+            planes = self.num_filters * (2 ** stage)
+            stride = 1 if stage == 0 else 2
+            if stage > 0 and self.replace_stride_with_dilation[stage - 1]:
+                prev_dilation = dilation
+                dilation *= stride
+                stride = 1
+            else:
+                prev_dilation = dilation
+            for b in range(num_blocks):
+                is_first = b == 0
+                needs_down = is_first and (stride != 1 or in_planes != planes * expansion)
+                x = self.block(
+                    filters=planes,
+                    strides=stride if is_first else 1,
+                    dilation=dilation,
+                    # torchvision applies previous_dilation to the first
+                    # block's 3x3 and the new dilation afterwards.
+                    prev_dilation=prev_dilation if is_first else dilation,
+                    downsample=needs_down,
+                    norm=norm,
+                    name=f"layer{stage + 1}_{b}",
+                )(x)
+                if is_first:
+                    in_planes = planes * expansion
+
+        features = x  # (N, H', W', C) pre-pool feature map
+        if self.headless:
+            return features, {"features": features}
+        x = jnp.mean(x, axis=(1, 2))  # global average pool
+        logits = nn.Dense(self.num_classes, name="fc")(x)
+        return logits, {"features": features}
+
+
+def _spec(name, stage_sizes, block, num_classes, dilate, headless, input_size):
+    if dilate not in (1, 2, 4):
+        raise ValueError("resnet dilate must be 1, 2 or 4")
+    # networks.py:25-41 mapping: dilate=2 => dilate last stage;
+    # dilate=4 => dilate last two stages.
+    rswd = {
+        1: (False, False, False),
+        2: (False, False, True),
+        4: (False, True, True),
+    }[dilate]
+    module = ResNet(
+        stage_sizes=stage_sizes, block=block, num_classes=num_classes,
+        replace_stride_with_dilation=rswd, headless=headless,
+    )
+    return ModelSpec(
+        name=name, module=module, input_size=input_size,
+        num_classes=0 if headless else num_classes,
+        prune_exclude=(), family="resnet",
+        extra={"dilate": dilate, "headless": headless},
+    )
+
+
+@register_model("resnet18")
+def resnet18(num_classes=1000, dilate=1, headless=False, input_size=(224, 224)):
+    return _spec("resnet18", (2, 2, 2, 2), BasicBlock, num_classes, dilate, headless, input_size)
+
+
+@register_model("resnet34")
+def resnet34(num_classes=1000, dilate=1, headless=False, input_size=(224, 224)):
+    return _spec("resnet34", (3, 4, 6, 3), BasicBlock, num_classes, dilate, headless, input_size)
+
+
+@register_model("resnet50")
+def resnet50(num_classes=1000, dilate=1, headless=False, input_size=(224, 224)):
+    return _spec("resnet50", (3, 4, 6, 3), Bottleneck, num_classes, dilate, headless, input_size)
+
+
+@register_model("resnet50_bottom")
+def resnet50_bottom(dilate=1, input_size=(224, 224)):
+    """Headless ResNet-50 feature extractor (`/root/reference/networks.py:96-105`)."""
+    return _spec("resnet50_bottom", (3, 4, 6, 3), Bottleneck, 1000, dilate, True, input_size)

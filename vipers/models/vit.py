@@ -1,0 +1,285 @@
+"""torchvision-style Vision Transformer, TPU-native, multi-output forward.
+
+Capability parity with the reference's modified vendored ViT
+(`/root/reference/vision_transformer.py:40-330`):
+  * builders vit_s/b/l/h at patch 14/16/32
+    (`/root/reference/vision_transformer.py:611-778`),
+  * rectangular (H, W) image sizes (`:228-232`),
+  * exposure of the last encoder block's attention input and per-head
+    attention weights. The reference does this by ``torch.save``-ing
+    ``concat((x,x,x))`` of the post-LN1 activations and the attention
+    weights to ``/scratch/*.pt`` on every block forward (`:113-115`) and
+    re-loading them from disk downstream (`/root/reference/main_lost.py:455-456`).
+    Here the jitted forward simply *returns* them:
+        logits, aux = model.apply(vars, x)
+        aux = {"qkv_input": (N, T, D)   last block's ln_1 output,
+               "attn":      (N, nh, T, T) last block's per-head softmax,
+               "cls":       (N, D)      final CLS feature}
+
+Pruning parity: the attention in-projection lives in torch's
+``nn.MultiheadAttention`` (a fused parameter, not an ``nn.Linear`` module),
+so the reference's prunable-module scan (`/root/reference/train.py:264-268`)
+never prunes it — only ``out_proj``, the MLP linears, ``conv_proj`` and the
+head. We mirror that by naming the in-projection Dense ``qkv`` and excluding
+it via ``ModelSpec.prune_exclude=("qkv",)``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from vipers.core.registry import ModelSpec, register_model
+
+
+class MultiHeadAttention(nn.Module):
+    """Self-attention matching torch ``nn.MultiheadAttention`` semantics.
+
+    Fused qkv projection (kernel columns ordered q,k,v like torch's
+    ``in_proj_weight`` rows), per-head softmax returned like
+    ``need_weights=True, average_attn_weights=False``
+    (`/root/reference/vision_transformer.py:114`).
+    """
+
+    num_heads: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        n, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, name="qkv")(x)  # (N, T, 3D)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(z):
+            return z.reshape(n, t, h, hd).transpose(0, 2, 1, 3)  # (N, h, T, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, q.dtype))
+        logits = jnp.einsum(
+            "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
+        )
+        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+        attn_used = attn
+        if train and self.dropout_rate > 0:
+            attn_used = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
+        out = jnp.einsum("nhqk,nhkd->nhqd", attn_used, v)
+        out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
+        out = nn.Dense(d, name="out")(out)
+        return out, attn
+
+
+class MLPBlock(nn.Module):
+    """Linear -> GELU -> dropout -> Linear -> dropout
+    (`/root/reference/vision_transformer.py:40-52` via torchvision MLP)."""
+
+    mlp_dim: int
+    out_dim: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Dense(self.mlp_dim, name="fc1")(x)
+        y = nn.gelu(y, approximate=False)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        y = nn.Dense(self.out_dim, name="fc2")(y)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        return y
+
+
+class EncoderBlock(nn.Module):
+    """Pre-norm transformer block (`/root/reference/vision_transformer.py:86-122`)."""
+
+    num_heads: int
+    mlp_dim: int
+    dropout_rate: float = 0.0
+    attention_dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        ln1 = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        y, attn = MultiHeadAttention(
+            self.num_heads, self.attention_dropout_rate, name="attention"
+        )(ln1, train=train)
+        y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
+        x = x + y
+        z = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
+        z = MLPBlock(self.mlp_dim, x.shape[-1], self.dropout_rate, name="mlp")(
+            z, train=train
+        )
+        return x + z, ln1, attn
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 16
+    num_layers: int = 12
+    num_heads: int = 12
+    hidden_dim: int = 768
+    mlp_dim: int = 3072
+    num_classes: int = 1000
+    dropout_rate: float = 0.0
+    attention_dropout_rate: float = 0.0
+    representation_size: Optional[int] = None
+
+
+class VisionTransformer(nn.Module):
+    """ViT with rectangular-input support and aux outputs.
+
+    Input is NHWC. ``image_size`` fixes the pos-embedding parameter shape;
+    at other resolutions pass interpolated pos-embeddings via
+    ``override_pos_embedding`` (see ``models.interpolate``) — the TPU
+    replacement for the reference's per-image model rebuild
+    (`/root/reference/main_lost.py:58-100`).
+    """
+
+    cfg: ViTConfig
+    image_size: Tuple[int, int] = (224, 224)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, override_pos_embedding=None):
+        c = self.cfg
+        p = c.patch_size
+        n, h, w, _ = x.shape
+        if h % p or w % p:
+            raise ValueError(f"input {h}x{w} not divisible by patch size {p}")
+        gh, gw = h // p, w // p
+        seq_len = gh * gw + 1
+
+        # Patchify: conv stride=patch (`vision_transformer.py:279-298`).
+        x = nn.Conv(
+            c.hidden_dim, (p, p), strides=(p, p), padding="VALID", name="conv_proj"
+        )(x)
+        x = x.reshape(n, gh * gw, c.hidden_dim)
+
+        cls = self.param(
+            "class_token", nn.initializers.zeros, (1, 1, c.hidden_dim), x.dtype
+        )
+        x = jnp.concatenate([jnp.tile(cls, (n, 1, 1)), x], axis=1)
+
+        default_seq = (self.image_size[0] // p) * (self.image_size[1] // p) + 1
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(stddev=0.02),
+            (1, default_seq, c.hidden_dim),
+            x.dtype,
+        )
+        if override_pos_embedding is not None:
+            pos = override_pos_embedding
+        if pos.shape[1] != seq_len:
+            raise ValueError(
+                f"pos embedding has {pos.shape[1]} tokens but input needs {seq_len}; "
+                "pass override_pos_embedding=interpolate_pos_embedding(...)"
+            )
+        x = x + pos
+        x = nn.Dropout(c.dropout_rate, deterministic=not train)(x)
+
+        qkv_input = attn = None
+        for i in range(c.num_layers):
+            x, ln1, attn_i = EncoderBlock(
+                c.num_heads,
+                c.mlp_dim,
+                c.dropout_rate,
+                c.attention_dropout_rate,
+                name=f"encoder_layer_{i}",
+            )(x, train=train)
+            if i == c.num_layers - 1:
+                # The reference's /scratch dump is clobbered each block; only
+                # the last block's write survives for consumers
+                # (`main_lost.py:455-456`). We keep exactly that.
+                qkv_input, attn = ln1, attn_i
+        x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
+
+        cls_feat = x[:, 0]
+        y = cls_feat
+        if c.representation_size is not None:
+            y = nn.Dense(c.representation_size, name="pre_logits")(y)
+            y = jnp.tanh(y)
+        logits = (
+            nn.Dense(c.num_classes, name="head")(y) if c.num_classes else y
+        )
+        return logits, {"qkv_input": qkv_input, "attn": attn, "cls": cls_feat}
+
+
+def stacked_qkv_dump(qkv_input):
+    """Reproduce the reference's on-disk "qkv" artifact: ``concat((x,x,x))``
+    along the batch axis of the last block's ln_1 output
+    (`/root/reference/vision_transformer.py:113`)."""
+    return jnp.concatenate([qkv_input] * 3, axis=0)
+
+
+def split_qkv_torchvision(qkv_dump, num_heads: int):
+    """Reproduce `/root/reference/main_lost.py:478-490` exactly.
+
+    The reference reshapes the (3*N, T, D) stacked dump to
+    (N, T, 3, nh, hd) *without* any permutation first — a layout scramble of
+    the three identical copies — then permutes to (3, N, nh, T, hd) and
+    re-flattens each of q/k/v to (N, T, D).  Downstream LOST CorLoc numbers
+    depend on this exact scramble, so we replicate it bit-for-bit.
+    """
+    three_n, t, d = qkv_dump.shape
+    n = three_n // 3
+    nh = num_heads
+    qkv = qkv_dump.reshape(n, t, 3, nh, -1).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+
+    def flat(z):  # (N, nh, T, hd) -> transpose(1,2) -> (N, T, nh, hd) -> (N, T, D)
+        return z.transpose(0, 2, 1, 3).reshape(n, t, d)
+
+    return flat(q), flat(k), flat(v)
+
+
+def _build(name, cfg: ViTConfig, image_size=(224, 224)):
+    module = VisionTransformer(cfg=cfg, image_size=tuple(image_size))
+    return ModelSpec(
+        name=name,
+        module=module,
+        input_size=tuple(image_size),
+        num_classes=cfg.num_classes,
+        prune_exclude=("qkv",),
+        patch_size=cfg.patch_size,
+        family="vit",
+        extra={"num_heads": cfg.num_heads, "hidden_dim": cfg.hidden_dim},
+    )
+
+
+@register_model("vit_s_16")
+def vit_s_16(num_classes=1000, image_size=(224, 224), **kw):
+    """ViT-Small/16 — the BASELINE flagship for LOST throughput."""
+    cfg = ViTConfig(16, 12, 6, 384, 1536, num_classes, **kw)
+    return _build("vit_s_16", cfg, image_size)
+
+
+@register_model("vit_b_16")
+def vit_b_16(num_classes=1000, image_size=(224, 224), **kw):
+    cfg = ViTConfig(16, 12, 12, 768, 3072, num_classes, **kw)
+    return _build("vit_b_16", cfg, image_size)
+
+
+@register_model("vit_b_32")
+def vit_b_32(num_classes=1000, image_size=(224, 224), **kw):
+    cfg = ViTConfig(32, 12, 12, 768, 3072, num_classes, **kw)
+    return _build("vit_b_32", cfg, image_size)
+
+
+@register_model("vit_l_16")
+def vit_l_16(num_classes=1000, image_size=(224, 224), **kw):
+    cfg = ViTConfig(16, 24, 16, 1024, 4096, num_classes, **kw)
+    return _build("vit_l_16", cfg, image_size)
+
+
+@register_model("vit_l_32")
+def vit_l_32(num_classes=1000, image_size=(224, 224), **kw):
+    cfg = ViTConfig(32, 24, 16, 1024, 4096, num_classes, **kw)
+    return _build("vit_l_32", cfg, image_size)
+
+
+@register_model("vit_h_14")
+def vit_h_14(num_classes=1000, image_size=(224, 224), **kw):
+    cfg = ViTConfig(14, 32, 16, 1280, 5120, num_classes, **kw)
+    return _build("vit_h_14", cfg, image_size)
