@@ -22,10 +22,10 @@ def test_registry_lists_required_models():
         assert required in names, required
 
 
-@pytest.mark.parametrize("name,dilate,hw", [("resnet18", 1, 7), ("resnet50", 2, 14)])
+@pytest.mark.parametrize("name,dilate,hw", [("resnet18", 1, 2), ("resnet50", 2, 4)])
 def test_resnet_forward(name, dilate, hw):
     spec = build_model(name, num_classes=10, dilate=dilate)
-    x = jnp.zeros((2, 224, 224, 3))
+    x = jnp.zeros((2, 64, 64, 3))
     variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
     logits, aux = spec.module.apply(variables, x, train=False)
     assert logits.shape == (2, 10)
@@ -34,18 +34,18 @@ def test_resnet_forward(name, dilate, hw):
 
 def test_resnet_headless():
     spec = build_model("resnet50_bottom", dilate=2)
-    x = jnp.zeros((1, 224, 224, 3))
+    x = jnp.zeros((1, 64, 64, 3))
     variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
     feats, _ = spec.module.apply(variables, x, train=False)
-    assert feats.shape == (1, 14, 14, 2048)
+    assert feats.shape == (1, 4, 4, 2048)
 
 
 def test_vgg16_headless_stride16():
     spec = build_model("vgg16_bottom")
-    x = jnp.zeros((1, 224, 224, 3))
+    x = jnp.zeros((1, 64, 64, 3))
     variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
     feats, _ = spec.module.apply(variables, x, train=False)
-    assert feats.shape == (1, 14, 14, 512)  # last maxpool removed => /16
+    assert feats.shape == (1, 4, 4, 512)  # last maxpool removed => /16
 
 
 def test_vit_forward_and_aux():

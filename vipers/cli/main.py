@@ -1,0 +1,132 @@
+"""Unified CLI: one parser, subcommands for every pipeline stage.
+
+Replaces the reference's eight separate argparse entry points
+(train.py, evaluate_models.py, main_lost.py, main_corloc_evaluation.py,
+explain.py, explainations_evaluation_metrics.py, train_quantization.py,
+cluster_for_OD.py) with::
+
+    python -m vipers.cli.main <subcommand> --flags
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("vipers", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    from vipers.core.config import add_train_args
+
+    add_train_args(sub.add_parser("train", help="prune + fine-tune a classifier"))
+    add_train_args(sub.add_parser("evaluate", help="sweep checkpoints, eval top-1/5"))
+
+    lost = sub.add_parser("lost", help="LOST object discovery + CorLoc")
+    lost.add_argument("--model", default="vit_s_16")
+    lost.add_argument("--arch", default="vit", help="feature family: vit|dino|resnet|vgg16")
+    lost.add_argument("--dataset", default="VOC07", choices=["VOC07", "VOC12", "COCO20k"])
+    lost.add_argument("--set", default="trainval")
+    lost.add_argument("--data-path", required=False, default="/data")
+    lost.add_argument("--checkpoint", default="")
+    lost.add_argument("--patch-size", type=int, default=16)
+    lost.add_argument("--which-features", default="k", choices=["k", "q", "v"])
+    lost.add_argument("--k-patches", type=int, default=100)
+    lost.add_argument("--dinoseg", action="store_true")
+    lost.add_argument("--dinoseg-head", type=int, default=4)
+    lost.add_argument("--no-hard", action="store_true")
+    lost.add_argument("--output-dir", default="./outputs")
+    lost.add_argument("--iteration", type=int, default=0)
+    lost.add_argument("--visualize", default=None, choices=[None, "fms", "seed_expansion", "pred"])
+
+    corloc = sub.add_parser("corloc", help="re-score saved predictions vs GT")
+    corloc.add_argument("--preds", required=True, help="preds.pkl or detectron json")
+    corloc.add_argument("--dataset", default="VOC07")
+    corloc.add_argument("--set", default="trainval")
+    corloc.add_argument("--data-path", default="/data")
+    corloc.add_argument("--no-hard", action="store_true")
+
+    expl = sub.add_parser("explain", help="attribution heatmaps per checkpoint")
+    expl.add_argument("--model", default="resnet50")
+    expl.add_argument("--checkpoint", default="")
+    expl.add_argument("--data-path", default="/data/imagenet")
+    expl.add_argument("--methods", nargs="+",
+                      default=["gradcam", "guided_gradcam", "ig", "attention"])
+    expl.add_argument("--num-classes-sample", type=int, default=200)
+    expl.add_argument("--output-dir", default="./explanations")
+
+    ee = sub.add_parser("explain-eval", help="RMA/RRA scoring on VOC masks")
+    ee.add_argument("--model", default="vit_b_32")
+    ee.add_argument("--checkpoint", default="")
+    ee.add_argument("--voc-root", default="/data/VOC2012")
+    ee.add_argument("--num-images", type=int, default=101)
+    ee.add_argument("--pooling", default="sum,abs")
+    ee.add_argument("--iteration", type=int, default=0)
+    ee.add_argument("--output-dir", default="./explanations_eval")
+
+    quant = sub.add_parser("quantize", help="int8 QAT / PTQ")
+    from vipers.core.config import add_train_args as ata
+    ata(quant)
+    quant.add_argument("--mode", default="qat", choices=["qat", "ptq"])
+    quant.add_argument("--calibration-batches", type=int, default=32)
+
+    clus = sub.add_parser("cluster", help="k-means pseudo-labels for discovered boxes")
+    clus.add_argument("--preds", required=True)
+    clus.add_argument("--nb-clusters", type=int, default=20)
+    clus.add_argument("--data-path", default="/data")
+    clus.add_argument("--dataset", default="VOC07")
+    clus.add_argument("--set", default="trainval")
+
+    plot = sub.add_parser("plot", help="sparsity-vs-metric curves")
+    plot.add_argument("--kind", default="lost", choices=["lost", "mass_rank", "mvh"])
+    plot.add_argument("--results-dir", default="./outputs")
+    plot.add_argument("--performance-txt", default="performance.txt")
+    plot.add_argument("--out", default="plot.png")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "train":
+        from vipers.core.config import config_from_args
+        from vipers.train.driver import run
+
+        run(config_from_args(args))
+        return 0
+    if args.cmd == "evaluate":
+        from vipers.core.config import config_from_args
+        from vipers.train.evaluate_models import run_sweep
+
+        return run_sweep(config_from_args(args))
+    if args.cmd == "lost":
+        from vipers.discovery.driver import run_lost
+
+        return run_lost(args)
+    if args.cmd == "corloc":
+        from vipers.discovery.corloc import run_corloc_cli
+
+        return run_corloc_cli(args)
+    if args.cmd == "explain":
+        from vipers.explain.driver import run_explain
+
+        return run_explain(args)
+    if args.cmd == "explain-eval":
+        from vipers.explain.driver import run_explain_eval
+
+        return run_explain_eval(args)
+    if args.cmd == "quantize":
+        from vipers.train.quantize import run_quantize
+
+        return run_quantize(args)
+    if args.cmd == "cluster":
+        from vipers.discovery.cluster import run_cluster_cli
+
+        return run_cluster_cli(args)
+    if args.cmd == "plot":
+        from vipers.viz.plots import run_plot_cli
+
+        return run_plot_cli(args)
+    raise SystemExit(2)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,261 @@
+"""Checkpointing: orbax save/restore + PyTorch ``.pth`` importer.
+
+Replaces the reference's ``torch.save`` checkpoint dict
+(`/root/reference/train.py:505-521`: {model, optimizer, lr_scheduler, epoch,
+args, sparsity [, model_ema, scaler]}) and, crucially, eliminates the
+pruned-checkpoint "identity/load/remove dance"
+(`/root/reference/main_lost.py:137-162`,
+`/root/reference/evaluate_models.py:391-403`): masks are ordinary arrays in
+the checkpoint pytree.
+
+The importer consumes real PyTorch checkpoints (``torch.load`` on CPU):
+  * strips DDP ``module.`` prefixes (`/root/reference/main_lost.py:134-135`),
+  * resolves prune reparametrization: ``w = weight_orig * weight_mask`` and
+    surfaces the mask (`torch.nn.utils.prune` convention),
+  * maps torchvision/DINO key conventions onto our flax trees with the
+    OIHW->HWIO / (out,in)->(in,out) transposes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import traverse_util
+
+import orbax.checkpoint as ocp
+
+
+# ------------------------------ orbax -------------------------------------
+
+def save_checkpoint(path: str, tree, force: bool = True):
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, tree, force=force)
+
+
+def restore_checkpoint(path: str, target=None):
+    path = os.path.abspath(path)
+    ckptr = ocp.PyTreeCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, item=target)
+
+
+# --------------------------- torch importer --------------------------------
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """torch.load a checkpoint, unwrap {model: ...} dicts, strip ``module.``,
+    resolve prune reparametrization. Returns {key: float numpy array} plus
+    ``key.__mask__`` entries for pruned weights."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model" in obj and isinstance(obj["model"], dict):
+        obj = obj["model"]
+    if hasattr(obj, "state_dict"):
+        obj = obj.state_dict()
+    return normalize_torch_state_dict(obj)
+
+
+def normalize_torch_state_dict(sd) -> Dict[str, np.ndarray]:
+    import torch
+
+    out: Dict[str, np.ndarray] = {}
+    raw = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        raw[k] = v
+    for k, v in raw.items():
+        if k.endswith("_orig"):
+            base = k[: -len("_orig")]
+            mask = raw.get(base + "_mask")
+            w = v
+            if mask is not None:
+                w = v * mask
+                out[base + ".__mask__"] = mask.detach().cpu().numpy().astype(bool)
+            out[base] = w.detach().cpu().numpy()
+        elif k.endswith("_mask"):
+            continue
+        else:
+            out[k] = (
+                v.detach().cpu().numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
+            )
+    return out
+
+
+def _conv_w(a):  # OIHW -> HWIO
+    return np.transpose(a, (2, 3, 1, 0))
+
+
+def _lin_w(a):  # (out, in) -> (in, out)
+    return np.transpose(a)
+
+
+def import_resnet(sd: Dict[str, np.ndarray], stage_sizes) -> Tuple[dict, dict, dict]:
+    """torchvision resnet{18,34,50} keys -> our ResNet params/batch_stats.
+
+    Returns (params, batch_stats, masks) as flat {path_tuple: array} dicts.
+    """
+    p, bs, masks = {}, {}, {}
+
+    def put_conv(tkey, path):
+        p[path + ("kernel",)] = _conv_w(sd[tkey + ".weight"])
+        m = sd.get(tkey + ".weight.__mask__")
+        if m is not None:
+            masks[path + ("kernel",)] = _conv_w(m)
+
+    def put_bn(tkey, path):
+        p[path + ("scale",)] = sd[tkey + ".weight"]
+        p[path + ("bias",)] = sd[tkey + ".bias"]
+        bs[path + ("mean",)] = sd[tkey + ".running_mean"]
+        bs[path + ("var",)] = sd[tkey + ".running_var"]
+
+    put_conv("conv1", ("conv1",))
+    put_bn("bn1", ("bn1",))
+    n_convs_probe = any(k.startswith("layer1.0.conv3") for k in sd)
+    n_convs = 3 if n_convs_probe else 2
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            t = f"layer{stage}.{b}"
+            o = (f"layer{stage}_{b}",)
+            for ci in range(1, n_convs + 1):
+                put_conv(f"{t}.conv{ci}", o + (f"conv{ci}",))
+                put_bn(f"{t}.bn{ci}", o + (f"bn{ci}",))
+            if f"{t}.downsample.0.weight" in sd:
+                put_conv(f"{t}.downsample.0", o + ("downsample_conv",))
+                put_bn(f"{t}.downsample.1", o + ("downsample_bn",))
+    if "fc.weight" in sd:
+        p[("fc", "kernel")] = _lin_w(sd["fc.weight"])
+        p[("fc", "bias")] = sd["fc.bias"]
+        if "fc.weight.__mask__" in sd:
+            masks[("fc", "kernel")] = _lin_w(sd["fc.weight.__mask__"])
+    return (
+        traverse_util.unflatten_dict(p),
+        traverse_util.unflatten_dict(bs),
+        masks,
+    )
+
+
+def import_vit_torchvision(sd: Dict[str, np.ndarray], num_layers: int):
+    """torchvision ViT keys (`/root/reference/vision_transformer.py`
+    structure) -> our VisionTransformer params. Returns (params, masks)."""
+    p, masks = {}, {}
+    p[("conv_proj", "kernel")] = _conv_w(sd["conv_proj.weight"])
+    p[("conv_proj", "bias")] = sd["conv_proj.bias"]
+    if "conv_proj.weight.__mask__" in sd:
+        masks[("conv_proj", "kernel")] = _conv_w(sd["conv_proj.weight.__mask__"])
+    p[("class_token",)] = sd["class_token"]
+    p[("pos_embedding",)] = sd["encoder.pos_embedding"]
+
+    for i in range(num_layers):
+        t = f"encoder.layers.encoder_layer_{i}"
+        o = (f"encoder_layer_{i}",)
+        p[o + ("ln_1", "scale")] = sd[f"{t}.ln_1.weight"]
+        p[o + ("ln_1", "bias")] = sd[f"{t}.ln_1.bias"]
+        p[o + ("attention", "qkv", "kernel")] = _lin_w(sd[f"{t}.self_attention.in_proj_weight"])
+        p[o + ("attention", "qkv", "bias")] = sd[f"{t}.self_attention.in_proj_bias"]
+        p[o + ("attention", "out", "kernel")] = _lin_w(sd[f"{t}.self_attention.out_proj.weight"])
+        p[o + ("attention", "out", "bias")] = sd[f"{t}.self_attention.out_proj.bias"]
+        if f"{t}.self_attention.out_proj.weight.__mask__" in sd:
+            masks[o + ("attention", "out", "kernel")] = _lin_w(
+                sd[f"{t}.self_attention.out_proj.weight.__mask__"])
+        p[o + ("ln_2", "scale")] = sd[f"{t}.ln_2.weight"]
+        p[o + ("ln_2", "bias")] = sd[f"{t}.ln_2.bias"]
+        # torchvision MLPBlock: indices 0 and 3 (Linear, GELU, Drop, Linear, Drop)
+        for tk, ok in ((f"{t}.mlp.0", "fc1"), (f"{t}.mlp.3", "fc2")):
+            p[o + ("mlp", ok, "kernel")] = _lin_w(sd[f"{tk}.weight"])
+            p[o + ("mlp", ok, "bias")] = sd[f"{tk}.bias"]
+            if f"{tk}.weight.__mask__" in sd:
+                masks[o + ("mlp", ok, "kernel")] = _lin_w(sd[f"{tk}.weight.__mask__"])
+    p[("ln", "scale")] = sd["encoder.ln.weight"]
+    p[("ln", "bias")] = sd["encoder.ln.bias"]
+    if "heads.head.weight" in sd:
+        p[("head", "kernel")] = _lin_w(sd["heads.head.weight"])
+        p[("head", "bias")] = sd["heads.head.bias"]
+        if "heads.head.weight.__mask__" in sd:
+            masks[("head", "kernel")] = _lin_w(sd["heads.head.weight.__mask__"])
+    if "heads.pre_logits.weight" in sd:
+        p[("pre_logits", "kernel")] = _lin_w(sd["heads.pre_logits.weight"])
+        p[("pre_logits", "bias")] = sd["heads.pre_logits.bias"]
+    return traverse_util.unflatten_dict(p), masks
+
+
+def import_dino_vit(sd: Dict[str, np.ndarray], depth: int):
+    """facebookresearch/dino checkpoint keys -> our DinoVisionTransformer."""
+    p = {}
+    p[("patch_embed", "kernel")] = _conv_w(sd["patch_embed.proj.weight"])
+    p[("patch_embed", "bias")] = sd["patch_embed.proj.bias"]
+    p[("cls_token",)] = sd["cls_token"]
+    p[("pos_embed",)] = sd["pos_embed"]
+    for i in range(depth):
+        t = f"blocks.{i}"
+        o = (f"block_{i}",)
+        p[o + ("norm1", "scale")] = sd[f"{t}.norm1.weight"]
+        p[o + ("norm1", "bias")] = sd[f"{t}.norm1.bias"]
+        p[o + ("attn", "qkv", "kernel")] = _lin_w(sd[f"{t}.attn.qkv.weight"])
+        if f"{t}.attn.qkv.bias" in sd:
+            p[o + ("attn", "qkv", "bias")] = sd[f"{t}.attn.qkv.bias"]
+        p[o + ("attn", "proj", "kernel")] = _lin_w(sd[f"{t}.attn.proj.weight"])
+        p[o + ("attn", "proj", "bias")] = sd[f"{t}.attn.proj.bias"]
+        p[o + ("norm2", "scale")] = sd[f"{t}.norm2.weight"]
+        p[o + ("norm2", "bias")] = sd[f"{t}.norm2.bias"]
+        p[o + ("fc1", "kernel")] = _lin_w(sd[f"{t}.mlp.fc1.weight"])
+        p[o + ("fc1", "bias")] = sd[f"{t}.mlp.fc1.bias"]
+        p[o + ("fc2", "kernel")] = _lin_w(sd[f"{t}.mlp.fc2.weight"])
+        p[o + ("fc2", "bias")] = sd[f"{t}.mlp.fc2.bias"]
+    p[("norm", "scale")] = sd["norm.weight"]
+    p[("norm", "bias")] = sd["norm.bias"]
+    return traverse_util.unflatten_dict(p), {}
+
+
+def import_vgg16(sd: Dict[str, np.ndarray], headless: bool = False):
+    """torchvision vgg16: features.{0,2,5,7,10,12,14,17,19,21,24,26,28}."""
+    conv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    p, masks = {}, {}
+    for our_i, ti in enumerate(conv_idx):
+        p[(f"conv_{our_i}", "kernel")] = _conv_w(sd[f"features.{ti}.weight"])
+        p[(f"conv_{our_i}", "bias")] = sd[f"features.{ti}.bias"]
+        if f"features.{ti}.weight.__mask__" in sd:
+            masks[(f"conv_{our_i}", "kernel")] = _conv_w(sd[f"features.{ti}.weight.__mask__"])
+    if not headless and "classifier.0.weight" in sd:
+        for tk, ok in (("classifier.0", "fc1"), ("classifier.3", "fc2"), ("classifier.6", "fc3")):
+            p[(ok, "kernel")] = _lin_w(sd[f"{tk}.weight"])
+            p[(ok, "bias")] = sd[f"{tk}.bias"]
+    return traverse_util.unflatten_dict(p), masks
+
+
+def import_torch_checkpoint(path_or_sd, model_name: str, **kw):
+    """Dispatch by model family. Returns (params, batch_stats, masks) with
+    masks as a flat {path: bool array} dict matching ``pruning.masks``."""
+    sd = (
+        load_torch_state_dict(path_or_sd)
+        if isinstance(path_or_sd, (str, os.PathLike))
+        else normalize_torch_state_dict(path_or_sd)
+    )
+    name = model_name.lower()
+    if name.startswith("resnet"):
+        sizes = {"resnet18": (2, 2, 2, 2), "resnet34": (3, 4, 6, 3),
+                 "resnet50": (3, 4, 6, 3)}[name.replace("_bottom", "")]
+        params, bstats, masks = import_resnet(sd, sizes)
+        return params, bstats, masks
+    if name.startswith("vit"):
+        layers = kw.get("num_layers", {"s": 12, "b": 12, "l": 24, "h": 32}[name.split("_")[1]])
+        params, masks = import_vit_torchvision(sd, layers)
+        return params, None, masks
+    if name.startswith("dino"):
+        params, masks = import_dino_vit(sd, kw.get("depth", 12))
+        return params, None, masks
+    if name.startswith("vgg"):
+        params, masks = import_vgg16(sd, headless=kw.get("headless", False))
+        return params, None, masks
+    raise ValueError(f"no importer for model {model_name!r}")
+
+
+def to_jax(tree):
+    import jax.numpy as jnp
+
+    return jax.tree.map(lambda a: jnp.asarray(a), tree)

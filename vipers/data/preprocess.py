@@ -94,7 +94,7 @@ def random_resized_crop(
 
 
 def train_decode(
-    path: str, crop_size: int, rng: np.random.Generator, hflip_prob: float = 0.5
+    path: str, rng: np.random.Generator, crop_size: int = 224, hflip_prob: float = 0.5
 ) -> np.ndarray:
     img = load_image_rgb(path)
     arr = random_resized_crop(img, crop_size, rng)

@@ -1,0 +1,276 @@
+"""Pruning control flows: SNIP-then-train and iterative magnitude ("LRR").
+
+Counterpart of `/root/reference/train.py:530-713`:
+  * snip: prune once on one batch, then train to completion (`:618-654`),
+  * magnitude: while sparsity < threshold: train to completion -> prune 20%
+    of remaining -> recount (`:656-708`).
+
+Everything stateful lives in a ``TrainState``; masks are swapped between
+iterations without rebuilding the compiled step (they are traced arrays).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipers.core.checkpoint import save_checkpoint
+from vipers.core.config import TrainConfig
+from vipers.core.metrics import MetricsWriter
+from vipers.core.registry import build_model
+from vipers.data.imagefolder import ImageFolder, ImageFolderLoader
+from vipers.data.mixup import mixup_cutmix_batch
+from vipers.data.preprocess import eval_decode, make_device_normalize, train_decode
+from vipers.data.sampler import shard_indices_for_host
+from vipers.pruning import (
+    apply_masks,
+    compute_sparsity_global,
+    init_masks,
+    magnitude_prune,
+    snip_prune,
+)
+from vipers.train.ema import ema_decay_for
+from vipers.train.loop import evaluate, train_model_to_completion
+from vipers.train.optim import make_lr_schedule, make_optimizer
+from vipers.train.steps import TrainState, cross_entropy, make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class Session:
+    """Everything a pruning run needs, wired once."""
+
+    cfg: TrainConfig
+    spec: object
+    state: TrainState
+    train_step: object
+    eval_step: object
+    eval_step_ema: object
+    normalize: object
+    mixup: Optional[object]
+    rng: jax.Array
+    writer: MetricsWriter
+    train_ds: ImageFolder
+    val_ds: ImageFolder
+
+
+def build_session(cfg: TrainConfig) -> Session:
+    spec = build_model(cfg.model, num_classes=cfg.num_classes)
+    rng = jax.random.PRNGKey(cfg.seed)
+    init_rng, run_rng = jax.random.split(rng)
+    h = w = cfg.train_crop_size
+    variables = spec.module.init(
+        {"params": init_rng, "dropout": init_rng},
+        jnp.zeros((1, h, w, 3), jnp.float32),
+        train=False,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    masks = init_masks(params, exclude=spec.prune_exclude)
+
+    train_ds = ImageFolder(os.path.join(cfg.data_path, "train"))
+    val_ds = ImageFolder(os.path.join(cfg.data_path, "val"))
+    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+
+    schedule = make_lr_schedule(cfg.optim, steps_per_epoch)
+    # No masks_fn here: the step fn masks grads AND final updates with the
+    # traced state.masks (see train.steps), so mask swaps need no retrace.
+    tx = make_optimizer(cfg.optim, params, schedule)
+    opt_state = tx.init(params)
+
+    ema_decay = None
+    ema_params = ema_bs = None
+    if cfg.model_ema:
+        ema_decay = ema_decay_for(
+            cfg.model_ema_decay, jax.process_count(), cfg.batch_size,
+            cfg.model_ema_steps, cfg.optim.epochs,
+        )
+        ema_params = jax.tree.map(lambda x: x, params)
+        ema_bs = jax.tree.map(lambda x: x, batch_stats) if batch_stats else None
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
+        masks=masks, opt_state=opt_state,
+        ema_params=ema_params, ema_batch_stats=ema_bs,
+    )
+
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    train_step = make_train_step(
+        spec.module.apply, tx, cfg.num_classes, cfg.optim.label_smoothing,
+        compute_dtype=compute_dtype, ema_decay=ema_decay,
+        ema_every=cfg.model_ema_steps,
+    )
+    eval_step = make_eval_step(
+        spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing, compute_dtype
+    )
+    eval_step_ema = make_eval_step(
+        spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing,
+        compute_dtype, use_ema=True,
+    )
+
+    normalize = make_device_normalize(random_erase_prob=cfg.random_erase)
+    mixup = None
+    if cfg.mixup_alpha > 0 or cfg.cutmix_alpha > 0:
+        mixup = partial(
+            mixup_cutmix_batch, num_classes=cfg.num_classes,
+            mixup_alpha=cfg.mixup_alpha, cutmix_alpha=cfg.cutmix_alpha,
+        )
+
+    writer = MetricsWriter(
+        cfg.metrics_path or os.path.join(cfg.output_dir, "metrics.jsonl")
+    )
+    return Session(
+        cfg=cfg, spec=spec, state=state, train_step=train_step,
+        eval_step=eval_step, eval_step_ema=eval_step_ema, normalize=normalize,
+        mixup=mixup, rng=run_rng, writer=writer,
+        train_ds=train_ds, val_ds=val_ds,
+    )
+
+
+def _train_loader(s: Session, epoch: int):
+    cfg = s.cfg
+    idx = shard_indices_for_host(
+        len(s.train_ds), jax.process_count(), jax.process_index(),
+        epoch, seed=cfg.seed,
+    )
+    return ImageFolderLoader(
+        s.train_ds, idx, cfg.batch_size,
+        decode_fn=partial(train_decode, crop_size=cfg.train_crop_size),
+        num_workers=cfg.workers, drop_last=True, seed=cfg.seed + epoch,
+    )
+
+
+def _val_loader(s: Session):
+    cfg = s.cfg
+    idx = shard_indices_for_host(
+        len(s.val_ds), jax.process_count(), jax.process_index(), 0,
+        seed=cfg.seed, shuffle=False,
+    )
+    return ImageFolderLoader(
+        s.val_ds, idx, cfg.batch_size,
+        decode_fn=lambda p, rng: eval_decode(
+            p, cfg.val_resize_size, cfg.val_crop_size
+        ),
+        num_workers=cfg.workers, drop_last=False,
+    )
+
+
+def _snip_loss_fn(s: Session):
+    cfg = s.cfg
+
+    def loss_fn(params, batch):
+        images, labels = batch
+        variables = {"params": params}
+        if s.state.batch_stats is not None:
+            variables["batch_stats"] = s.state.batch_stats
+        out = s.spec.module.apply(
+            variables, images, train=True,
+            rngs={"dropout": jax.random.PRNGKey(cfg.seed)},
+            mutable=["batch_stats"] if s.state.batch_stats is not None else [],
+        )
+        logits = out[0][0] if s.state.batch_stats is not None else out[0]
+        return cross_entropy(logits, labels, cfg.num_classes, cfg.optim.label_smoothing)
+
+    return loss_fn
+
+
+def _checkpoint_fn(s: Session, method: str, tag):
+    cfg = s.cfg
+
+    def save(state, epoch, sparsity, latest=False):
+        if jax.process_index() != 0:
+            return
+        tree = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "masks": {"/".join(k): v for k, v in state.masks.items()},
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "epoch": np.int32(epoch),
+            "sparsity": np.float32(sparsity),
+        }
+        if state.ema_params is not None:
+            tree["ema_params"] = state.ema_params
+        if latest:
+            name = f"{cfg.model}_checkpoint_{method}_{tag}"
+        else:
+            name = f"{cfg.model}_epoch_{epoch}_{method}_{tag}"
+        save_checkpoint(os.path.join(cfg.output_dir, name), tree)
+
+    return save
+
+
+def run_snip(s: Session):
+    """SNIP path (`train.py:618-654`): prune once -> train to completion."""
+    cfg = s.cfg
+    images, labels = next(iter(_train_loader(s, 0)))
+    batch = (s.normalize(images), jnp.asarray(labels))
+    masks = snip_prune(
+        _snip_loss_fn(s), s.state.params, batch, cfg.target_sparsity,
+        exclude=s.spec.prune_exclude,
+    )
+    s.state = s.state.replace(masks=masks)
+    sparsity = compute_sparsity_global(s.state.params, masks)
+    print(f"Sparsity after SNIP pruning: {sparsity:.2f}%")
+    s.writer.write("prune", step=0, method="snip", sparsity=sparsity)
+
+    state, acc1 = train_model_to_completion(
+        s.train_step, s.eval_step, s.state,
+        lambda e: _train_loader(s, e), lambda: _val_loader(s),
+        cfg.optim.epochs, s.rng, normalize_fn=s.normalize, mixup_fn=s.mixup,
+        checkpoint_fn=_checkpoint_fn(s, "snip", cfg.target_sparsity),
+        sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
+        eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
+    )
+    s.state = state
+    return sparsity, acc1
+
+
+def run_magnitude(s: Session):
+    """LRR path (`train.py:656-708`): loop train -> prune -> recount."""
+    cfg = s.cfg
+    sparsity = compute_sparsity_global(s.state.params, s.state.masks)
+    it = cfg.starting_pruning_iteration
+    rows = []
+    while sparsity < cfg.pruning_threshold:
+        print(f"Pruning iteration: {it} (sparsity {sparsity:.2f}%)")
+        state, acc1 = train_model_to_completion(
+            s.train_step, s.eval_step, s.state,
+            lambda e: _train_loader(s, e), lambda: _val_loader(s),
+            cfg.optim.epochs, jax.random.fold_in(s.rng, it),
+            normalize_fn=s.normalize, mixup_fn=s.mixup,
+            # filename contract: {model}_epoch_{e}_pruning_iteration_{NN}
+            # (`/root/reference/main_lost.py:346`, `evaluate_models.py:230`)
+            checkpoint_fn=_checkpoint_fn(s, "pruning_iteration", f"{it:02d}"),
+            sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
+            eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
+        )
+        rows.append((acc1, sparsity))
+        masks = magnitude_prune(state.params, state.masks, cfg.pruning_rate)
+        # Bake: zero pruned weights immediately (torch remask-on-forward).
+        params = apply_masks(state.params, masks)
+        s.state = state.replace(params=params, masks=masks)
+        sparsity = compute_sparsity_global(params, masks)
+        s.writer.write("prune", step=it, method="magnitude", sparsity=sparsity)
+        it += 1
+    MetricsWriter.export_performance_txt(
+        os.path.join(cfg.output_dir, "performance.txt"), rows
+    )
+    return sparsity, rows
+
+
+def run(cfg: TrainConfig):
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = build_session(cfg)
+    if cfg.test_only:
+        return evaluate(s.eval_step, s.state, _val_loader(s), normalize_fn=s.normalize)
+    if cfg.pruning_method == "snip":
+        return run_snip(s)
+    if cfg.pruning_method == "magnitude":
+        return run_magnitude(s)
+    raise ValueError(f"Unsupported pruning method {cfg.pruning_method!r}")

@@ -1,0 +1,142 @@
+"""Epoch-level loops: train_one_epoch / evaluate / train_model_to_completion.
+
+Counterparts of `/root/reference/train.py:35-141` and `:434-527`, built on
+the jitted step functions from ``train.steps``.  Host code here only moves
+batches and aggregates metrics; all math is on device.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from vipers.core.metrics import MeterSet, MetricsWriter
+from vipers.train.steps import TrainState
+
+
+def train_one_epoch(
+    train_step,
+    state: TrainState,
+    loader: Iterable,
+    rng,
+    epoch: int,
+    normalize_fn=None,
+    mixup_fn=None,
+    print_freq: int = 100,
+    writer: Optional[MetricsWriter] = None,
+):
+    meters = MeterSet()
+    header = f"Epoch: [{epoch}]"
+    for i, (images, labels) in enumerate(
+        meters.log_every(loader, print_freq, header)
+    ):
+        t0 = time.time()
+        if normalize_fn is not None:
+            images = normalize_fn(images)
+        if mixup_fn is not None:
+            mix_rng = jax.random.fold_in(rng, i * 2 + 1)
+            images, labels = mixup_fn(mix_rng, images, labels)
+        state, metrics = train_step(state, (images, labels), rng)
+        metrics = jax.device_get(metrics)
+        bsz = images.shape[0]
+        meters.update(
+            n=bsz,
+            loss=float(metrics["loss"]),
+            acc1=float(metrics["acc1"]),
+            acc5=float(metrics["acc5"]),
+        )
+        meters.update(**{"img/s": bsz / max(time.time() - t0, 1e-9)})
+    if writer:
+        writer.write(
+            "train", step=epoch,
+            acc1=meters.meters["acc1"].global_avg,
+            acc5=meters.meters["acc5"].global_avg,
+            loss=meters.meters["loss"].global_avg,
+        )
+    return state, meters
+
+
+def evaluate(
+    eval_step,
+    state: TrainState,
+    loader: Iterable,
+    epoch: Optional[int] = None,
+    normalize_fn=None,
+    log_suffix: str = "",
+    writer: Optional[MetricsWriter] = None,
+    expected_samples: Optional[int] = None,
+):
+    """Full-split eval; returns (acc1, acc5, loss). Sums are exact (counts,
+    not batch-averaged) — matches `/root/reference/train.py:92-141` incl. the
+    dataset-coverage warning after distributed reduction."""
+    totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "n": 0}
+    for images, labels in loader:
+        if normalize_fn is not None:
+            images = normalize_fn(images)
+        out = jax.device_get(eval_step(state, (images, labels)))
+        for k in totals:
+            totals[k] += out[k]
+    # Cross-process reduction (`utils.py:394-402` semantics): with a global
+    # mesh the loader already covers each sample once per epoch; multi-host
+    # pipelines psum these on device before this point.
+    n = max(int(totals["n"]), 1)
+    if expected_samples is not None and int(totals["n"]) != expected_samples:
+        print(
+            f"Warning: dataset has {expected_samples} samples but {totals['n']} "
+            "were used for validation — results may be biased."
+        )
+    acc1 = 100.0 * totals["top1"] / n
+    acc5 = 100.0 * totals["top5"] / n
+    loss = float(totals["loss_sum"]) / n
+    print(f"Test:{log_suffix} Acc@1 {acc1:.3f} Acc@5 {acc5:.3f}")
+    if writer:
+        writer.write("test" + log_suffix, step=epoch, acc1=acc1, acc5=acc5, loss=loss)
+    return acc1, acc5, loss
+
+
+def train_model_to_completion(
+    train_step,
+    eval_step,
+    state: TrainState,
+    make_train_loader: Callable[[int], Iterable],
+    eval_loader_fn: Callable[[], Iterable],
+    epochs: int,
+    rng,
+    initial_epoch: int = 0,
+    normalize_fn=None,
+    mixup_fn=None,
+    checkpoint_fn=None,
+    sparsity: float = 0.0,
+    writer: Optional[MetricsWriter] = None,
+    print_freq: int = 100,
+    eval_step_ema=None,
+):
+    """Epoch driver (`/root/reference/train.py:434-527`): per-epoch
+    train -> eval (-> EMA eval) -> checkpoint (every 10 epochs + last)."""
+    t_start = time.time()
+    last_acc1 = float("nan")
+    for epoch in range(initial_epoch, epochs):
+        epoch_rng = jax.random.fold_in(rng, epoch)
+        state, _ = train_one_epoch(
+            train_step, state, make_train_loader(epoch), epoch_rng, epoch,
+            normalize_fn=normalize_fn, mixup_fn=mixup_fn,
+            print_freq=print_freq, writer=writer,
+        )
+        last_acc1, _, _ = evaluate(
+            eval_step, state, eval_loader_fn(), epoch,
+            normalize_fn=normalize_fn, writer=writer,
+        )
+        if eval_step_ema is not None and state.ema_params is not None:
+            evaluate(
+                eval_step_ema, state, eval_loader_fn(), epoch,
+                normalize_fn=normalize_fn, log_suffix="EMA", writer=writer,
+            )
+        if checkpoint_fn is not None and (epoch % 10 == 0 or epoch == epochs - 1):
+            checkpoint_fn(state, epoch, sparsity)
+        if checkpoint_fn is not None:
+            checkpoint_fn(state, epoch, sparsity, latest=True)
+    print(f"Training time {time.time() - t_start:.0f}s")
+    return state, last_acc1

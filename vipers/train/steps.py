@@ -52,11 +52,12 @@ def accuracy_topk(logits, targets, topk=(1, 5)):
     (`/root/reference/utils.py:173-189`)."""
     if targets.ndim == 2:
         targets = jnp.argmax(targets, axis=1)
-    maxk = max(topk)
+    maxk = min(max(topk), logits.shape[-1])
     _, pred = jax.lax.top_k(logits, maxk)  # (B, maxk)
     correct = pred == targets[:, None]
     out = []
     for k in topk:
+        k = min(k, maxk)
         out.append(100.0 * jnp.sum(correct[:, :k].astype(jnp.float32)) / targets.shape[0])
     return out
 
@@ -111,6 +112,11 @@ def make_train_step(
         # reference, where the reparametrized backward yields zero grads.
         grads = mask_gradients(grads, state.masks)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # Mask the final update too: after a re-prune, stale momentum (and
+        # any decay term) at newly-pruned slots must not move the weight off
+        # exact zero. Masks are traced arrays, so iterative pruning swaps
+        # them without recompilation.
+        updates = mask_gradients(updates, state.masks)
         params = optax.apply_updates(state.params, updates)
 
         ema_params, ema_bs = state.ema_params, state.ema_batch_stats
@@ -154,7 +160,7 @@ def make_eval_step(apply_fn, num_classes: int, label_smoothing: float = 0.0,
         loss = cross_entropy(logits, labels, num_classes, label_smoothing)
         if labels.ndim == 2:
             labels = jnp.argmax(labels, axis=1)
-        _, pred = jax.lax.top_k(logits, 5)
+        _, pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))
         correct = pred == labels[:, None]
         top1 = jnp.sum(correct[:, :1])
         top5 = jnp.sum(correct)
