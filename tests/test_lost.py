@@ -1,0 +1,223 @@
+"""LOST stack tests (SURVEY §4.1/§4.3):
+  * connected components exact vs scipy (4-connectivity),
+  * lost() vs a numpy oracle implementing the reference algorithm
+    (object_discovery.py:23-134) independently,
+  * bucket-masked LOST == exact-shape LOST,
+  * end-to-end LOST->CorLoc on a synthetic VOC with a tiny ViT.
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.ndimage
+
+from vipers.discovery.components import (
+    component_bbox,
+    flood_fill_from_seed,
+    label_components,
+    largest_component_mask,
+)
+from vipers.discovery.lost import lost, lost_core, patch_scoring
+
+
+# ---------------------------------------------------------------- components
+
+@pytest.mark.parametrize("seed", range(5))
+def test_label_components_matches_scipy(seed):
+    rng = np.random.default_rng(seed)
+    mask = rng.random((17, 23)) > 0.6
+    ours = np.asarray(label_components(jnp.asarray(mask)))
+    ref, n_ref = scipy.ndimage.label(mask)  # default: 4-connectivity
+    # same partition: component ids may differ, membership must not
+    assert (ours > 0).sum() == (ref > 0).sum()
+    ids = {}
+    for r, c in zip(*np.nonzero(mask)):
+        key = ref[r, c]
+        if key in ids:
+            assert ids[key] == ours[r, c]
+        else:
+            ids[key] = ours[r, c]
+    assert len(set(ids.values())) == n_ref
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_flood_fill_matches_scipy_component(seed):
+    rng = np.random.default_rng(100 + seed)
+    mask = rng.random((12, 15)) > 0.5
+    fg = np.argwhere(mask)
+    seed_rc = fg[rng.integers(len(fg))]
+    ours = np.asarray(flood_fill_from_seed(jnp.asarray(mask), jnp.asarray(seed_rc)))
+    ref, _ = scipy.ndimage.label(mask)
+    want = ref == ref[seed_rc[0], seed_rc[1]]
+    np.testing.assert_array_equal(ours, want)
+
+
+def test_flood_fill_background_seed():
+    mask = np.zeros((4, 4), bool)
+    mask[0, 0] = True
+    out = np.asarray(flood_fill_from_seed(jnp.asarray(mask), jnp.asarray([2, 2])))
+    assert not out.any()
+
+
+def test_largest_component():
+    mask = np.zeros((6, 6), bool)
+    mask[0, 0:2] = True  # size 2
+    mask[3:6, 3:6] = True  # size 9
+    out = np.asarray(largest_component_mask(jnp.asarray(mask)))
+    assert out.sum() == 9 and out[4, 4] and not out[0, 0]
+
+
+def test_component_bbox():
+    mask = np.zeros((5, 7), bool)
+    mask[1:3, 2:6] = True
+    ymin, ymax, xmin, xmax = (int(v) for v in component_bbox(jnp.asarray(mask)))
+    assert (ymin, ymax, xmin, xmax) == (1, 3, 2, 6)
+
+
+# ------------------------------------------------------------------- oracle
+
+def _lost_oracle(feats, dims, scales, init_image_size, k_patches):
+    """Reference algorithm (object_discovery.py:23-134) in plain numpy."""
+    f = feats[0].astype(np.float64)
+    A = f @ f.T
+    Ac = A.copy()
+    np.fill_diagonal(Ac, 0)
+    Ac[Ac < 0] = 0
+    cent = -np.sum(Ac > 0, axis=1).astype(np.float64)
+    order = np.argsort(-cent, kind="stable")
+    seed = order[0]
+    potentials = order[:k_patches]
+    similars = potentials[A[seed, potentials] > 0.0]
+    M = A[similars, :].sum(axis=0)
+    w_f, h_f = dims
+    labeled, _ = scipy.ndimage.label(M.reshape(w_f, h_f) > 0)
+    cc = labeled[np.unravel_index(seed, (w_f, h_f))]
+    assert cc != 0
+    ys, xs = np.where(labeled == cc)
+    ymin, ymax = ys.min(), ys.max() + 1
+    xmin, xmax = xs.min(), xs.max() + 1
+    pred = [scales[1] * xmin, scales[0] * ymin, scales[1] * xmax, scales[0] * ymax]
+    pred[2] = min(pred[2], init_image_size[2])
+    pred[3] = min(pred[3], init_image_size[1])
+    return np.asarray(pred), seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_lost_matches_numpy_oracle(seed):
+    rng = np.random.default_rng(seed)
+    gh, gw, d = 9, 12, 24
+    # blobby features so components are nontrivial
+    base = rng.normal(size=(gh, gw, d))
+    blob = np.zeros((gh, gw, 1))
+    blob[2:6, 3:8] = 2.0
+    feats = (base + blob).reshape(1, gh * gw, d).astype(np.float32)
+    scales = [16, 16]
+    init = (3, gh * 16 - 5, gw * 16 - 3)
+    want, want_seed = _lost_oracle(feats.astype(np.float32), (gh, gw), scales, init, 100)
+    got, A, scores, got_seed = lost(feats, (gh, gw), scales, init, k_patches=100)
+    assert got_seed == want_seed
+    np.testing.assert_allclose(got, want, atol=0)
+    assert A.shape == (gh * gw, gh * gw)
+
+
+def test_lost_bucketed_equals_exact():
+    rng = np.random.default_rng(7)
+    gh, gw, d = 10, 13, 16
+    feats = rng.normal(size=(gh * gw, d)).astype(np.float32)
+    scales = [16, 16]
+    init = (3, gh * 16, gw * 16)
+    exact, _, _, seed_e = lost(feats[None], (gh, gw), scales, init)
+
+    GH, GW = 12, 16  # bucket grid
+    full = np.zeros((GH * GW, d), np.float32)
+    rows = np.arange(GH * GW) // GW
+    cols = np.arange(GH * GW) % GW
+    valid = (rows < gh) & (cols < gw)
+    # scatter the same features into the bucket layout
+    full[valid] = feats
+    got, _, _, seed_b = lost(
+        full[None], (GH, GW), scales, init, valid_dims=(gh, gw)
+    )
+    # seeds refer to different flat layouts; compare via (row, col)
+    assert (seed_e // gw, seed_e % gw) == (seed_b // GW, seed_b % GW)
+    np.testing.assert_allclose(got, exact, atol=0)
+
+
+def test_patch_scoring_invalid_sorts_last():
+    rng = np.random.default_rng(1)
+    A = jnp.asarray(rng.normal(size=(9, 9)).astype(np.float32))
+    valid = jnp.asarray([True] * 6 + [False] * 3)
+    order, scores = patch_scoring(A, valid)
+    assert set(np.asarray(order[-3:]).tolist()) == {6, 7, 8}
+    assert np.all(np.isneginf(np.asarray(scores)[6:]))
+
+
+# ----------------------------------------------------------- synthetic VOC
+
+@pytest.fixture(scope="module")
+def synthetic_voc(tmp_path_factory):
+    """3-image VOC07-style dataset with a bright square object per image."""
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("voc")
+    (root / "JPEGImages").mkdir()
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(3):
+        h, w = 96 + 16 * i, 128
+        arr = rng.integers(0, 60, size=(h, w, 3), dtype=np.uint8)
+        y0, x0 = 16 + 8 * i, 32
+        arr[y0 : y0 + 40, x0 : x0 + 48] = 220
+        name = f"im{i:03d}"
+        names.append(name)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{name}.jpg")
+        xml = f"""<annotation><filename>{name}.jpg</filename>
+<size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+<object><name>thing</name><truncated>0</truncated><difficult>0</difficult>
+<bndbox><xmin>{x0 + 1}</xmin><ymin>{y0 + 1}</ymin><xmax>{x0 + 48}</xmax><ymax>{y0 + 40}</ymax></bndbox>
+</object></annotation>"""
+        (root / "Annotations" / f"{name}.xml").write_text(xml)
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
+    return str(root)
+
+
+def test_voc_dataset_and_gt(synthetic_voc):
+    from vipers.data.detection import DiscoveryDataset
+
+    ds = DiscoveryDataset("VOC07", "trainval", synthetic_voc, no_hard=True)
+    assert len(ds) == 3
+    gt, cls = ds.extract_gt("im000.jpg")
+    # 1-based inclusive -> 0-based xmin/ymin (datasets.py:281-309)
+    np.testing.assert_array_equal(gt[0], [32, 16, 80, 56])
+    assert cls == ["thing"]
+
+
+def test_lost_end_to_end_corloc(synthetic_voc, tmp_path):
+    """BASELINE config #3 in miniature: LOST on VOC with an untrained tiny
+    ViT produces boxes + a results txt; CorLoc re-evaluation agrees."""
+    import argparse
+
+    from vipers.discovery.driver import run_lost
+    from vipers.discovery.corloc import evaluate_predictions
+    from vipers.data.detection import DiscoveryDataset
+
+    args = argparse.Namespace(
+        model="vit_s_16", arch="vit", dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, checkpoint="", patch_size=16,
+        which_features="k", k_patches=100, dinoseg=False, dinoseg_head=4,
+        no_hard=False, output_dir=str(tmp_path / "lost_out"), iteration=0,
+        visualize=None,
+    )
+    assert run_lost(args) == 0
+    out = str(tmp_path / "lost_out")
+    assert os.path.exists(os.path.join(out, "preds.pkl"))
+    txt = os.path.join(out, "results_iteration_00.txt")
+    assert os.path.exists(txt)
+    corloc_txt = float(open(txt).read().split(",")[1])
+    ds = DiscoveryDataset("VOC07", "trainval", synthetic_voc)
+    corloc_re = evaluate_predictions(os.path.join(out, "preds.pkl"), ds)
+    assert corloc_txt == pytest.approx(corloc_re, abs=0.1)

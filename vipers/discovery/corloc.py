@@ -1,0 +1,102 @@
+"""CorLoc accounting + the standalone re-scoring evaluator.
+
+Counterparts of the in-loop CorLoc accumulation
+(`/root/reference/main_lost.py:675-702`: hit when any GT IoU >= 0.5; writes
+``preds.pkl`` + ``results_iteration_NN.txt``) and the offline evaluator
+(`/root/reference/main_corloc_evaluation.py:33-152`, incl. the detectron-json
+path that picks the most confident box).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from typing import Dict, Optional
+
+import numpy as np
+
+from vipers.data.boxes import bbox_iou
+from vipers.data.detection import DiscoveryDataset
+
+
+def corloc_hit(pred_box, gt_boxes) -> bool:
+    """IoU(pred, any gt) >= 0.5 (`main_lost.py:675-678`)."""
+    if gt_boxes is None or len(gt_boxes) == 0:
+        return False
+    ious = bbox_iou(np.asarray(pred_box, dtype=np.float64), np.asarray(gt_boxes))
+    return bool(np.any(ious >= 0.5))
+
+
+class CorLocAccumulator:
+    def __init__(self):
+        self.hits = 0
+        self.count = 0
+        self.preds: Dict[str, list] = {}
+
+    def add(self, im_name: str, pred_box, gt_boxes):
+        self.preds[im_name] = list(np.asarray(pred_box).tolist())
+        self.count += 1
+        if corloc_hit(pred_box, gt_boxes):
+            self.hits += 1
+
+    @property
+    def corloc(self) -> float:
+        return 100.0 * self.hits / max(self.count, 1)
+
+    def save(self, output_dir: str, iteration: int):
+        """preds.pkl + results_iteration_NN.txt contracts
+        (`main_lost.py:687-702`)."""
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "preds.pkl"), "wb") as f:
+            pickle.dump(self.preds, f)
+        txt = os.path.join(output_dir, f"results_iteration_{iteration:02d}.txt")
+        with open(txt, "w") as f:
+            f.write(f"corloc,{self.corloc:.1f},,\n")
+        print(f"corloc: {self.corloc:.2f} ({self.hits}/{self.count})")
+        return txt
+
+
+def evaluate_predictions(
+    preds_path: str,
+    dataset: DiscoveryDataset,
+    detectron_format: bool = False,
+) -> float:
+    """Re-score saved predictions against GT
+    (`main_corloc_evaluation.py:33-152`)."""
+    if detectron_format or preds_path.endswith(".json"):
+        with open(preds_path) as f:
+            dets = json.load(f)
+        by_img: Dict[str, list] = {}
+        for d in dets:
+            by_img.setdefault(str(d["image_id"]), []).append(d)
+        # most-confident box per image (`:127-139`)
+        preds = {}
+        for k, ds in by_img.items():
+            best = max(ds, key=lambda d: d.get("score", 0.0))
+            x, y, w, h = best["bbox"]
+            preds[k] = [x, y, x + w, y + h]
+    else:
+        with open(preds_path, "rb") as f:
+            preds = pickle.load(f)
+
+    hits = cnt = 0
+    for _path, im_name in dataset:
+        key = im_name if im_name in preds else os.path.splitext(im_name)[0]
+        if key not in preds:
+            continue
+        gt, _cls = dataset.extract_gt(im_name)
+        if gt is None or len(gt) == 0:
+            continue
+        cnt += 1
+        if corloc_hit(preds[key], gt):
+            hits += 1
+    corloc = 100.0 * hits / max(cnt, 1)
+    print(f"corloc: {corloc:.2f} ({hits}/{cnt})")
+    return corloc
+
+
+def run_corloc_cli(args) -> int:
+    ds = DiscoveryDataset(args.dataset, args.set, args.data_path, no_hard=args.no_hard)
+    evaluate_predictions(args.preds, ds)
+    return 0

@@ -1,0 +1,215 @@
+"""LOST unsupervised object discovery, as one jitted TPU kernel.
+
+Reference: `/root/reference/object_discovery.py:23-134` (lost /
+patch_scoring / detect_box) and `:137-185` (dino_seg baseline).  There, per
+image: an O(T²·d) affinity on GPU, host argsorts, then scipy connected
+components on CPU.  Here the entire pipeline — affinity (MXU), inverse-degree
+scoring, seed selection, expansion, mass map, and the seed's connected
+component + bbox — runs inside a single ``jax.jit`` with static shapes;
+only the final 4-int box returns to host.
+
+Bucketed padding: images are zero-padded twice — to the patch multiple
+(*participates* in the affinity, exactly like the reference's padding at
+`/root/reference/main_lost.py:399-407`) and then to a bucket grid (masked
+*out* everywhere), so a handful of compiled shapes covers the whole dataset
+while producing bit-equal results to per-image exact shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipers.discovery.components import (
+    component_bbox,
+    flood_fill_from_seed,
+    largest_component_mask,
+)
+
+
+def patch_scoring(A, valid=None, threshold: float = 0.0):
+    """Inverse-degree patch scores (`object_discovery.py:72-90`).
+
+    Returns (sorted_patches, scores): scores = -|{j : A[i,j] > threshold}|
+    with the diagonal zeroed and negatives clamped; sort is descending and
+    stable (ties -> lower index first, matching torch CPU argsort).
+    Invalid (bucket-pad) patches score -inf and sort last.
+    """
+    T = A.shape[-1]
+    Ac = A * (1.0 - jnp.eye(T, dtype=A.dtype))
+    Ac = jnp.maximum(Ac, 0.0)
+    over = Ac > threshold
+    if valid is not None:
+        over = over & valid[None, :]
+    cent = -jnp.sum(over, axis=1).astype(jnp.float32)
+    if valid is not None:
+        cent = jnp.where(valid, cent, -jnp.inf)
+    order = jnp.argsort(-cent, stable=True)
+    return order, cent
+
+
+@functools.partial(jax.jit, static_argnames=("grid_hw", "k_patches"))
+def lost_core(feats, valid_hw, grid_hw: Tuple[int, int], k_patches: int = 100):
+    """Jitted LOST on a (T, D) patch-feature matrix laid out row-major over
+    a static (GH, GW) bucket grid.
+
+    Args:
+      feats: (T, D) float features, T = GH*GW.
+      valid_hw: (2,) int32 (gh, gw) — the reference-padded (participating)
+        grid; patches outside are bucket padding and fully masked.
+      grid_hw: static (GH, GW) bucket grid — one compile per bucket.
+      k_patches: seed-expansion candidate pool size.
+
+    Returns dict with feature-space box (ymin, ymax, xmin, xmax exclusive),
+    seed flat index, scores, mass map, and a seed_in_background flag.
+    """
+    T, D = feats.shape
+    GH, GW = grid_hw
+    if T != GH * GW:
+        raise ValueError(f"T={T} != bucket grid {GH}x{GW}")
+    feats = feats.astype(jnp.float32)
+    # Affinity (`object_discovery.py:39`): the O(T^2 d) MXU matmul.
+    A = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
+
+    gh, gw = valid_hw[0], valid_hw[1]
+    rows = jnp.arange(T) // GW
+    cols = jnp.arange(T) % GW
+    valid = (rows < gh) & (cols < gw)
+
+    order, scores = patch_scoring(A, valid)
+    seed = order[0]
+
+    # Seed expansion (`object_discovery.py:60-62`): potentials = top-k by
+    # score; similars = those with positive affinity to the seed (on the RAW
+    # A — diagonal and negatives intact, exactly like the reference).
+    potentials = order[:k_patches]
+    pot_valid = valid[potentials] & (A[seed, potentials] > 0.0)
+    M = jnp.sum(
+        jnp.where(pot_valid[:, None], A[potentials, :], 0.0), axis=0
+    )
+    M = jnp.where(valid, M, 0.0)
+
+    # Box extraction (`object_discovery.py:93-134`): connected component of
+    # M>0 containing the seed, on the 2D grid, 4-connectivity.
+    fg = (M > 0.0).reshape(GH, GW) & valid.reshape(GH, GW)
+    seed_rc = jnp.stack([seed // GW, seed % GW])
+    comp = flood_fill_from_seed(fg, seed_rc)
+    ymin, ymax, xmin, xmax = component_bbox(comp)
+    seed_in_bg = ~fg[seed_rc[0], seed_rc[1]]
+    return {
+        "box_feat": jnp.stack([ymin, ymax, xmin, xmax]),
+        "seed": seed,
+        "scores": scores,
+        "mass": M,
+        "affinity": A,
+        "seed_in_background": seed_in_bg,
+    }
+
+
+def lost(
+    feats,
+    dims: Tuple[int, int],
+    scales,
+    init_image_size,
+    k_patches: int = 100,
+    valid_dims: Tuple[int, int] = None,
+):
+    """Host wrapper with the reference's exact signature/semantics
+    (`object_discovery.py:23-69`): returns (pred_box_xyxy ndarray, A,
+    scores, seed).
+
+    ``dims`` = (w_featmap, h_featmap) of the bucket grid the features are
+    laid out on; ``valid_dims`` defaults to ``dims`` (no bucket padding).
+    ``init_image_size`` = (C, H, W) of the *unpadded* image, used to clip
+    the box (`object_discovery.py:126-128`).
+    """
+    w_featmap, h_featmap = dims
+    if valid_dims is None:
+        valid_dims = dims
+    feats = jnp.asarray(feats)
+    if feats.ndim == 3:  # (1, T, D) like the reference
+        feats = feats[0]
+    T = feats.shape[0]
+    if T != w_featmap * h_featmap:
+        raise ValueError(f"feats T={T} != grid {w_featmap}x{h_featmap}")
+
+    # Reference layout: reshape(w_featmap, h_featmap) — rows index image
+    # height, cols index width (`object_discovery.py:101`).
+    out = lost_core(
+        feats,
+        jnp.asarray([valid_dims[0], valid_dims[1]], jnp.int32),
+        grid_hw=(int(w_featmap), int(h_featmap)),
+        k_patches=k_patches,
+    )
+    if bool(out["seed_in_background"]):
+        raise ValueError("The seed is in the background component.")
+    ymin, ymax, xmin, xmax = np.asarray(out["box_feat"]).tolist()
+
+    # Rescale to image coords (`object_discovery.py:119-128`).
+    r_xmin, r_xmax = scales[1] * xmin, scales[1] * xmax
+    r_ymin, r_ymax = scales[0] * ymin, scales[0] * ymax
+    pred = [r_xmin, r_ymin, r_xmax, r_ymax]
+    if init_image_size is not None:
+        pred[2] = min(pred[2], init_image_size[2] if len(init_image_size) == 3 else init_image_size[1])
+        pred[3] = min(pred[3], init_image_size[1] if len(init_image_size) == 3 else init_image_size[0])
+    return (
+        np.asarray(pred),
+        np.asarray(out["affinity"]),
+        np.asarray(out["scores"]),
+        int(out["seed"]),
+    )
+
+
+def detect_box(M, seed, dims, initial_im_size=None, scales=None):
+    """Standalone box extraction matching `object_discovery.py:93-134`
+    (kept for API parity; `lost` fuses this step)."""
+    w_featmap, h_featmap = dims
+    fg = jnp.asarray(M).reshape(w_featmap, h_featmap) > 0.0
+    seed = int(seed)
+    rc = jnp.asarray([seed // h_featmap, seed % h_featmap])
+    comp = flood_fill_from_seed(fg, rc)
+    if not bool(fg[seed // h_featmap, seed % h_featmap]):
+        raise ValueError("The seed is in the background component.")
+    ymin, ymax, xmin, xmax = (int(v) for v in component_bbox(comp))
+    r_xmin, r_xmax = scales[1] * xmin, scales[1] * xmax
+    r_ymin, r_ymax = scales[0] * ymin, scales[0] * ymax
+    pred = [r_xmin, r_ymin, r_xmax, r_ymax]
+    if initial_im_size:
+        pred[2] = min(pred[2], initial_im_size[1])
+        pred[3] = min(pred[3], initial_im_size[0])
+    pred_feats = [ymin, xmin, ymax, xmax]
+    return pred, pred_feats
+
+
+def dino_seg(attn, dims, patch_size: int, head: int = 0):
+    """DINO attention-segmentation baseline (`object_discovery.py:137-185`):
+    keep 60% of each head's CLS-attention mass, take the largest connected
+    component of the chosen head, box it."""
+    w_featmap, h_featmap = dims
+    attn = jnp.asarray(attn)
+    nh = attn.shape[1]
+    attentions = attn[0, :, 0, 1:].reshape(nh, -1)
+
+    th_attn = _mass_threshold(attentions, 0.6)
+    grid = th_attn.reshape(nh, w_featmap, h_featmap)
+
+    comp = largest_component_mask(grid[head] > 0.5)
+    ymin, ymax, xmin, xmax = (int(v) for v in component_bbox(comp))
+    return [xmin * patch_size, ymin * patch_size, xmax * patch_size, ymax * patch_size]
+
+
+@jax.jit
+def _mass_threshold(attentions, keep: float):
+    """Per-head: mark entries in the top `keep` cumulative-mass tail
+    (`object_discovery.py:150-158`)."""
+    val = jnp.sort(attentions, axis=1)
+    idx = jnp.argsort(attentions, axis=1)
+    val = val / jnp.sum(val, axis=1, keepdims=True)
+    cum = jnp.cumsum(val, axis=1)
+    th = cum > (1 - keep)
+    idx2 = jnp.argsort(idx, axis=1)
+    return jnp.take_along_axis(th, idx2, axis=1).astype(jnp.float32)

@@ -36,7 +36,7 @@ class DinoAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, token_mask=None):
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -47,6 +47,8 @@ class DinoAttention(nn.Module):
         logits = jnp.einsum(
             "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
         )
+        if token_mask is not None:
+            logits = jnp.where(token_mask[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
@@ -59,10 +61,10 @@ class DinoBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, token_mask=None):
         d = x.shape[-1]
         y, attn, qkv_out = DinoAttention(self.num_heads, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), token_mask=token_mask
         )
         x = x + y
         z = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
@@ -88,7 +90,8 @@ class DinoVisionTransformer(nn.Module):
     base_grid: int = 14
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, token_mask=None,
+                 override_pos_embedding=None):
         c = self.cfg
         p = c.patch_size
         n, h, w, _ = x.shape
@@ -106,11 +109,15 @@ class DinoVisionTransformer(nn.Module):
             nn.initializers.normal(stddev=0.02),
             (1, self.base_grid * self.base_grid + 1, c.embed_dim),
         )
-        x = x + self._interp_pos(pos, gh, gw)
+        if override_pos_embedding is not None:
+            x = x + override_pos_embedding
+        else:
+            x = x + self._interp_pos(pos, gh, gw)
 
         attn = qkv_out = None
         for i in range(c.depth):
-            x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(x)
+            x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(
+                x, token_mask=token_mask)
             if i == c.depth - 1:
                 attn, qkv_out = attn_i, qkv_i
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)

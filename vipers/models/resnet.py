@@ -27,6 +27,8 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vipers.models.activations import relu
+
 from vipers.core.registry import ModelSpec, register_model
 
 ModuleDef = Any
@@ -49,7 +51,7 @@ class BasicBlock(nn.Module):
             padding=[(self.prev_dilation,) * 2] * 2, use_bias=False, name="conv1",
         )(x)
         y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
+        y = relu(y)
         y = nn.Conv(
             self.filters, (3, 3),
             kernel_dilation=(self.dilation, self.dilation),
@@ -62,7 +64,7 @@ class BasicBlock(nn.Module):
                 use_bias=False, name="downsample_conv",
             )(x)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        return relu(y + residual)
 
 
 class Bottleneck(nn.Module):
@@ -79,14 +81,14 @@ class Bottleneck(nn.Module):
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
         y = self.norm(name="bn1")(y)
-        y = nn.relu(y)
+        y = relu(y)
         y = nn.Conv(
             self.filters, (3, 3), strides=(self.strides, self.strides),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation,) * 2] * 2, use_bias=False, name="conv2",
         )(y)
         y = self.norm(name="bn2")(y)
-        y = nn.relu(y)
+        y = relu(y)
         y = nn.Conv(self.filters * self.expansion, (1, 1), use_bias=False, name="conv3")(y)
         y = self.norm(name="bn3")(y)
         if self.downsample:
@@ -96,7 +98,7 @@ class Bottleneck(nn.Module):
                 name="downsample_conv",
             )(x)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        return relu(y + residual)
 
 
 class ResNet(nn.Module):
@@ -115,7 +117,10 @@ class ResNet(nn.Module):
     headless: bool = False  # skip pool+fc, return feature map as output
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, tap_delta=None):
+        # tap_delta: explainability hook — a zero array added to the layer4
+        # feature map so d(score)/d(features) is `jax.grad` wrt this arg
+        # (GradCAM target layer4[-1], `/root/reference/explain.py:209-210`).
         norm = partial(
             nn.BatchNorm, use_running_average=not train,
             momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
@@ -125,7 +130,7 @@ class ResNet(nn.Module):
             padding=[(3, 3), (3, 3)], use_bias=False, name="conv1",
         )(x)
         x = norm(name="bn1")(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         expansion = getattr(self.block, "expansion", 1)
@@ -162,6 +167,8 @@ class ResNet(nn.Module):
                 if is_first:
                     in_planes = planes * expansion
 
+        if tap_delta is not None:
+            x = x + tap_delta
         features = x  # (N, H', W', C) pre-pool feature map
         if self.headless:
             return features, {"features": features}

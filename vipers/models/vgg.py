@@ -11,6 +11,8 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
+from vipers.models.activations import relu
+
 from vipers.core.registry import ModelSpec, register_model
 
 # torchvision cfg "D": conv widths with 'M' maxpools.
@@ -23,7 +25,7 @@ class VGG16(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, tap_delta=None):
         conv_i = 0
         n_pools = sum(1 for v in _CFG_D if v == "M")
         pool_i = 0
@@ -35,8 +37,10 @@ class VGG16(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 x = nn.Conv(v, (3, 3), padding=[(1, 1), (1, 1)], name=f"conv_{conv_i}")(x)
-                x = nn.relu(x)
+                x = relu(x)
                 conv_i += 1
+        if tap_delta is not None:
+            x = x + tap_delta  # explainability tap (see resnet.py)
         if self.headless:
             return x, {"features": x}
         features = x
@@ -46,10 +50,10 @@ class VGG16(nn.Module):
         n = x.shape[0]
         x = x.transpose(0, 3, 1, 2).reshape(n, -1)  # match torch CHW flatten order
         x = nn.Dense(4096, name="fc1")(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(4096, name="fc2")(x)
-        x = nn.relu(x)
+        x = relu(x)
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         logits = nn.Dense(self.num_classes, name="fc3")(x)
         return logits, {"features": features}

@@ -49,7 +49,7 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, token_mask=None):
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -64,6 +64,11 @@ class MultiHeadAttention(nn.Module):
         logits = jnp.einsum(
             "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
         )
+        if token_mask is not None:
+            # Bucket-pad keys get -1e9: exp underflows to exactly 0.0, so
+            # valid-token outputs are bit-equal to the unbucketed run (pad
+            # contributions are exact zeros in every reduction).
+            logits = jnp.where(token_mask[:, None, None, :], logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
         attn_used = attn
         if train and self.dropout_rate > 0:
@@ -101,11 +106,16 @@ class EncoderBlock(nn.Module):
     attention_dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, token_mask=None, tap_delta=None):
         ln1 = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
+        if tap_delta is not None:
+            # explainability tap: GradCAM's ViT target layer is the last
+            # block's ln_1 (`/root/reference/explain.py:205-206`,
+            # `explainations_evaluation_metrics.py:931-952`).
+            ln1 = ln1 + tap_delta
         y, attn = MultiHeadAttention(
             self.num_heads, self.attention_dropout_rate, name="attention"
-        )(ln1, train=train)
+        )(ln1, train=train, token_mask=token_mask)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
         z = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
@@ -142,7 +152,8 @@ class VisionTransformer(nn.Module):
     image_size: Tuple[int, int] = (224, 224)
 
     @nn.compact
-    def __call__(self, x, train: bool = False, override_pos_embedding=None):
+    def __call__(self, x, train: bool = False, override_pos_embedding=None,
+                 token_mask=None, tap_delta=None):
         c = self.cfg
         p = c.patch_size
         n, h, w, _ = x.shape
@@ -187,7 +198,8 @@ class VisionTransformer(nn.Module):
                 c.dropout_rate,
                 c.attention_dropout_rate,
                 name=f"encoder_layer_{i}",
-            )(x, train=train)
+            )(x, train=train, token_mask=token_mask,
+              tap_delta=tap_delta if i == c.num_layers - 1 else None)
             if i == c.num_layers - 1:
                 # The reference's /scratch dump is clobbered each block; only
                 # the last block's write survives for consumers
