@@ -1,0 +1,228 @@
+"""Headline benchmark: pruned ViT-S/16 LOST inference, images/sec/chip.
+
+BASELINE.md north star: >=5x images/sec/chip vs the PyTorch reference for
+pruned ViT-S/16 LOST inference.  This bench runs the fused TPU pipeline —
+masked ViT forward + qkv-scramble + LOST (affinity, scoring, expansion,
+connected component, box) as ONE jitted, batched program — at the canonical
+VOC shape (512x384, patch 16 -> 769 tokens).
+
+The reference implementation cannot run here (no CUDA GPU), so the recorded
+baseline is the reference's *pipeline shape* executed faithfully in torch on
+this host: per-image batch-1 forward, the torch.save/torch.load /scratch
+side channel (`/root/reference/vision_transformer.py:113-115`), host numpy
+scoring and scipy connected components.  It is measured once and cached in
+``bench_baseline.json``.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+"""
+
+import json
+import os
+import sys
+import time
+
+H, W, PATCH = 512, 384, 16
+GH, GW = H // PATCH, W // PATCH
+BATCH = 8
+N_BATCHES = 6
+SPARSITY = 0.5
+K_PATCHES = 100
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vipers.core.registry import build_model
+    from vipers.pruning import init_masks, magnitude_prune
+    from vipers.pruning.masks import apply_masks
+
+    spec = build_model("vit_s_16", num_classes=1000, image_size=(H, W))
+    rng = jax.random.PRNGKey(0)
+    x0 = jnp.zeros((1, H, W, 3), jnp.float32)
+    variables = spec.module.init(rng, x0, train=False)
+    params = variables["params"]
+    masks = init_masks(params, exclude=spec.prune_exclude)
+    masks = magnitude_prune(params, masks, amount=SPARSITY)
+    params = apply_masks(params, masks)  # bake once: inference-only
+    nh = spec.extra["num_heads"]
+
+    def lost_one(feats):
+        """LOST on (T, D) feats — same math as discovery.lost.lost_core,
+        exact shapes (no bucket padding), all on device."""
+        A = jnp.dot(feats, feats.T, preferred_element_type=jnp.float32)
+        T = A.shape[0]
+        Ac = jnp.maximum(A * (1.0 - jnp.eye(T, dtype=A.dtype)), 0.0)
+        cent = -jnp.sum(Ac > 0, axis=1).astype(jnp.float32)
+        order = jnp.argsort(-cent, stable=True)
+        seed = order[0]
+        potentials = order[:K_PATCHES]
+        pot_ok = A[seed, potentials] > 0.0
+        M = jnp.sum(jnp.where(pot_ok[:, None], A[potentials, :], 0.0), axis=0)
+        fg = (M > 0.0).reshape(GH, GW)
+        # flood fill from seed (bounded fori: GH+GW sweeps cover any diameter
+        # on these grids' typical components; matches while-loop fixpoint)
+        seed_rc = jnp.stack([seed // GW, seed % GW])
+        comp = jnp.zeros((GH, GW), bool).at[seed_rc[0], seed_rc[1]].set(True) & fg
+
+        def dilate(c, _):
+            up = jnp.pad(c[1:, :], ((0, 1), (0, 0)))
+            down = jnp.pad(c[:-1, :], ((1, 0), (0, 0)))
+            left = jnp.pad(c[:, 1:], ((0, 0), (0, 1)))
+            right = jnp.pad(c[:, :-1], ((0, 0), (1, 0)))
+            return (c | up | down | left | right) & fg, None
+
+        comp, _ = jax.lax.scan(dilate, comp, None, length=GH + GW)
+        comp, _ = jax.lax.scan(dilate, comp, None, length=GH + GW)
+        rows = jnp.any(comp, axis=1)
+        cols = jnp.any(comp, axis=0)
+        ri = jnp.arange(GH)
+        ci = jnp.arange(GW)
+        ymin = jnp.min(jnp.where(rows, ri, GH))
+        ymax = jnp.max(jnp.where(rows, ri, -1)) + 1
+        xmin = jnp.min(jnp.where(cols, ci, GW))
+        xmax = jnp.max(jnp.where(cols, ci, -1)) + 1
+        return jnp.stack([xmin, ymin, xmax, ymax]) * PATCH
+
+    @jax.jit
+    def pipeline(params, images):
+        _logits, aux = spec.module.apply({"params": params}, images, train=False)
+        x = aux["qkv_input"]  # (B, T, D) last-block ln_1
+        b, t, d = x.shape
+
+        def feats_of(xi):
+            dump = jnp.concatenate([xi] * 3, axis=0).reshape(3, t, d)
+            qkv = dump.reshape(1, t, 3, nh, -1).transpose(2, 0, 3, 1, 4)
+            k = qkv[1].transpose(0, 2, 1, 3).reshape(1, t, d)[0]
+            return k[1:]  # drop CLS
+
+        boxes = jax.vmap(lambda xi: lost_one(feats_of(xi)))(x)
+        return boxes
+
+    key = jax.random.PRNGKey(1)
+    images = jax.random.normal(key, (BATCH, H, W, 3), jnp.float32)
+    boxes = jax.block_until_ready(pipeline(params, images))  # compile+warm
+    t0 = time.perf_counter()
+    for i in range(N_BATCHES):
+        boxes = pipeline(params, images)
+    jax.block_until_ready(boxes)
+    dt = time.perf_counter() - t0
+    n_chips = 1  # bench runs single-chip
+    return (BATCH * N_BATCHES) / dt / n_chips
+
+
+def bench_torch_reference(n_images: int = 3) -> float:
+    """The reference pipeline shape in torch on this host (see module doc)."""
+    import numpy as np
+    import scipy.ndimage
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    d_model, nheads, layers, mlp = 384, 6, 12, 1536
+    T = GH * GW + 1
+
+    class Block(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.ln_1 = nn.LayerNorm(d_model, eps=1e-6)
+            self.attn = nn.MultiheadAttention(d_model, nheads, batch_first=True)
+            self.ln_2 = nn.LayerNorm(d_model, eps=1e-6)
+            self.mlp = nn.Sequential(
+                nn.Linear(d_model, mlp), nn.GELU(), nn.Linear(mlp, d_model)
+            )
+
+        def forward(self, x, dump_path):
+            y = self.ln_1(x)
+            torch.save(torch.concat((y, y, y)), dump_path)  # the side channel
+            a, _w = self.attn(y, y, y, need_weights=True, average_attn_weights=False)
+            x = x + a
+            return x + self.mlp(self.ln_2(x))
+
+    class RefViT(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.proj = nn.Conv2d(3, d_model, PATCH, PATCH)
+            self.cls = nn.Parameter(torch.zeros(1, 1, d_model))
+            self.pos = nn.Parameter(torch.zeros(1, T, d_model))
+            self.blocks = nn.ModuleList([Block() for _ in range(layers)])
+            self.ln = nn.LayerNorm(d_model, eps=1e-6)
+
+        def forward(self, x, dump_path):
+            n = x.shape[0]
+            x = self.proj(x).flatten(2).transpose(1, 2)
+            x = torch.cat([self.cls.expand(n, -1, -1), x], 1) + self.pos
+            for b in self.blocks:
+                x = b(x, dump_path)
+            return self.ln(x)
+
+    model = RefViT().eval()
+    # prune 50% of Linear/Conv weights like the reference's masked models
+    with torch.no_grad():
+        for m in model.modules():
+            if isinstance(m, (nn.Linear, nn.Conv2d)):
+                w = m.weight
+                k = w.numel() // 2
+                thr = w.abs().flatten().kthvalue(k).values
+                m.weight.mul_((w.abs() > thr).float())
+
+    dump = "/tmp/bench_qkv_vit.pt"
+    imgs = torch.randn(n_images, 3, H, W)
+    t0 = time.perf_counter()
+    with torch.no_grad():
+        for i in range(n_images):
+            model(imgs[i : i + 1], dump)
+            feat = torch.load(dump)  # (3, T, D) disk round-trip like main_lost
+            qkv = feat.reshape(1, T, 3, nheads, -1).permute(2, 0, 3, 1, 4)
+            k = qkv[1].transpose(1, 2).reshape(1, T, -1)[0, 1:].numpy()
+            A = k @ k.T
+            Ac = A.copy()
+            np.fill_diagonal(Ac, 0)
+            Ac[Ac < 0] = 0
+            cent = -np.sum(Ac > 0, axis=1)
+            order = np.argsort(-cent, kind="stable")
+            seed = order[0]
+            pot = order[:K_PATCHES]
+            sim = pot[A[seed, pot] > 0]
+            M = A[sim, :].sum(0)
+            lab, _ = scipy.ndimage.label(M.reshape(GH, GW) > 0)
+            cc = lab[np.unravel_index(seed, (GH, GW))]
+            np.where(lab == cc)
+    dt = time.perf_counter() - t0
+    return n_images / dt
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    baseline_path = os.path.join(here, "bench_baseline.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            baseline = json.load(f)["reference_imgs_per_sec"]
+    else:
+        baseline = bench_torch_reference()
+        with open(baseline_path, "w") as f:
+            json.dump(
+                {
+                    "reference_imgs_per_sec": baseline,
+                    "note": "reference pipeline shape in torch-CPU on this host "
+                    "(per-image batch-1, file side channel, scipy CC)",
+                },
+                f,
+            )
+    value = bench_tpu()
+    print(
+        json.dumps(
+            {
+                "metric": "pruned_vit_s16_lost_inference",
+                "value": round(value, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -7,7 +7,10 @@ without TPU hardware.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The environment pins JAX_PLATFORMS=axon (tunneled TPU); override hard —
+# tests must run on 8 fake CPU devices, never through the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,9 +23,16 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# sitecustomize (axon) pre-imports jax, so the env vars above can be too
+# late; the config route works as long as no backend is initialized yet.
+jax.config.update("jax_platforms", "cpu")
+
 # Parity tests compare against torch f32; keep full f32 accumulation in
 # matmuls/convs (the backend default may use lower-precision passes).
 jax.config.update("jax_default_matmul_precision", "highest")
+assert jax.local_device_count() == 8, (
+    f"tests need 8 fake CPU devices, got {jax.devices()}"
+)
 
 
 @pytest.fixture

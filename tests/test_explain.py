@@ -1,0 +1,200 @@
+"""Explainability tests (SURVEY §4.1): RMA/RRA + poolings vs hand values,
+IG completeness axiom, guided-relu vjp semantics, GradCAM properties,
+attention heatmap shapes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipers.explain.metrics import evaluate_single, pool_heatmap
+from vipers.explain.attribution import make_integrated_gradients, make_smoothgrad
+from vipers.explain.gradcam import gradcam, guided_gradcam, vit_attention_heatmap
+from vipers.models.activations import guided_backprop, guided_relu
+
+
+# ------------------------------------------------------------- poolings
+
+def test_poolings_match_numpy(rng):
+    hm = rng.normal(size=(3, 5, 7))
+    assert np.allclose(pool_heatmap(hm, "sum,abs"), np.abs(hm.sum(0)))
+    sp = hm.sum(0)
+    assert np.allclose(pool_heatmap(hm, "sum,pos"), np.where(sp > 0, sp, 0))
+    assert np.allclose(pool_heatmap(hm, "max-norm"), np.abs(hm).max(0))
+    assert np.allclose(pool_heatmap(hm, "l1-norm"), np.abs(hm).sum(0))
+    l2 = np.sqrt((hm ** 2).sum(0))
+    assert np.allclose(pool_heatmap(hm, "l2-norm"), l2)
+    assert np.allclose(pool_heatmap(hm, "l2-norm,sq"), l2 ** 2)
+
+
+def test_rma_rra_hand_case():
+    # 1-channel 2x2: relevance [[1,0],[3,0]]; GT marks the left column.
+    hm = np.asarray([[[1.0, 0.0], [3.0, 0.0]]])
+    gt = np.asarray([[1.0, 0.0], [1.0, 0.0]])
+    scores, _ = evaluate_single(hm, gt, "sum,abs")
+    assert scores["mass"] == pytest.approx(1.0, abs=1e-9)  # all mass inside
+    assert scores["rank"] == pytest.approx(1.0, abs=1e-9)  # top-2 = GT cells
+
+    # half the mass inside
+    hm2 = np.asarray([[[1.0, 1.0], [1.0, 1.0]]])
+    scores2, _ = evaluate_single(hm2, gt, "sum,abs")
+    assert scores2["mass"] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_rma_2d_heatmap_pads_gt():
+    hm = np.arange(24, dtype=np.float64).reshape(4, 6)
+    gt = np.ones((2, 3))  # smaller GT -> zero-padded to heatmap size
+    scores, gt_out = evaluate_single(hm, gt, None)
+    assert gt_out.shape == (4, 6)
+    pooled = (hm - hm.min()) / (hm.max() - hm.min())
+    want = (pooled[:2, :3].sum()) / pooled.sum()
+    assert scores["mass"] == pytest.approx(want, rel=1e-6)
+
+
+# ------------------------------------------------------------------ IG
+
+def test_ig_completeness_axiom():
+    """sum(IG) == f(x) - f(0) for the gauss-legendre rule on a smooth f."""
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(6, 3)).astype(np.float32))
+
+    def score(x, t):
+        h = jnp.tanh(x @ w)
+        return h[jnp.arange(x.shape[0]), t]
+
+    ig = make_integrated_gradients(score, n_steps=50)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 6)).astype(np.float32))
+    t = jnp.asarray([0, 2])
+    attr = ig(x, t)
+    total = np.asarray(attr.sum(axis=1))
+    want = np.asarray(score(x, t) - score(jnp.zeros_like(x), t))
+    np.testing.assert_allclose(total, want, rtol=1e-3, atol=1e-4)
+
+
+def test_smoothgrad_averages():
+    def score(x, t):
+        return (x ** 2).sum(axis=-1)
+
+    ig = make_integrated_gradients(score, n_steps=8)
+    sg = make_smoothgrad(ig, nt_samples=2, nt_stdev=0.0)  # zero noise == IG
+    x = jnp.ones((1, 4))
+    np.testing.assert_allclose(
+        np.asarray(sg(jax.random.PRNGKey(0), x, jnp.asarray([0]))),
+        np.asarray(ig(x, jnp.asarray([0]))), rtol=1e-6)
+
+
+# ------------------------------------------------------------ guided relu
+
+def test_guided_relu_vjp():
+    x = jnp.asarray([-1.0, 0.5, 2.0, -0.1])
+    g_in = jnp.asarray([1.0, -1.0, 2.0, 3.0])
+    _, vjp = jax.vjp(guided_relu, x)
+    (g,) = vjp(g_in)
+    # pass only where input>0 AND grad>0
+    np.testing.assert_array_equal(np.asarray(g), [0.0, 0.0, 2.0, 0.0])
+
+
+def test_guided_backprop_context_changes_model_grads():
+    from vipers.core.registry import build_model
+
+    spec = build_model("resnet18", num_classes=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 32, 32, 3)), jnp.float32)
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+
+    def score(xx):
+        logits, _ = spec.module.apply(variables, xx, train=False)
+        return logits[0, 1]
+
+    plain = np.asarray(jax.grad(score)(x))
+    with guided_backprop():
+        guided = np.asarray(jax.grad(score)(x))
+    assert guided.shape == plain.shape
+    assert not np.allclose(guided, plain)
+    # guided grads arriving at the input passed only positive relu grads
+    # downstream; they are not all-zero for a random net
+    assert np.abs(guided).sum() > 0
+
+
+# ---------------------------------------------------------------- gradcam
+
+def _tiny_resnet():
+    from vipers.core.registry import build_model
+
+    spec = build_model("resnet18", num_classes=4)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 32, 32, 3)), jnp.float32)
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    return spec, variables, x
+
+
+def test_gradcam_cnn_properties():
+    spec, variables, x = _tiny_resnet()
+    _logits, aux = spec.module.apply(variables, x, train=False)
+    cam, target = gradcam(
+        spec.module.apply, variables, x, tap_shape=aux["features"].shape
+    )
+    assert cam.shape == (32, 32)
+    assert cam.min() >= 0.0 and cam.max() <= 1.0 + 1e-6
+    assert 0 <= target < 4
+
+
+def test_guided_gradcam_cnn():
+    spec, variables, x = _tiny_resnet()
+    _logits, aux = spec.module.apply(variables, x, train=False)
+    ggc, target = guided_gradcam(
+        spec.module.apply, variables, x, tap_shape=aux["features"].shape
+    )
+    assert ggc.shape == (1, 32, 32, 3)
+
+
+def test_gradcam_vit_token_grid():
+    from vipers.core.registry import build_model
+
+    spec = build_model("vit_s_16", num_classes=4, image_size=(32, 48))
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 48, 3)), jnp.float32)
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    t = (32 // 16) * (48 // 16) + 1
+    cam, _ = gradcam(
+        spec.module.apply, variables, x, tap_shape=(1, t, 384),
+        token_grid=(2, 3), aux_key="qkv_input",
+    )
+    assert cam.shape == (32, 48)
+
+
+def test_vit_attention_heatmap_shape():
+    attn = jnp.asarray(np.random.default_rng(3).random((1, 6, 7, 7)), jnp.float32)
+    hm = vit_attention_heatmap(attn, (2, 3), (70, 90))
+    assert hm.shape == (70, 90)
+
+
+def test_explain_eval_contract(tmp_path):
+    """explain-eval CLI writes the {method}_{model}_pruning_iteration txt
+    contract on a synthetic VOC with segmentation masks."""
+    import argparse
+    from PIL import Image
+
+    from vipers.explain.driver import run_explain_eval
+
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "SegmentationClass").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        arr = rng.integers(0, 255, size=(64, 96, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"x{i}.jpg")
+        mask = np.zeros((64, 96), np.uint8)
+        mask[10:40, 20:60] = 255
+        Image.fromarray(mask).save(root / "SegmentationClass" / f"x{i}.png")
+
+    args = argparse.Namespace(
+        model="vit_s_16", checkpoint="", voc_root=str(root), num_images=2,
+        pooling="sum,abs", iteration=1, output_dir=str(tmp_path / "out"),
+    )
+    assert run_explain_eval(args) == 0
+    for method in ("gradCAM", "attention", "ig"):
+        p = tmp_path / "out" / f"{method}_vit_s_16_pruning_iteration_01.txt"
+        assert p.exists(), p
+        lines = p.read_text().splitlines()
+        assert lines[0].startswith("Average Mass: ")
+        assert lines[1].startswith("Average Rank: ")
+        assert lines[2] == "On a total of 2 images."
+        mass = float(lines[0].split(":")[1])
+        assert 0.0 <= mass <= 1.0

@@ -1,0 +1,225 @@
+"""Explainability drivers: heatmap generation + RMA/RRA scoring.
+
+Counterparts of `/root/reference/explain.py:61-165` (attribution suite over
+one val image per class, per checkpoint/pruning iteration) and
+`/root/reference/explainations_evaluation_metrics.py:523-899` (VOC
+JPEG/SegmentationClass pairs, <=580 scanned / 101 used, RMA/RRA per method,
+txt contract ``{method}_{model}_pruning_iteration_{NN}.txt``).
+"""
+
+from __future__ import annotations
+
+import glob as globlib
+import os
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipers.core.registry import build_model
+from vipers.data.detection import load_image_normalized
+from vipers.explain.attribution import make_integrated_gradients, make_smoothgrad
+from vipers.explain.gradcam import (
+    gradcam,
+    guided_gradcam,
+    vit_attention_heatmap,
+)
+from vipers.explain.metrics import evaluate_single
+from vipers.models.interpolate import interpolate_pos_embedding
+from vipers.pruning.masks import apply_masks
+
+
+def _load_model(model_name: str, checkpoint: str = ""):
+    spec = build_model(model_name)
+    rng = jax.random.PRNGKey(0)
+    h, w = spec.input_size
+    variables = spec.module.init(rng, jnp.zeros((1, h, w, 3)), train=False)
+    if checkpoint:
+        from vipers.discovery.driver import load_lost_checkpoint
+
+        variables, masks = load_lost_checkpoint(checkpoint, spec, variables)
+        if masks:
+            variables = dict(variables, params=apply_masks(variables["params"], masks))
+    return spec, variables
+
+
+def _score_fn(spec, variables, pos=None):
+    def fn(x, target):
+        kwargs = {}
+        if pos is not None:
+            kwargs["override_pos_embedding"] = pos
+        logits, _aux = spec.module.apply(variables, x, train=False, **kwargs)
+        return logits[jnp.arange(x.shape[0]), target]
+
+    return fn
+
+
+def compute_heatmaps(
+    spec,
+    variables,
+    img: np.ndarray,  # (H, W, 3) normalized, padded for ViT
+    methods: List[str],
+    rng=None,
+    nt_samples: int = 2,
+    ig_steps: int = 50,
+) -> Dict[str, np.ndarray]:
+    """All requested attribution maps for one image. Target class is the
+    model's own argmax prediction (reference behavior)."""
+    x = jnp.asarray(img)[None]
+    h, w = img.shape[:2]
+    is_vit = spec.family in ("vit", "dino_vit")
+    pos = None
+    if is_vit:
+        p = spec.patch_size
+        gh, gw = h // p, w // p
+        pname = "pos_embedding" if spec.family == "vit" else "pos_embed"
+        pos = interpolate_pos_embedding(
+            variables["params"][pname], (gh, gw),
+            align_corners=spec.family == "vit",
+        )
+
+    def apply_with_tap(vs, xx, train=False, tap_delta=None):
+        kwargs = {"tap_delta": tap_delta}
+        if pos is not None:
+            kwargs["override_pos_embedding"] = pos
+        return spec.module.apply(vs, xx, train=train, **kwargs)
+
+    out: Dict[str, np.ndarray] = {}
+    logits, aux = apply_with_tap(variables, x)
+    out["prediction"] = np.asarray(logits[0])
+
+    if is_vit:
+        p = spec.patch_size
+        gh, gw = h // p, w // p
+        tap_shape = (1, gh * gw + 1, variables["params"]["class_token"].shape[-1]
+                     if spec.family == "vit" else aux["tokens"].shape[-1])
+        token_grid = (gh, gw)
+        aux_key = "qkv_input"
+    else:
+        tap_shape = aux["features"].shape
+        token_grid = None
+        aux_key = "features"
+
+    if "gradcam" in methods:
+        cam, _t = gradcam(apply_with_tap, variables, x, tap_shape, token_grid, aux_key)
+        out["gradcam"] = cam
+    if "guided_gradcam" in methods and not is_vit:
+        ggc, _t = guided_gradcam(apply_with_tap, variables, x, tap_shape,
+                                 token_grid, aux_key)
+        out["guided_gradcam"] = np.transpose(np.asarray(ggc[0]), (2, 0, 1))  # CHW
+    if "ig" in methods:
+        score = _score_fn(spec, variables, pos)
+        ig = make_integrated_gradients(score, n_steps=ig_steps)
+        sg = make_smoothgrad(ig, nt_samples=nt_samples)
+        rng = jax.random.PRNGKey(0) if rng is None else rng
+        attr = sg(rng, x, jnp.asarray([int(np.argmax(out["prediction"]))]))
+        out["ig"] = np.transpose(np.asarray(attr[0]), (2, 0, 1))  # CHW like captum
+    if "attention" in methods and is_vit:
+        out["attention"] = vit_attention_heatmap(
+            aux["attn"], (h // spec.patch_size, w // spec.patch_size), (h, w)
+        )
+    return out
+
+
+def run_explain(args) -> int:
+    """One val image per class for N classes, all methods, save jpg+npy
+    (`explain.py:99-165,248-397` contracts)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    spec, variables = _load_model(args.model, args.checkpoint)
+    val_dir = os.path.join(args.data_path, "val")
+    from vipers.data.imagefolder import ImageFolder
+    from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD, eval_decode
+
+    ds = ImageFolder(val_dir)
+    seen = set()
+    n_done = 0
+    for path, label in ds.samples:
+        if label in seen:
+            continue
+        seen.add(label)
+        if n_done >= args.num_classes_sample:
+            break
+        arr = eval_decode(path).astype(np.float32) / 255.0
+        img = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
+        maps = compute_heatmaps(spec, variables, img.astype(np.float32), args.methods)
+        cls = ds.classes[label]
+        for method, hm in maps.items():
+            if method == "prediction":
+                continue
+            d = os.path.join(args.output_dir, method, cls)
+            os.makedirs(d, exist_ok=True)
+            np.save(os.path.join(d, f"{os.path.basename(path)}_nparray.npy"), hm)
+            disp = hm if hm.ndim == 2 else np.abs(hm).sum(0)
+            plt.figure(figsize=(6, 6))
+            plt.imshow(disp, cmap="jet")
+            plt.title(f"{method} pred={int(np.argmax(maps['prediction']))}")
+            plt.tight_layout()
+            plt.savefig(os.path.join(d, f"heatmap_{os.path.basename(path)}"))
+            plt.close()
+        n_done += 1
+    print(f"explained {n_done} classes -> {args.output_dir}")
+    return 0
+
+
+def run_explain_eval(args) -> int:
+    """RMA/RRA over VOC JPEG/SegmentationClass pairs; writes the
+    ``{method}_{model}_pruning_iteration_{NN}.txt`` contract."""
+    spec, variables = _load_model(args.model, args.checkpoint)
+    jpeg_dir = os.path.join(args.voc_root, "JPEGImages")
+    pairs = []
+    for i, jpg in enumerate(sorted(globlib.glob(os.path.join(jpeg_dir, "*.jpg")))):
+        if i == 580:
+            break
+        mask = jpg.replace("JPEGImages", "SegmentationClass").replace("jpg", "png")
+        if os.path.exists(mask):
+            pairs.append((jpg, mask))
+    pairs = pairs[: args.num_images]
+    if not pairs:
+        raise FileNotFoundError(
+            f"no JPEG/SegmentationClass pairs under {args.voc_root!r}"
+        )
+
+    methods = ["gradcam", "ig"] + (
+        ["attention"] if spec.family in ("vit", "dino_vit") else []
+    )
+    sums = {m: {"mass": 0.0, "rank": 0.0} for m in methods}
+    n = 0
+    from PIL import Image
+
+    for jpg, mask_path in pairs:
+        img = load_image_normalized(jpg)
+        gt = np.asarray(Image.open(mask_path).convert("L"), dtype=np.float64)
+        if spec.family in ("vit", "dino_vit"):
+            p = spec.patch_size
+            ph = int(np.ceil(img.shape[0] / p) * p)
+            pw = int(np.ceil(img.shape[1] / p) * p)
+            padded = np.zeros((ph, pw, 3), np.float32)
+            padded[: img.shape[0], : img.shape[1]] = img
+            img = padded
+        maps = compute_heatmaps(spec, variables, img.astype(np.float32), methods)
+        for m in methods:
+            hm = maps[m]
+            # gc/attention: 2D -> pooling None; ig: CHW -> args.pooling
+            pooling = None if hm.ndim == 2 else args.pooling
+            scores, _gt = evaluate_single(hm, gt, pooling)
+            sums[m]["mass"] += float(scores["mass"])
+            sums[m]["rank"] += float(scores["rank"])
+        n += 1
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    name_map = {"gradcam": "gradCAM", "attention": "attention", "ig": "ig"}
+    for m in methods:
+        fname = (
+            f"{name_map[m]}_{args.model}_pruning_iteration_{args.iteration:02}.txt"
+        )
+        with open(os.path.join(args.output_dir, fname), "w") as f:
+            f.write("Average Mass: " + str(sums[m]["mass"] / max(n, 1)) + "\n")
+            f.write("Average Rank: " + str(sums[m]["rank"] / max(n, 1)) + "\n")
+            f.write("On a total of " + str(n) + " images.\n")
+    print(f"explain-eval: {n} images, methods {methods} -> {args.output_dir}")
+    return 0

@@ -83,22 +83,18 @@ def make_train_step(
     def loss_fn(params, batch_stats, masks, batch, rng):
         images, labels = batch
         variables = {"params": apply_masks(params, masks)}
-        mutable = []
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-            mutable = ["batch_stats"]
-        out = apply_fn(
-            variables,
-            images.astype(compute_dtype),
-            train=True,
-            rngs={"dropout": rng},
-            mutable=mutable,
-        )
-        if mutable:
-            (logits, _aux), new_vars = out
+            (logits, _aux), new_vars = apply_fn(
+                variables, images.astype(compute_dtype), train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
             new_bs = new_vars["batch_stats"]
         else:
-            logits, _aux = out
+            logits, _aux = apply_fn(
+                variables, images.astype(compute_dtype), train=True,
+                rngs={"dropout": rng},
+            )
             new_bs = None
         loss = cross_entropy(logits, labels, num_classes, label_smoothing)
         return loss, (logits, new_bs)
