@@ -22,6 +22,16 @@ import os
 import sys
 import time
 
+
+def _enable_compilation_cache():
+    """First TPU compile through the tunnel is ~minutes; persist it."""
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 H, W, PATCH = 512, 384, 16
 GH, GW = H // PATCH, W // PATCH
 BATCH = 8
@@ -31,6 +41,7 @@ K_PATCHES = 100
 
 
 def bench_tpu():
+    _enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -1,0 +1,198 @@
+"""Data ops + quantization tests: IoU family, mixup/cutmix, RASampler
+stream invariants, LR schedules vs torch semantics, kmeans, fake-quant."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipers.data.boxes import bbox_iou
+from vipers.data.mixup import mixup_cutmix_batch
+from vipers.data.sampler import ra_sampler_indices, shard_indices_for_host
+from vipers.train.optim import OptimConfig, make_lr_schedule
+
+
+# ------------------------------------------------------------------ IoU
+
+def test_iou_basics():
+    b1 = [0, 0, 10, 10]
+    b2 = np.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]])
+    iou = bbox_iou(b1, b2)
+    assert iou[0] == pytest.approx(1.0, rel=1e-5)
+    assert iou[1] == pytest.approx(25 / 175, rel=1e-3)
+    assert iou[2] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_giou_diou_ciou_bounds():
+    b1 = [0, 0, 10, 10]
+    b2 = np.asarray([[20, 0, 30, 10]])
+    giou = bbox_iou(b1, b2, GIoU=True)[0]
+    diou = bbox_iou(b1, b2, DIoU=True)[0]
+    ciou = bbox_iou(b1, b2, CIoU=True)[0]
+    assert giou < 0 and diou < 0 and ciou < 0  # disjoint -> negative penalty
+    same = bbox_iou(b1, np.asarray([b1]), GIoU=True)[0]
+    assert same == pytest.approx(1.0, rel=1e-5)
+    # GIoU = IoU - (C - U)/C computed independently
+    inter = 0.0
+    union = 200.0 + 2e-7  # both areas have +eps on height
+    c_area = 30 * 10
+    # reproduce eps terms: h has +1e-7
+    assert giou == pytest.approx(0 - (c_area - union) / c_area, abs=1e-3)
+
+
+# ------------------------------------------------------------ mixup/cutmix
+
+def test_mixup_convex_combination():
+    rng = jax.random.PRNGKey(0)
+    x = jnp.stack([jnp.zeros((8, 8, 3)), jnp.ones((8, 8, 3))])
+    y = jnp.asarray([0, 1])
+    mx, my = mixup_cutmix_batch(rng, x, y, num_classes=2,
+                                mixup_alpha=1.0, cutmix_alpha=0.0)
+    my = np.asarray(my)
+    # targets stay a convex combination summing to 1
+    np.testing.assert_allclose(my.sum(axis=1), 1.0, rtol=1e-5)
+    lam = my[0, 0]
+    # image 0 = lam*zeros + (1-lam)*ones
+    np.testing.assert_allclose(np.asarray(mx)[0], (1 - lam), atol=1e-5)
+
+
+def test_cutmix_lambda_matches_box_area():
+    rng = jax.random.PRNGKey(3)
+    x = jnp.stack([jnp.zeros((16, 16, 3)), jnp.ones((16, 16, 3))])
+    y = jnp.asarray([0, 1])
+    mx, my = mixup_cutmix_batch(rng, x, y, num_classes=2,
+                                mixup_alpha=0.0, cutmix_alpha=1.0)
+    mx, my = np.asarray(mx), np.asarray(my)
+    # fraction of pasted pixels in image 0 == 1 - lambda == my[0, 1]
+    pasted = mx[0].mean()
+    np.testing.assert_allclose(pasted, my[0, 1], atol=1e-5)
+
+
+# --------------------------------------------------------------- sampler
+
+def test_ra_sampler_invariants():
+    n, reps, world = 40, 3, 4
+    streams = [ra_sampler_indices(n, world, r, epoch=0, repetitions=reps)
+               for r in range(world)]
+    num_selected = int(np.floor(n // 256 * 256 / world))
+    for s in streams:
+        assert len(s) == num_selected  # truncation formula (sampler.py:33)
+    # with n < 256 the selected count is 0 — mirror of the reference's
+    # floor(len/256)*256 truncation; use a bigger n for coverage checks
+    n = 512
+    streams = [ra_sampler_indices(n, world, r, epoch=1, repetitions=reps)
+               for r in range(world)]
+    allidx = [i for s in streams for i in s]
+    assert len(allidx) == int(512 // 256 * 256 / world) * world
+    # each selected sample appears at most `reps` times across ranks
+    from collections import Counter
+
+    counts = Counter(allidx)
+    assert max(counts.values()) <= reps
+
+
+def test_shard_indices_cover_dataset():
+    n, world = 103, 8
+    streams = [shard_indices_for_host(n, world, r, epoch=0) for r in range(world)]
+    allidx = sorted(i for s in streams for i in s)
+    assert set(allidx) == set(range(n))  # full coverage with padding
+    assert len(allidx) == int(np.ceil(n / world)) * world
+
+
+# --------------------------------------------------------------- schedules
+
+def test_lr_schedule_step_cosine_warmup():
+    cfg = OptimConfig(lr=1.0, lr_scheduler="steplr", lr_step_size=2,
+                      lr_gamma=0.1, epochs=10)
+    sch = make_lr_schedule(cfg, steps_per_epoch=5)
+    assert float(sch(0)) == pytest.approx(1.0)
+    assert float(sch(10)) == pytest.approx(0.1)  # epoch 2
+    assert float(sch(20)) == pytest.approx(0.01)  # epoch 4
+
+    cfg = OptimConfig(lr=1.0, lr_scheduler="cosineannealinglr", lr_min=0.0,
+                      epochs=10, lr_warmup_epochs=2, lr_warmup_method="linear",
+                      lr_warmup_decay=0.5)
+    sch = make_lr_schedule(cfg, steps_per_epoch=1)
+    assert float(sch(0)) == pytest.approx(0.5)  # warmup start factor
+    assert float(sch(2)) == pytest.approx(1.0)  # cosine at e=0
+    assert float(sch(10)) == pytest.approx(0.0, abs=1e-6)  # T_max reached
+
+
+# ----------------------------------------------------------------- kmeans
+
+def test_kmeans_separates_blobs():
+    from vipers.discovery.kmeans import kmeans2, whiten
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(30, 4)) + 10
+    b = rng.normal(size=(30, 4)) - 10
+    x = jnp.asarray(np.concatenate([a, b]).astype(np.float32))
+    _cent, labels = kmeans2(jax.random.PRNGKey(0), whiten(x), k=2, iters=10)
+    labels = np.asarray(labels)
+    assert len(set(labels[:30])) == 1 and len(set(labels[30:])) == 1
+    assert labels[0] != labels[-1]
+
+
+# ----------------------------------------------------------- quantization
+
+def test_fake_quant_ste_and_roundtrip():
+    from vipers.train.quantize import fake_quant, per_channel_weight_scale
+
+    w = jnp.asarray(np.random.default_rng(0).normal(size=(6, 4)).astype(np.float32))
+    s = per_channel_weight_scale(w)
+    q = fake_quant(w, s)
+    # quantization error bounded by scale/2 per channel
+    err = np.abs(np.asarray(q - w))
+    assert np.all(err <= np.asarray(s) / 2 + 1e-6)
+    # STE: gradient of sum(fake_quant) wrt w is ~1 inside the clip range
+    g = jax.grad(lambda w: fake_quant(w, s).sum())(w)
+    np.testing.assert_allclose(np.asarray(g), 1.0, atol=1e-6)
+
+
+def test_int8_bake_and_dequant():
+    from vipers.train.quantize import dequantize_params, quantize_params_int8
+
+    params = {"fc": {"kernel": jnp.asarray(
+        np.random.default_rng(1).normal(size=(8, 8)).astype(np.float32)),
+        "bias": jnp.zeros((8,))}}
+    q, scales = quantize_params_int8(params)
+    assert q[("fc", "kernel")].dtype == jnp.int8
+    deq = dequantize_params(params, q, scales)
+    err = np.abs(np.asarray(deq["fc"]["kernel"] - params["fc"]["kernel"]))
+    assert err.max() <= float(np.asarray(scales[("fc", "kernel")]).max()) / 2 + 1e-6
+
+
+def test_qat_step_keeps_masks_and_improves_nothing_breaks(tmp_path):
+    """QAT wrapper composes with the masked train step: pruned weights stay
+    zero through fake-quant training (BASELINE config #5 slice)."""
+    import optax
+
+    from vipers.models.resnet import BasicBlock  # noqa: F401 (registry side effect)
+    from vipers.core.registry import build_model
+    from vipers.pruning import init_masks, magnitude_prune
+    from vipers.pruning.masks import apply_masks, _flat
+    from vipers.train.optim import make_optimizer
+    from vipers.train.quantize import make_qat_train_step
+    from vipers.train.steps import TrainState, make_train_step
+
+    spec = build_model("resnet18", num_classes=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray([0, 1, 2, 3])
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    params, bs = variables["params"], variables["batch_stats"]
+    masks = magnitude_prune(params, init_masks(params), 0.5)
+    params = apply_masks(params, masks)
+
+    cfg = OptimConfig(opt="sgd", lr=0.01, epochs=1)
+    tx = make_optimizer(cfg, params, make_lr_schedule(cfg, 1))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=bs, masks=masks, opt_state=tx.init(params))
+    base = make_train_step(spec.module.apply, tx, num_classes=4, donate=False)
+    qat = make_qat_train_step(base)
+    for i in range(3):
+        state, metrics = qat(state, (x, y), jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    flat = _flat(state.params)
+    for path, mask in state.masks.items():
+        vals = np.asarray(flat[path])[~np.asarray(mask)]
+        np.testing.assert_allclose(vals, 0.0, atol=1e-7)

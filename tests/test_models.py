@@ -118,6 +118,22 @@ def test_dino_vit_forward_and_qkv():
     assert k.shape == (1, t, 192)
 
 
+def test_swin_v2_forward_and_aux():
+    spec = build_model("swin_v2_t", num_classes=7, input_size=(64, 64))
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    logits, aux = spec.module.apply(variables, x, train=False)
+    assert logits.shape == (1, 7)
+    assert aux["features"].shape == (1, 2, 2, 768)  # stride 32
+    assert aux["qkv"].shape[-1] == 3 * 768
+    paths = ["/".join(p) for p in prunable_paths(
+        variables["params"], spec.prune_exclude)]
+    assert not any("qkv" in p for p in paths)
+    assert not any("cpb" in p for p in paths)
+    rows = np.asarray(aux["attn"]).sum(-1)
+    np.testing.assert_allclose(rows, 1.0, atol=1e-4)
+
+
 def test_dino_qkv_split_matches_torch_layout():
     import torch
 

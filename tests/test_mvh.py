@@ -1,0 +1,69 @@
+"""MvH distortion suite tests: distortion properties + runner CSV contract."""
+
+import numpy as np
+import pytest
+
+from vipers.data.distortions import PARAMETRIC_DISTORTIONS
+from vipers.train.mvh import MVH_ORDER, eval_mvh, write_mvh_csv
+
+
+def test_all_parametric_distortions_valid(rng):
+    img = rng.random((32, 48, 3)).astype(np.float32)
+    for name, fn in PARAMETRIC_DISTORTIONS.items():
+        out = fn(img.copy(), np.random.default_rng(0))
+        assert out.dtype == np.float32, name
+        assert out.shape[-1] == 3, name
+        assert np.all(np.isfinite(out)), name
+        assert out.min() >= -1e-5 and out.max() <= 1 + 1e-5, name
+
+
+def test_distortion_semantics(rng):
+    img = rng.random((16, 16, 3)).astype(np.float32)
+    gray = PARAMETRIC_DISTORTIONS["colour"](img, np.random.default_rng(0))
+    assert np.allclose(gray[..., 0], gray[..., 1])  # grayscale
+    rot = PARAMETRIC_DISTORTIONS["rotation"](img, None, level=180)
+    np.testing.assert_allclose(rot, img[::-1, ::-1], atol=0)
+    lo = PARAMETRIC_DISTORTIONS["contrast"](img, None, level=0.1)
+    assert lo.std() < img.std()
+
+
+def test_mvh_runner_and_csv(tmp_path):
+    """17-benchmark runner with a trivial 'model': eval_step counts the
+    label-0 predictions of a fixed classifier on distorted batches."""
+    import jax.numpy as jnp
+
+    def eval_step(state, batch):
+        images, labels = batch
+        # classify by mean brightness of the normalized image
+        pred = (jnp.mean(images, axis=(1, 2, 3)) > 0).astype(jnp.int32)
+        return {
+            "loss_sum": jnp.asarray(0.0),
+            "top1": jnp.sum(pred == labels),
+            "top5": jnp.asarray(labels.shape[0]),
+            "n": jnp.asarray(labels.shape[0]),
+        }
+
+    rng = np.random.default_rng(0)
+    images = (rng.random((8, 16, 16, 3)) * 255).astype(np.uint8)
+    labels = (images.mean(axis=(1, 2, 3)) > 127).astype(np.int32)
+    batches = [(images, labels)]
+
+    results = eval_mvh(eval_step, None, batches)
+    param_names = [n for n in MVH_ORDER if not np.isnan(results[n])]
+    assert len(param_names) == 12  # 12 parametric, 5 stimulus NaN
+    for n in param_names:
+        assert 0.0 <= results[n] <= 100.0
+
+    path = write_mvh_csv(results, "resnet18", 3, str(tmp_path))
+    assert path.endswith("resnet18_pruning_step_3.csv")
+    lines = open(path).read().strip().splitlines()
+    assert len(lines) == 17
+    assert lines[0].startswith("colour,")
+
+    # the plot layer can read it back
+    from vipers.viz.plots import plot_mvh
+
+    out = plot_mvh(str(tmp_path), "resnet18", str(tmp_path / "mvh.png"))
+    import os
+
+    assert os.path.exists(out)

@@ -78,8 +78,18 @@ def main(argv=None):
     clus.add_argument("--dataset", default="VOC07")
     clus.add_argument("--set", default="trainval")
 
+    mvh = sub.add_parser("mvh", help="model-vs-human distortion benchmarks")
+    from vipers.core.config import add_train_args as _ata_mvh
+    _ata_mvh(mvh)
+    mvh.add_argument("--pruning-step", type=int, default=0)
+    mvh.add_argument("--checkpoint", default="")
+    mvh.add_argument("--stimuli-root", default=None,
+                     help="dir with cue-conflict/edge/... stimulus ImageFolders")
+    mvh.add_argument("--max-batches", type=int, default=0)
+
     plot = sub.add_parser("plot", help="sparsity-vs-metric curves")
     plot.add_argument("--kind", default="lost", choices=["lost", "mass_rank", "mvh"])
+    plot.add_argument("--model", default="resnet50")
     plot.add_argument("--results-dir", default="./outputs")
     plot.add_argument("--performance-txt", default="performance.txt")
     plot.add_argument("--out", default="plot.png")
@@ -121,6 +131,10 @@ def main(argv=None):
         from vipers.discovery.cluster import run_cluster_cli
 
         return run_cluster_cli(args)
+    if args.cmd == "mvh":
+        from vipers.train.mvh_cli import run_mvh_cli
+
+        return run_mvh_cli(args)
     if args.cmd == "plot":
         from vipers.viz.plots import run_plot_cli
 

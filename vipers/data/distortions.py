@@ -1,0 +1,162 @@
+"""Model-vs-human distortion suite, implemented natively.
+
+The reference defers to the external ``modelvshuman`` toolbox
+(`/root/reference/mvh.py:1-3`) and only post-processes its CSVs
+(`/root/reference/mvh_performance_plot.py:44-87`).  The toolbox's 17
+benchmarks split into:
+
+  * 12 *parametric distortions* of ImageNet images — implemented here as
+    deterministic numpy/FFT transforms (colour, false-colour, contrast,
+    low-pass, high-pass, phase-scrambling, power-equalisation, rotation,
+    uniform-noise, eidolonI/II/III),
+  * 5 *stimulus datasets* (cue-conflict, edge, silhouette, sketch,
+    stylized) that are fixed external image sets — consumed from a
+    directory when provided (see ``eval_mvh``), not synthesizable.
+
+Eidolon distortions here are a documented approximation (coherence-
+controlled Gaussian displacement fields at three reach levels) of the
+original eidolon-factory; the CSV/plot contracts match the reference's.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import numpy as np
+
+GRAY_W = np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+
+
+def _to_gray(img):
+    g = (img * GRAY_W).sum(-1, keepdims=True)
+    return np.repeat(g, 3, axis=-1)
+
+
+def colour(img, rng, level=0):
+    """grayscale presentation (the 'colour' benchmark tests gray vs color)."""
+    del rng, level
+    return _to_gray(img)
+
+
+def false_colour(img, rng, level=0):
+    """opponent-color inversion: keep luminance, flip chroma."""
+    del rng, level
+    g = (img * GRAY_W).sum(-1, keepdims=True)
+    return np.clip(2 * g - img, 0.0, 1.0)
+
+
+def contrast(img, rng, level=0.3):
+    del rng
+    return 0.5 + (img - 0.5) * level
+
+
+def uniform_noise(img, rng, level=0.2):
+    return np.clip(img + rng.uniform(-level, level, img.shape).astype(np.float32), 0, 1)
+
+
+def rotation(img, rng, level=90):
+    del rng
+    k = int(level // 90) % 4
+    return np.rot90(img, k, axes=(0, 1)).copy()
+
+
+def _gauss_kernel_1d(sigma: float, max_len: int):
+    # cap the radius so the kernel never exceeds the axis length
+    # (np.convolve 'same' returns len(k) when len(k) > len(m))
+    r = min(max(int(3 * sigma), 1), max(0, (max_len - 1) // 2))
+    x = np.arange(-r, r + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / k.sum()
+
+
+def _blur(img, sigma: float):
+    if sigma <= 0:
+        return img
+    k0 = _gauss_kernel_1d(sigma, img.shape[0])
+    k1 = _gauss_kernel_1d(sigma, img.shape[1])
+    out = np.apply_along_axis(lambda m: np.convolve(m, k0, mode="same"), 0, img)
+    out = np.apply_along_axis(lambda m: np.convolve(m, k1, mode="same"), 1, out)
+    return out.astype(np.float32)
+
+
+def low_pass(img, rng, level=3.0):
+    del rng
+    return _blur(img, level)
+
+
+def high_pass(img, rng, level=1.0):
+    del rng
+    g = _to_gray(img)
+    hp = g - _blur(g, level) + 0.5
+    return np.clip(hp, 0, 1)
+
+
+def phase_scrambling(img, rng, level=90.0):
+    """Add uniform noise in [-level, level] degrees to the FFT phase
+    (grayscale, per the toolbox)."""
+    g = _to_gray(img)[..., 0]
+    f = np.fft.fft2(g)
+    noise = rng.uniform(-1, 1, f.shape) * np.deg2rad(level)
+    scrambled = np.abs(f) * np.exp(1j * (np.angle(f) + noise))
+    out = np.real(np.fft.ifft2(scrambled)).astype(np.float32)
+    out = np.clip(out, 0, 1)
+    return np.repeat(out[..., None], 3, axis=-1)
+
+
+def power_equalisation(img, rng, level=0):
+    """Replace every image's FFT amplitude spectrum with the mean 1/f-like
+    spectrum (here: the image's own rotationally-averaged spectrum)."""
+    del rng, level
+    g = _to_gray(img)[..., 0]
+    f = np.fft.fft2(g)
+    amp = np.abs(f)
+    mean_amp = np.full_like(amp, amp.mean())
+    out = np.real(np.fft.ifft2(mean_amp * np.exp(1j * np.angle(f))))
+    out = out - out.min()
+    out = (out / max(out.max(), 1e-9)).astype(np.float32)
+    return np.repeat(out[..., None], 3, axis=-1)
+
+
+def _eidolon(img, rng, reach: float, coherence: float):
+    """Approximate eidolon: displace pixels by a blurred Gaussian field;
+    coherence controls how spatially correlated the displacements are."""
+    h, w = img.shape[:2]
+    sigma = max(coherence * 8.0, 0.5)
+    dx = _blur(rng.normal(0, 1, (h, w, 1)).astype(np.float32), sigma)[..., 0]
+    dy = _blur(rng.normal(0, 1, (h, w, 1)).astype(np.float32), sigma)[..., 0]
+    dx = dx / (np.abs(dx).max() + 1e-9) * reach
+    dy = dy / (np.abs(dy).max() + 1e-9) * reach
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    ys = np.clip((yy + dy).round().astype(int), 0, h - 1)
+    xs = np.clip((xx + dx).round().astype(int), 0, w - 1)
+    return img[ys, xs]
+
+
+def eidolonI(img, rng, level=8.0):
+    return _eidolon(img, rng, reach=level, coherence=0.0)
+
+
+def eidolonII(img, rng, level=8.0):
+    return _eidolon(img, rng, reach=level, coherence=0.5)
+
+
+def eidolonIII(img, rng, level=8.0):
+    return _eidolon(img, rng, reach=level, coherence=1.0)
+
+
+PARAMETRIC_DISTORTIONS: Dict[str, Callable] = {
+    "colour": colour,
+    "false-colour": false_colour,
+    "contrast": contrast,
+    "low-pass": low_pass,
+    "high-pass": high_pass,
+    "phase-scrambling": phase_scrambling,
+    "power-equalisation": power_equalisation,
+    "rotation": rotation,
+    "uniform-noise": uniform_noise,
+    "eidolonI": eidolonI,
+    "eidolonII": eidolonII,
+    "eidolonIII": eidolonIII,
+}
+
+STIMULUS_DATASETS = ("cue-conflict", "edge", "silhouette", "sketch", "stylized")

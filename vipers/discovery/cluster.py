@@ -1,0 +1,93 @@
+"""Class-agnostic box clustering into pseudo-labels.
+
+Counterpart of `/root/reference/cluster_for_OD.py:120-201`: crop each
+predicted box, resize to 256 (center region), embed with a frozen DINO ViT
+CLS feature, L2-normalize, whiten + k-means into ``nb_clusters``
+pseudo-labels for class-aware detection training. Features are cached as a
+pickle like the reference (`:169-183`).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from vipers.core.registry import build_model
+from vipers.data.detection import DiscoveryDataset
+from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+from vipers.discovery.kmeans import kmeans2, whiten
+
+
+def _embed_crops(spec, variables, crops: np.ndarray) -> np.ndarray:
+    """crops: (B, 256, 256, 3) normalized -> L2-normalized CLS features."""
+
+    @jax.jit
+    def fwd(x):
+        feats, _aux = spec.module.apply(variables, x, train=False)
+        return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+    return np.asarray(fwd(jnp.asarray(crops)))
+
+
+def cluster_boxes(
+    preds: Dict[str, list],
+    dataset: DiscoveryDataset,
+    nb_clusters: int = 20,
+    model_name: str = "dino_vit_small",
+    cache_path: str = "",
+    seed: int = 0,
+) -> Dict[str, int]:
+    """{image_name: pseudo_label} for every predicted box."""
+    spec = build_model(model_name, patch_size=16)
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)), train=False
+    )
+
+    names = sorted(preds)
+    if cache_path and os.path.exists(cache_path):
+        with open(cache_path, "rb") as f:
+            feats = pickle.load(f)
+    else:
+        crops = []
+        mean = np.asarray(IMAGENET_MEAN, np.float32)
+        std = np.asarray(IMAGENET_STD, np.float32)
+        img_dir = os.path.dirname(dataset.items[0][0])
+        for name in names:
+            x1, y1, x2, y2 = (int(round(v)) for v in preds[name])
+            img = Image.open(os.path.join(img_dir, name)).convert("RGB")
+            crop = img.crop((x1, y1, max(x2, x1 + 1), max(y2, y1 + 1)))
+            crop = crop.resize((256, 256), Image.BILINEAR)
+            arr = np.asarray(crop, np.float32) / 255.0
+            crops.append((arr - mean) / std)
+        feats = np.concatenate(
+            [
+                _embed_crops(spec, variables, np.stack(crops[i : i + 16]))
+                for i in range(0, len(crops), 16)
+            ]
+        )
+        if cache_path:
+            with open(cache_path, "wb") as f:
+                pickle.dump(feats, f)
+
+    white = whiten(jnp.asarray(feats))
+    k = min(nb_clusters, len(names))
+    _cent, labels = kmeans2(jax.random.PRNGKey(seed), white, k=k)
+    return {name: int(l) for name, l in zip(names, np.asarray(labels))}
+
+
+def run_cluster_cli(args) -> int:
+    with open(args.preds, "rb") as f:
+        preds = pickle.load(f)
+    ds = DiscoveryDataset(args.dataset, args.set, args.data_path)
+    labels = cluster_boxes(preds, ds, nb_clusters=args.nb_clusters)
+    out = os.path.splitext(args.preds)[0] + f"_clusters_{args.nb_clusters}.pkl"
+    with open(out, "wb") as f:
+        pickle.dump(labels, f)
+    print(f"clustered {len(labels)} boxes into {args.nb_clusters} pseudo-labels -> {out}")
+    return 0

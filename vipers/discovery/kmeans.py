@@ -1,0 +1,53 @@
+"""Jitted k-means (Lloyd) + whitening.
+
+Replaces ``scipy.cluster.vq.kmeans2`` / ``whiten`` used for pseudo-labeling
+discovered boxes (`/root/reference/cluster_for_OD.py:26,188-196`).  Fixed
+iteration count under ``lax.scan`` (static shapes, MXU distance matmuls);
+empty clusters keep their previous centroid (scipy kmeans2 minit='points'
++ missing='warn' behavior).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def whiten(x, eps: float = 1e-8):
+    """Divide each feature by its std (scipy.cluster.vq.whiten)."""
+    std = jnp.std(x, axis=0)
+    return x / jnp.maximum(std, eps)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "iters"))
+def kmeans2(rng, x, k: int, iters: int = 10):
+    """x: (N, D). Returns (centroids (k, D), labels (N,)).
+
+    Init = k random distinct points (minit='points'); distance = squared
+    euclidean via the |a|^2 - 2ab + |b|^2 expansion (one MXU matmul per
+    iteration).
+    """
+    n, d = x.shape
+    idx = jax.random.permutation(rng, n)[:k]
+    cent = x[idx]
+
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)  # (N, 1)
+
+    def step(cent, _):
+        c_sq = jnp.sum(cent * cent, axis=1)[None, :]  # (1, K)
+        d2 = x_sq - 2.0 * (x @ cent.T) + c_sq
+        labels = jnp.argmin(d2, axis=1)
+        one_hot = jax.nn.one_hot(labels, k, dtype=x.dtype)  # (N, K)
+        counts = jnp.sum(one_hot, axis=0)  # (K,)
+        sums = one_hot.T @ x  # (K, D)
+        new_cent = jnp.where(
+            counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), cent
+        )
+        return new_cent, None
+
+    cent, _ = jax.lax.scan(step, cent, None, length=iters)
+    c_sq = jnp.sum(cent * cent, axis=1)[None, :]
+    labels = jnp.argmin(x_sq - 2.0 * (x @ cent.T) + c_sq, axis=1)
+    return cent, labels

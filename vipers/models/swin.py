@@ -1,0 +1,241 @@
+"""Swin Transformer V2 (Tiny) in flax, TPU-native.
+
+The reference uses torchvision's swin_v2_t for pruning, LOST and
+explainability (`/root/reference/main_lost.py:104-106,501-566`,
+`/root/reference/explain.py:197-201`); its swin LOST path depends on
+hand-edited torchvision internals dumping qkv/attention to disk
+(`main_lost.py:512-513`).  Here the model returns them:
+
+    logits, aux = model.apply(vars, x)
+    aux["qkv"]:  (N, T, 3C) last block's window-attention qkv output,
+                 re-assembled to image token order
+    aux["features"]: (N, H/32, W/32, 8C) final feature map (GradCAM tap)
+
+Architecture per SwinV2 (arXiv:2111.09883), torchvision config swin_v2_t:
+patch 4, dims 96, depths (2,2,6,2), heads (3,6,12,24), window 8,
+res-post-norm blocks, cosine attention with learnable per-head logit scale,
+continuous relative-position bias (CPB) MLP, PatchMergingV2.
+
+Pruning: all Dense/Conv kernels except the fused ``qkv`` projections
+(mirroring the ViT exclusion rationale — torch's in-proj is not an
+nn.Linear module).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vipers.core.registry import ModelSpec, register_model
+
+
+def _window_partition(x, ws: int):
+    """(N, H, W, C) -> (N*nW, ws*ws, C); H, W divisible by ws."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // ws, ws, w // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws * ws, c)
+
+
+def _window_reverse(windows, ws: int, h: int, w: int):
+    n = windows.shape[0] // ((h // ws) * (w // ws))
+    x = windows.reshape(n, h // ws, w // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h, w, -1)
+
+
+def _relative_coords_table(ws: int):
+    """Normalized log-spaced relative coordinates for the CPB MLP."""
+    coords = np.arange(-(ws - 1), ws, dtype=np.float32)
+    table = np.stack(np.meshgrid(coords, coords, indexing="ij"), axis=-1)
+    table = table / (ws - 1)  # [-1, 1]
+    table *= 8.0
+    table = np.sign(table) * np.log2(np.abs(table) + 1.0) / np.log2(8.0)
+    return table.reshape(-1, 2)  # ((2ws-1)^2, 2)
+
+
+def _relative_position_index(ws: int):
+    coords = np.stack(
+        np.meshgrid(np.arange(ws), np.arange(ws), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (2, T, T)
+    rel = rel.transpose(1, 2, 0) + (ws - 1)
+    return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)  # (T, T)
+
+
+class WindowAttentionV2(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+
+    @nn.compact
+    def __call__(self, x, attn_mask=None):
+        """x: (B, T, C) windows; attn_mask: (nW, T, T) additive or None."""
+        b, t, c = x.shape
+        h = self.num_heads
+        hd = c // h
+        qkv_out = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
+        qkv = qkv_out.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        # cosine attention with learnable per-head temperature (SwinV2 §3)
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+        logit_scale = self.param(
+            "logit_scale",
+            lambda _k, s: jnp.full(s, float(np.log(10.0))),
+            (h, 1, 1),
+        )
+        scale = jnp.exp(jnp.minimum(logit_scale, float(np.log(100.0))))
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                          preferred_element_type=jnp.float32) * scale
+
+        # continuous relative position bias: MLP(2->512->heads) on the
+        # log-CPB table, 16*sigmoid (SwinV2 eq. 4)
+        table = jnp.asarray(_relative_coords_table(self.window_size))
+        cpb = nn.Dense(512, name="cpb_fc1")(table)
+        cpb = nn.relu(cpb)
+        cpb = nn.Dense(h, use_bias=False, name="cpb_fc2")(cpb)  # (L, h)
+        idx = jnp.asarray(_relative_position_index(self.window_size))
+        bias = cpb[idx.reshape(-1)].reshape(t, t, h).transpose(2, 0, 1)
+        bias = 16.0 * jax.nn.sigmoid(bias)
+        attn = attn + bias[None]
+
+        if attn_mask is not None:
+            n_w = attn_mask.shape[0]
+            attn = attn.reshape(b // n_w, n_w, h, t, t) + attn_mask[None, :, None]
+            attn = attn.reshape(b, h, t, t)
+        attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
+        out = nn.Dense(c, name="proj")(out)
+        return out, attn, qkv_out
+
+
+def _shift_attn_mask(h: int, w: int, ws: int, shift: int):
+    """Additive -100 mask for cross-window attention after a cyclic shift."""
+    img = np.zeros((1, h, w, 1), np.float32)
+    cnt = 0
+    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
+            img[:, hs, wsl, :] = cnt
+            cnt += 1
+    win = _window_partition(jnp.asarray(img), ws).reshape(-1, ws * ws)
+    diff = win[:, :, None] - win[:, None, :]
+    return jnp.where(diff != 0, -100.0, 0.0)
+
+
+class SwinBlockV2(nn.Module):
+    dim: int
+    num_heads: int
+    window_size: int
+    shift: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, H, W, C). Returns (x, attn, qkv) of this block."""
+        n, h, w, c = x.shape
+        ws = min(self.window_size, h, w)
+        shift = self.shift if ws < min(h, w) else 0
+
+        sx = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        windows = _window_partition(sx, ws)
+        mask = _shift_attn_mask(h, w, ws, shift) if shift else None
+        y, attn, qkv = WindowAttentionV2(
+            self.dim, self.num_heads, ws, name="attn"
+        )(windows, mask)
+        y = _window_reverse(y, ws, h, w)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        # res-post-norm (SwinV2): x + norm(f(x))
+        x = x + nn.LayerNorm(epsilon=1e-5, name="norm1")(y)
+
+        z = nn.Dense(int(c * self.mlp_ratio), name="fc1")(x)
+        z = nn.gelu(z, approximate=False)
+        z = nn.Dense(c, name="fc2")(z)
+        x = x + nn.LayerNorm(epsilon=1e-5, name="norm2")(z)
+        return x, attn, qkv
+
+
+class PatchMergingV2(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        n, h, w, c = x.shape
+        x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        x = nn.Dense(2 * c, use_bias=False, name="reduction")(x)
+        return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+
+
+@dataclasses.dataclass(frozen=True)
+class SwinV2Config:
+    patch_size: int = 4
+    embed_dim: int = 96
+    depths: Tuple[int, ...] = (2, 2, 6, 2)
+    num_heads: Tuple[int, ...] = (3, 6, 12, 24)
+    window_size: int = 8
+    num_classes: int = 1000
+    mlp_ratio: float = 4.0
+
+
+class SwinTransformerV2(nn.Module):
+    cfg: SwinV2Config
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, tap_delta=None):
+        c = self.cfg
+        p = c.patch_size
+        x = nn.Conv(c.embed_dim, (p, p), strides=(p, p), padding="VALID",
+                    name="patch_embed")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
+
+        last_attn = last_qkv = None
+        for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
+            for bi in range(depth):
+                shift = 0 if bi % 2 == 0 else c.window_size // 2
+                x, attn, qkv = SwinBlockV2(
+                    x.shape[-1], heads, c.window_size, shift,
+                    c.mlp_ratio, name=f"stage{si}_block{bi}",
+                )(x)
+                last_attn, last_qkv = attn, qkv
+            if si < len(c.depths) - 1:
+                x = PatchMergingV2(name=f"merge{si}")(x)
+
+        if tap_delta is not None:
+            x = x + tap_delta  # explainability tap (final feature map)
+        features = x
+        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        pooled = jnp.mean(x, axis=(1, 2))
+        logits = (
+            nn.Dense(c.num_classes, name="head")(pooled)
+            if c.num_classes else pooled
+        )
+        # re-assemble last block's per-window qkv to image token order for
+        # the LOST feature path (`main_lost.py:501-566` consumes (1, T, 3C))
+        n = features.shape[0]
+        return logits, {
+            "features": features,
+            "attn": last_attn,
+            "qkv": last_qkv.reshape(n, -1, last_qkv.shape[-1]),
+        }
+
+
+@register_model("swin_v2_t")
+def swin_v2_t(num_classes=1000, input_size=(256, 256)):
+    cfg = SwinV2Config(num_classes=num_classes)
+    return ModelSpec(
+        name="swin_v2_t",
+        module=SwinTransformerV2(cfg=cfg),
+        input_size=tuple(input_size),
+        num_classes=num_classes,
+        prune_exclude=("qkv", "cpb"),
+        patch_size=cfg.patch_size,
+        family="swin",
+        extra={"num_heads": cfg.num_heads[-1], "embed_dim": cfg.embed_dim},
+    )
