@@ -44,6 +44,41 @@ def restore_checkpoint(path: str, target=None):
     return ckptr.restore(path, item=target)
 
 
+def average_checkpoints(paths):
+    """Elementwise average of the params of several checkpoints
+    (fairseq-style, `/root/reference/utils.py:272-320`)."""
+    import jax
+
+    trees = [restore_checkpoint(p) for p in paths]
+    params = [t["params"] for t in trees]
+    n = len(params)
+    avg = jax.tree.map(lambda *xs: sum(x.astype(np.float64) for x in xs) / n, *params)
+    out = dict(trees[0])
+    out["params"] = jax.tree.map(
+        lambda a, ref: a.astype(np.asarray(ref).dtype), avg, params[0]
+    )
+    return out
+
+
+def store_model_weights(tree, out_dir: str, prefix: str = "weights"):
+    """Release-weight export with a content-hash-stamped filename
+    (`/root/reference/utils.py:323-391`): strips training state (optimizer,
+    EMA), keeps {params, batch_stats, masks}, names the artifact
+    ``{prefix}-{sha256[:8]}``."""
+    import hashlib
+
+    import jax
+
+    slim = {k: tree[k] for k in ("params", "batch_stats", "masks") if k in tree}
+    h = hashlib.sha256()
+    for leaf in jax.tree.leaves(slim):
+        h.update(np.asarray(leaf).tobytes())
+    name = f"{prefix}-{h.hexdigest()[:8]}"
+    path = os.path.join(out_dir, name)
+    save_checkpoint(path, slim)
+    return path
+
+
 # --------------------------- torch importer --------------------------------
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:

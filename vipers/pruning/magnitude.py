@@ -27,11 +27,33 @@ import jax.numpy as jnp
 from vipers.pruning import masks as M
 
 
-def magnitude_prune(params, masks: dict, amount: float = 0.2) -> dict:
-    """One global L1 pruning round over the currently-unpruned weights."""
+def magnitude_prune(params, masks: dict, amount: float = 0.2,
+                    scope: str = "all") -> dict:
+    """One global L1 pruning round over the currently-unpruned weights.
+
+    ``scope``: "all" (train.py semantics) | "conv" | "linear" — the legacy
+    recipe prunes only Conv2d weights for resnets and only Linear weights
+    for transformers (`/root/reference/original_train.py:206-227`).
+    """
     if not 0.0 <= amount <= 1.0:
         raise ValueError(f"amount must be in [0,1], got {amount}")
     flat_p = M._flat(params)
+
+    if scope == "conv":
+        in_scope = {p for p in masks if flat_p[p].ndim == 4}
+    elif scope == "linear":
+        in_scope = {p for p in masks if flat_p[p].ndim == 2}
+    elif scope == "all":
+        in_scope = set(masks)
+    else:
+        raise ValueError(f"unknown scope {scope!r}")
+    if in_scope != set(masks):
+        scoped = magnitude_prune(
+            params, {p: masks[p] for p in sorted(in_scope)}, amount, "all"
+        )
+        out = dict(masks)
+        out.update(scoped)
+        return out
 
     abs_w = {p: jnp.abs(flat_p[p].astype(jnp.float32)) for p in masks}
     vec, layout = M.concat_masked_scores(abs_w)
