@@ -99,7 +99,10 @@ def bench_tpu():
 
     @jax.jit
     def pipeline(params, images):
-        _logits, aux = spec.module.apply({"params": params}, images, train=False)
+        # need_attn=False: blockwise Pallas flash attention, no (T, T)
+        _logits, aux = spec.module.apply(
+            {"params": params}, images, train=False, need_attn=False
+        )
         x = aux["qkv_input"]  # (B, T, D) last-block ln_1
         b, t, d = x.shape
 

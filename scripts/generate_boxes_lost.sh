@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Box-visualization batch driver (counterpart of
+# /root/reference/generate_boxes_lost.py:3-21): fixed image list x pruning
+# iterations, rendering predicted boxes.
+# Usage: generate_boxes_lost.sh <model> <ckpt_dir> <data_path> <out_dir> [last_iter]
+set -euo pipefail
+MODEL=${1:?model}; CKPTS=${2:?ckpt dir}; DATA=${3:?data}; OUT=${4:?out}; LAST=${5:-13}
+for ((i=0; i<=LAST; i++)); do
+  NN=$(printf "%02d" "$i")
+  CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | tail -1 || true)
+  python -m vipers.cli.main lost --model "$MODEL" --arch vit \
+    --dataset VOC12 --set trainval --data-path "$DATA" \
+    ${CKPT:+--checkpoint "$CKPT"} --iteration "$i" \
+    --visualize pred --output-dir "$OUT/iter_${NN}"
+done

@@ -1,0 +1,14 @@
+#!/usr/bin/env bash
+# Sweep RMA/RRA explanation scoring over pruning iterations (counterpart of
+# /root/reference/run_explainations_evaluations.sh:3-7).
+# Usage: run_explainations_evaluations.sh <model> <ckpt_dir> <voc_root> <out_dir> [first] [last]
+set -euo pipefail
+MODEL=${1:?model}; CKPTS=${2:?ckpt dir}; VOC=${3:?voc root}; OUT=${4:?out dir}
+FIRST=${5:-0}; LAST=${6:-13}
+for ((i=FIRST; i<=LAST; i++)); do
+  NN=$(printf "%02d" "$i")
+  CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | tail -1 || true)
+  python -m vipers.cli.main explain-eval --model "$MODEL" \
+    ${CKPT:+--checkpoint "$CKPT"} --voc-root "$VOC" \
+    --iteration "$i" --output-dir "$OUT"
+done

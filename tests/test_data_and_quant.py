@@ -196,3 +196,27 @@ def test_qat_step_keeps_masks_and_improves_nothing_breaks(tmp_path):
     for path, mask in state.masks.items():
         vals = np.asarray(flat[path])[~np.asarray(mask)]
         np.testing.assert_allclose(vals, 0.0, atol=1e-7)
+
+
+# ------------------------------------------------------------- native decode
+
+def test_native_decoder_matches_shapes_and_falls_back(tmp_path):
+    from PIL import Image
+
+    from vipers.data import native
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 255, size=(120, 180, 3), dtype=np.uint8)
+    p = str(tmp_path / "x.jpg")
+    Image.fromarray(arr).save(p, quality=95)
+    out = native.decode_eval(p, 96, 80)
+    assert out.shape == (80, 80, 3) and out.dtype == np.uint8
+    if native.available():
+        assert native.jpeg_dims(p) == (180, 120)
+    t = native.decode_train(p, np.random.default_rng(1), 64)
+    assert t.shape == (64, 64, 3)
+    # non-JPEG falls back to PIL path
+    p2 = str(tmp_path / "y.png")
+    Image.fromarray(arr).save(p2)
+    out2 = native.decode_eval(p2, 96, 80)
+    assert out2.shape == (80, 80, 3)

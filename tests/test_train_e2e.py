@@ -111,3 +111,27 @@ def test_eval_only(tiny_imagenet, tmp_path):
                                 normalize_fn=s.normalize)
     assert acc5 == 100.0  # 2 classes -> top-5 always correct
     assert loss > 0
+
+
+def test_resume_from_checkpoint(tiny_imagenet, tmp_path):
+    """--resume restores model/opt/epoch/masks and continues training
+    (reference crash-recovery story, train.py:505-521 + :801)."""
+    import glob
+
+    from vipers.train.driver import build_session, resume_session, run_snip
+
+    cfg = _cfg(tiny_imagenet, tmp_path)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = build_session(cfg)
+    run_snip(s)
+    ckpt = os.path.join(cfg.output_dir, "resnet18_checkpoint_snip_0.5")
+
+    s2 = build_session(_cfg(tiny_imagenet, tmp_path))
+    start = resume_session(s2, ckpt)
+    assert start == 1  # trained 1 epoch -> resume at epoch 1
+    for path, mask in s.state.masks.items():
+        np.testing.assert_array_equal(
+            np.asarray(s2.state.masks[path]), np.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s2.state.params)[0]),
+        np.asarray(jax.tree.leaves(s.state.params)[0]))

@@ -43,6 +43,7 @@ class TrainConfig:
     # runtime
     seed: int = 42
     amp: bool = False  # bf16 compute on TPU
+    native_decode: bool = False  # C++ libjpeg fast path (csrc/decode.cc)
     print_freq: int = 100
     output_dir: str = "./output"
     resume: str = ""
@@ -87,6 +88,8 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--model-ema-decay", type=float, default=0.99998)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--amp", action="store_true", help="bf16 compute")
+    p.add_argument("--native-decode", action="store_true",
+                   help="C++ libjpeg decode fast path (approximate resize)")
     p.add_argument("--print-freq", type=int, default=100)
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--resume", default="")
@@ -121,6 +124,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         optim=optim, mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         random_erase=args.random_erase, model_ema=args.model_ema,
         model_ema_steps=args.model_ema_steps, model_ema_decay=args.model_ema_decay,
-        seed=args.seed, amp=args.amp, print_freq=args.print_freq,
+        seed=args.seed, amp=args.amp,
+        native_decode=getattr(args, "native_decode", False),
+        print_freq=args.print_freq,
         output_dir=args.output_dir, resume=args.resume, test_only=args.test_only,
     )

@@ -91,7 +91,7 @@ class DinoVisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None,
-                 override_pos_embedding=None):
+                 override_pos_embedding=None, need_attn: bool = True):
         c = self.cfg
         p = c.patch_size
         n, h, w, _ = x.shape

@@ -117,7 +117,8 @@ class ResNet(nn.Module):
     headless: bool = False  # skip pool+fc, return feature map as output
 
     @nn.compact
-    def __call__(self, x, train: bool = False, tap_delta=None):
+    def __call__(self, x, train: bool = False, tap_delta=None,
+                 need_attn: bool = True):  # no-op for CNNs
         # tap_delta: explainability hook — a zero array added to the layer4
         # feature map so d(score)/d(features) is `jax.grad` wrt this arg
         # (GradCAM target layer4[-1], `/root/reference/explain.py:209-210`).

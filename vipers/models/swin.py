@@ -188,7 +188,8 @@ class SwinTransformerV2(nn.Module):
     cfg: SwinV2Config
 
     @nn.compact
-    def __call__(self, x, train: bool = False, tap_delta=None):
+    def __call__(self, x, train: bool = False, tap_delta=None,
+                 need_attn: bool = True):  # windows are small; attn always materialized
         c = self.cfg
         p = c.patch_size
         x = nn.Conv(c.embed_dim, (p, p), strides=(p, p), padding="VALID",

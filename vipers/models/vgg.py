@@ -25,7 +25,8 @@ class VGG16(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x, train: bool = False, tap_delta=None):
+    def __call__(self, x, train: bool = False, tap_delta=None,
+                 need_attn: bool = True):  # no-op for CNNs
         conv_i = 0
         n_pools = sum(1 for v in _CFG_D if v == "M")
         pool_i = 0

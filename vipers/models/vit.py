@@ -49,7 +49,8 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False, token_mask=None):
+    def __call__(self, x, train: bool = False, token_mask=None,
+                 need_attn: bool = True):
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -60,20 +61,30 @@ class MultiHeadAttention(nn.Module):
             return z.reshape(n, t, h, hd).transpose(0, 2, 1, 3)  # (N, h, T, hd)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scale = 1.0 / jnp.sqrt(jnp.asarray(hd, q.dtype))
-        logits = jnp.einsum(
-            "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        if token_mask is not None:
-            # Bucket-pad keys get -1e9: exp underflows to exactly 0.0, so
-            # valid-token outputs are bit-equal to the unbucketed run (pad
-            # contributions are exact zeros in every reduction).
-            logits = jnp.where(token_mask[:, None, None, :], logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        attn_used = attn
-        if train and self.dropout_rate > 0:
-            attn_used = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
-        out = jnp.einsum("nhqk,nhkd->nhqd", attn_used, v)
+        scale = float(hd) ** -0.5  # static python scalar: jit-safe
+
+        use_flash = not need_attn and not (train and self.dropout_rate > 0)
+        if use_flash:
+            # blockwise Pallas kernel: no (T, T) materialization
+            from vipers.ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, valid=token_mask, scale=scale)
+            attn = None
+        else:
+            logits = jnp.einsum(
+                "nhqd,nhkd->nhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            if token_mask is not None:
+                # Bucket-pad keys get -1e9: exp underflows to exactly 0.0,
+                # so valid-token outputs equal the unbucketed run (pad
+                # contributions are exact zeros in every reduction).
+                logits = jnp.where(token_mask[:, None, None, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            attn_used = attn
+            if train and self.dropout_rate > 0:
+                attn_used = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
+            out = jnp.einsum("nhqk,nhkd->nhqd", attn_used, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
         out = nn.Dense(d, name="out")(out)
         return out, attn
@@ -106,7 +117,8 @@ class EncoderBlock(nn.Module):
     attention_dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False, token_mask=None, tap_delta=None):
+    def __call__(self, x, train: bool = False, token_mask=None, tap_delta=None,
+                 need_attn: bool = True):
         ln1 = nn.LayerNorm(epsilon=1e-6, name="ln_1")(x)
         if tap_delta is not None:
             # explainability tap: GradCAM's ViT target layer is the last
@@ -115,7 +127,7 @@ class EncoderBlock(nn.Module):
             ln1 = ln1 + tap_delta
         y, attn = MultiHeadAttention(
             self.num_heads, self.attention_dropout_rate, name="attention"
-        )(ln1, train=train, token_mask=token_mask)
+        )(ln1, train=train, token_mask=token_mask, need_attn=need_attn)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
         z = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
@@ -153,7 +165,7 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, override_pos_embedding=None,
-                 token_mask=None, tap_delta=None):
+                 token_mask=None, tap_delta=None, need_attn: bool = True):
         c = self.cfg
         p = c.patch_size
         n, h, w, _ = x.shape
@@ -199,7 +211,8 @@ class VisionTransformer(nn.Module):
                 c.attention_dropout_rate,
                 name=f"encoder_layer_{i}",
             )(x, train=train, token_mask=token_mask,
-              tap_delta=tap_delta if i == c.num_layers - 1 else None)
+              tap_delta=tap_delta if i == c.num_layers - 1 else None,
+              need_attn=need_attn and i == c.num_layers - 1)
             if i == c.num_layers - 1:
                 # The reference's /scratch dump is clobbered each block; only
                 # the last block's write survives for consumers

