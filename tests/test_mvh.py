@@ -67,3 +67,22 @@ def test_mvh_runner_and_csv(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_heatmap_grid_and_gif(tmp_path):
+    from PIL import Image
+    import numpy as np
+
+    from vipers.viz.heatmap_report import heatmap_gif, heatmap_grid
+
+    paths = []
+    rng = np.random.default_rng(0)
+    for i in range(7):
+        p = str(tmp_path / f"hm_{i}.png")
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(p)
+        paths.append(p)
+    grid = heatmap_grid(paths, str(tmp_path / "grid.png"), per_row=3)
+    gif = heatmap_gif(paths, str(tmp_path / "anim.gif"))
+    import os
+
+    assert os.path.getsize(grid) > 0 and os.path.getsize(gif) > 0
