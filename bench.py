@@ -124,7 +124,20 @@ def bench_tpu():
     jax.block_until_ready(boxes)
     dt = time.perf_counter() - t0
     n_chips = 1  # bench runs single-chip
-    return (BATCH * N_BATCHES) / dt / n_chips
+    throughput = (BATCH * N_BATCHES) / dt / n_chips
+
+    # p50 single-image latency (BASELINE headline mentions p50)
+    one = images[:1]
+    jax.block_until_ready(pipeline(params, one))  # compile batch-1
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        jax.block_until_ready(pipeline(params, one))
+        lats.append(time.perf_counter() - t0)
+    import statistics
+
+    p50_ms = statistics.median(lats) * 1000.0
+    return throughput, p50_ms
 
 
 def bench_torch_reference(n_images: int = 3) -> float:
@@ -225,7 +238,7 @@ def main():
                 },
                 f,
             )
-    value = bench_tpu()
+    value, p50_ms = bench_tpu()
     print(
         json.dumps(
             {
@@ -233,6 +246,7 @@ def main():
                 "value": round(value, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(value / baseline, 3),
+                "p50_latency_ms": round(p50_ms, 3),
             }
         )
     )

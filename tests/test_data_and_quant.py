@@ -220,3 +220,28 @@ def test_native_decoder_matches_shapes_and_falls_back(tmp_path):
     Image.fromarray(arr).save(p2)
     out2 = native.decode_eval(p2, 96, 80)
     assert out2.shape == (80, 80, 3)
+
+
+# ------------------------------------------------------------ auto-augment
+
+def test_auto_augment_policies(rng):
+    from vipers.data.autoaugment import POLICIES, apply_policy
+
+    arr = (rng.random((48, 64, 3)) * 255).astype(np.uint8)
+    for name in POLICIES:
+        out = apply_policy(name, arr, np.random.default_rng(0))
+        assert out.shape == arr.shape and out.dtype == np.uint8, name
+    with pytest.raises(ValueError):
+        apply_policy("bogus", arr, np.random.default_rng(0))
+
+
+def test_train_decode_with_auto_augment(tmp_path, rng):
+    from PIL import Image
+
+    from vipers.data.preprocess import train_decode
+
+    p = str(tmp_path / "a.jpg")
+    Image.fromarray((rng.random((80, 80, 3)) * 255).astype(np.uint8)).save(p)
+    out = train_decode(p, np.random.default_rng(0), crop_size=32,
+                       auto_augment="ra")
+    assert out.shape == (32, 32, 3)

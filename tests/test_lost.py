@@ -221,3 +221,41 @@ def test_lost_end_to_end_corloc(synthetic_voc, tmp_path):
     ds = DiscoveryDataset("VOC07", "trainval", synthetic_voc)
     corloc_re = evaluate_predictions(os.path.join(out, "preds.pkl"), ds)
     assert corloc_txt == pytest.approx(corloc_re, abs=0.1)
+
+
+def test_lost_cnn_path(synthetic_voc, tmp_path):
+    """resnet/vgg feature path: headless features + whole-slab LayerNorm
+    (`main_lost.py:570-600`)."""
+    import argparse
+
+    from vipers.discovery.driver import run_lost
+
+    args = argparse.Namespace(
+        model="resnet50_bottom", arch="resnet", dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, checkpoint="", patch_size=16,
+        which_features="k", k_patches=100, dinoseg=False, dinoseg_head=4,
+        no_hard=False, output_dir=str(tmp_path / "lost_cnn"), iteration=1,
+        visualize=None,
+    )
+    assert run_lost(args) == 0
+    assert os.path.exists(os.path.join(str(tmp_path / "lost_cnn"), "preds.pkl"))
+
+
+def test_lost_dino_path(synthetic_voc, tmp_path):
+    import argparse
+
+    from vipers.discovery.driver import run_lost
+
+    args = argparse.Namespace(
+        model="dino_vit_tiny", arch="dino", dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, checkpoint="", patch_size=16,
+        which_features="k", k_patches=100, dinoseg=False, dinoseg_head=2,
+        no_hard=False, output_dir=str(tmp_path / "lost_dino"), iteration=2,
+        visualize="pred",
+    )
+    assert run_lost(args) == 0
+    out = str(tmp_path / "lost_dino")
+    assert os.path.exists(os.path.join(out, "results_iteration_02.txt"))
+    import glob as g
+
+    assert g.glob(os.path.join(out, "*_pred.png"))  # visualization written

@@ -33,6 +33,7 @@ class TrainConfig:
     # optimization
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     # augmentation
+    auto_augment: str = ""  # ra | ta_wide | augmix | imagenet
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
     random_erase: float = 0.0
@@ -80,6 +81,8 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr-warmup-epochs", type=int, default=0)
     p.add_argument("--lr-warmup-method", default="constant")
     p.add_argument("--lr-warmup-decay", type=float, default=0.01)
+    p.add_argument("--auto-augment", default="",
+                   help="ra | ta_wide | augmix | imagenet (presets.py:30-48)")
     p.add_argument("--mixup-alpha", type=float, default=0.0)
     p.add_argument("--cutmix-alpha", type=float, default=0.0)
     p.add_argument("--random-erase", type=float, default=0.0)
@@ -121,7 +124,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         target_sparsity=args.target_sparsity, pruning_rate=args.pruning_rate,
         pruning_threshold=args.pruning_threshold,
         starting_pruning_iteration=args.starting_pruning_iteration,
-        optim=optim, mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
+        optim=optim, auto_augment=getattr(args, "auto_augment", ""),
+        mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         random_erase=args.random_erase, model_ema=args.model_ema,
         model_ema_steps=args.model_ema_steps, model_ema_decay=args.model_ema_decay,
         seed=args.seed, amp=args.amp,

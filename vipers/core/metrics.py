@@ -132,9 +132,21 @@ class MetricsWriter:
     `/root/reference/lost_performance_plot.py:72-89`).
     """
 
-    def __init__(self, path: Optional[str], also_print: bool = False):
+    def __init__(self, path: Optional[str], also_print: bool = False,
+                 wandb_run=None, use_wandb: bool = False):
         self.path = path
         self.also_print = also_print
+        # Optional wandb adapter (the reference logs per-epoch scalars to
+        # wandb — `/root/reference/train.py:86-89,546-557`); gated because
+        # the dependency may be absent.
+        self._wandb = wandb_run
+        if use_wandb and wandb_run is None:
+            try:  # pragma: no cover - depends on environment
+                import wandb
+
+                self._wandb = wandb.run or wandb.init(project="vipers")
+            except Exception as e:
+                print(f"[vipers.metrics] wandb unavailable: {e}")
         if path:
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             self._fh = open(path, "a", buffering=1)
@@ -152,6 +164,10 @@ class MetricsWriter:
             self._fh.write(json.dumps(rec) + "\n")
         if self.also_print:
             print(json.dumps(rec))
+        if self._wandb is not None:  # pragma: no cover
+            payload = {f"{tag}/{k}": v for k, v in rec.items()
+                       if k not in ("ts", "tag", "step")}
+            self._wandb.log(payload, step=step)
         return rec
 
     def close(self):

@@ -94,12 +94,17 @@ def random_resized_crop(
 
 
 def train_decode(
-    path: str, rng: np.random.Generator, crop_size: int = 224, hflip_prob: float = 0.5
+    path: str, rng: np.random.Generator, crop_size: int = 224,
+    hflip_prob: float = 0.5, auto_augment: str = "",
 ) -> np.ndarray:
     img = load_image_rgb(path)
     arr = random_resized_crop(img, crop_size, rng)
     if hflip_prob > 0 and rng.random() < hflip_prob:
         arr = arr[:, ::-1]
+    if auto_augment:
+        from vipers.data.autoaugment import apply_policy
+
+        arr = apply_policy(auto_augment, np.ascontiguousarray(arr), rng)
     return np.ascontiguousarray(arr)
 
 

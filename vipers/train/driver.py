@@ -144,7 +144,8 @@ def _train_loader(s: Session, epoch: int):
 
         decode = partial(native.decode_train, crop_size=cfg.train_crop_size)
     else:
-        decode = partial(train_decode, crop_size=cfg.train_crop_size)
+        decode = partial(train_decode, crop_size=cfg.train_crop_size,
+                         auto_augment=cfg.auto_augment)
     return ImageFolderLoader(
         s.train_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=True, seed=cfg.seed + epoch,
