@@ -33,16 +33,20 @@ def snip_saliency(loss_fn: Callable, params, batch, masks=None):
     the masks already applied internally if ``masks`` is given (so gradients
     flow to the raw params, like torch's reparametrized backward).
     """
-    grads = jax.grad(loss_fn)(params, batch)
-    flat_p = M._flat(params)
-    flat_g = M._flat(grads)
-    sal = {}
-    keys = masks.keys() if masks else M.prunable_paths(params)
-    for path in keys:
-        w = flat_p[path].astype(jnp.float32)
-        g = flat_g[path].astype(jnp.float32)
-        sal[path] = jnp.abs(w) * jnp.abs(g)
-    return sal
+    keys = list(masks.keys()) if masks else M.prunable_paths(params)
+
+    @jax.jit
+    def saliency(params, batch):
+        grads = jax.grad(loss_fn)(params, batch)
+        flat_p = M._flat(params)
+        flat_g = M._flat(grads)
+        return {
+            path: jnp.abs(flat_p[path].astype(jnp.float32))
+            * jnp.abs(flat_g[path].astype(jnp.float32))
+            for path in keys
+        }
+
+    return saliency(params, batch)
 
 
 def snip_threshold(saliencies: dict, target_sparsity: float):
