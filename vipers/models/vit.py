@@ -63,9 +63,17 @@ class MultiHeadAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         scale = float(hd) ** -0.5  # static python scalar: jit-safe
 
-        use_flash = not need_attn and not (train and self.dropout_rate > 0)
+        # Blockwise Pallas attention only where it pays: at ViT-B/S scale
+        # (T <= ~2k) XLA's fused einsum+softmax is faster on this hardware
+        # (measured: 585 vs 246 img/s on the LOST bench); the flash kernel's
+        # job is O(T) memory at long sequences (SURVEY §5 "blockwise so long
+        # sequences are memory-safe").
+        use_flash = (
+            not need_attn
+            and not (train and self.dropout_rate > 0)
+            and t > 2048
+        )
         if use_flash:
-            # blockwise Pallas kernel: no (T, T) materialization
             from vipers.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v, valid=token_mask, scale=scale)
@@ -85,6 +93,8 @@ class MultiHeadAttention(nn.Module):
             if train and self.dropout_rate > 0:
                 attn_used = nn.Dropout(self.dropout_rate, deterministic=False)(attn)
             out = jnp.einsum("nhqk,nhkd->nhqd", attn_used, v)
+            if not need_attn:
+                attn = None  # keep the contract: no attn output requested
         out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
         out = nn.Dense(d, name="out")(out)
         return out, attn
