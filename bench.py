@@ -99,7 +99,7 @@ def bench_tpu():
 
     @jax.jit
     def pipeline(params, images):
-        # need_attn=False: blockwise Pallas flash attention, no (T, T)
+        # need_attn=False: skip materializing per-head attention probs
         _logits, aux = spec.module.apply(
             {"params": params}, images, train=False, need_attn=False
         )

@@ -7,7 +7,7 @@ set -euo pipefail
 MODEL=${1:?model}; CKPTS=${2:?ckpt dir}; DATA=${3:?data}; OUT=${4:?out}; LAST=${5:-13}
 for ((i=0; i<=LAST; i++)); do
   NN=$(printf "%02d" "$i")
-  CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | tail -1 || true)
+  CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | sort -V | tail -1 || true)
   python -m vipers.cli.main lost --model "$MODEL" --arch vit \
     --dataset VOC12 --set trainval --data-path "$DATA" \
     ${CKPT:+--checkpoint "$CKPT"} --iteration "$i" \

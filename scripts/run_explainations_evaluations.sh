@@ -7,7 +7,7 @@ MODEL=${1:?model}; CKPTS=${2:?ckpt dir}; VOC=${3:?voc root}; OUT=${4:?out dir}
 FIRST=${5:-0}; LAST=${6:-13}
 for ((i=FIRST; i<=LAST; i++)); do
   NN=$(printf "%02d" "$i")
-  CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | tail -1 || true)
+  CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | sort -V | tail -1 || true)
   python -m vipers.cli.main explain-eval --model "$MODEL" \
     ${CKPT:+--checkpoint "$CKPT"} --voc-root "$VOC" \
     --iteration "$i" --output-dir "$OUT"

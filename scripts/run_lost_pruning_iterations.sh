@@ -8,7 +8,7 @@ FIRST=${5:-0}; LAST=${6:-13}
 for SET in trainval val; do
   for ((i=FIRST; i<=LAST; i++)); do
     NN=$(printf "%02d" "$i")
-    CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | tail -1 || true)
+    CKPT=$(ls -d "$CKPTS"/${MODEL}_epoch_*_pruning_iteration_${NN} 2>/dev/null | sort -V | tail -1 || true)
     python -m vipers.cli.main lost --model "$MODEL" --arch vit \
       --dataset VOC07 --set "$SET" --data-path "$DATA" \
       ${CKPT:+--checkpoint "$CKPT"} --iteration "$i" \

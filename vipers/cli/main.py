@@ -36,6 +36,10 @@ def main(argv=None):
     lost.add_argument("--dinoseg", action="store_true")
     lost.add_argument("--dinoseg-head", type=int, default=4)
     lost.add_argument("--no-hard", action="store_true")
+    lost.add_argument("--coco-annotations", default=None,
+                      help="COCO instances json (required for COCO20k)")
+    lost.add_argument("--coco20k-list", default=None,
+                      help="20k filename list (datasets.py:366-396)")
     lost.add_argument("--output-dir", default="./outputs")
     lost.add_argument("--iteration", type=int, default=0)
     lost.add_argument("--visualize", default=None, choices=[None, "fms", "seed_expansion", "pred"])
@@ -46,6 +50,8 @@ def main(argv=None):
     corloc.add_argument("--set", default="trainval")
     corloc.add_argument("--data-path", default="/data")
     corloc.add_argument("--no-hard", action="store_true")
+    corloc.add_argument("--coco-annotations", default=None)
+    corloc.add_argument("--coco20k-list", default=None)
 
     expl = sub.add_parser("explain", help="attribution heatmaps per checkpoint")
     expl.add_argument("--model", default="resnet50")
@@ -77,6 +83,8 @@ def main(argv=None):
     clus.add_argument("--data-path", default="/data")
     clus.add_argument("--dataset", default="VOC07")
     clus.add_argument("--set", default="trainval")
+    clus.add_argument("--checkpoint", default="",
+                      help="pretrained DINO weights for crop embedding")
 
     mvh = sub.add_parser("mvh", help="model-vs-human distortion benchmarks")
     from vipers.core.config import add_train_args as _ata_mvh

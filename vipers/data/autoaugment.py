@@ -180,7 +180,8 @@ def auto_augment_imagenet(img: Image.Image, rng: np.random.Generator):
     pair = _IMAGENET_POLICY[rng.integers(len(_IMAGENET_POLICY))]
     for name, prob, mag_bin in pair:
         if rng.random() <= prob:
-            img = _apply_op(img, _BY_NAME[name], mag_bin / 30.0, rng)
+            # policy magnitudes are 10-bin indices (0..9)
+            img = _apply_op(img, _BY_NAME[name], mag_bin / 9.0, rng)
     return img
 
 

@@ -132,6 +132,10 @@ class DiscoveryDataset:
 
     # ----------------------------- COCO ------------------------------------
     def _init_coco(self, ann_file, sel_file):
+        if not ann_file:
+            raise ValueError(
+                "COCO datasets need coco_annotations= (instances json); "
+                "pass --coco-annotations on the CLI")
         with open(ann_file) as f:
             coco = json.load(f)
         anns_by_img: Dict[int, List] = {}

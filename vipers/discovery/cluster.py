@@ -24,15 +24,16 @@ from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
 from vipers.discovery.kmeans import kmeans2, whiten
 
 
-def _embed_crops(spec, variables, crops: np.ndarray) -> np.ndarray:
-    """crops: (B, 256, 256, 3) normalized -> L2-normalized CLS features."""
+def _make_embed_fn(spec, variables):
+    """Jitted (B, 256, 256, 3) normalized crops -> L2-normalized CLS
+    features (built once; re-jitting per batch would recompile)."""
 
     @jax.jit
     def fwd(x):
         feats, _aux = spec.module.apply(variables, x, train=False)
         return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
-    return np.asarray(fwd(jnp.asarray(crops)))
+    return fwd
 
 
 def cluster_boxes(
@@ -40,14 +41,28 @@ def cluster_boxes(
     dataset: DiscoveryDataset,
     nb_clusters: int = 20,
     model_name: str = "dino_vit_small",
+    checkpoint: str = "",
     cache_path: str = "",
     seed: int = 0,
 ) -> Dict[str, int]:
-    """{image_name: pseudo_label} for every predicted box."""
+    """{image_name: pseudo_label} for every predicted box.
+
+    ``checkpoint``: pretrained DINO weights (orbax dir or torch .pth). The
+    reference embeds with *pretrained frozen* DINO features
+    (`cluster_for_OD.py:144-160`); random weights give meaningless
+    pseudo-labels, so their absence is warned loudly.
+    """
     spec = build_model(model_name, patch_size=16)
     variables = spec.module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)), train=False
     )
+    if checkpoint:
+        from vipers.discovery.driver import load_lost_checkpoint
+
+        variables, _masks = load_lost_checkpoint(checkpoint, spec, variables)
+    else:
+        print("[vipers.cluster] WARNING: no --checkpoint given; embedding "
+              "with RANDOM weights — pseudo-labels will be meaningless")
 
     names = sorted(preds)
     if cache_path and os.path.exists(cache_path):
@@ -65,9 +80,10 @@ def cluster_boxes(
             crop = crop.resize((256, 256), Image.BILINEAR)
             arr = np.asarray(crop, np.float32) / 255.0
             crops.append((arr - mean) / std)
+        embed = _make_embed_fn(spec, variables)
         feats = np.concatenate(
             [
-                _embed_crops(spec, variables, np.stack(crops[i : i + 16]))
+                np.asarray(embed(jnp.asarray(np.stack(crops[i : i + 16]))))
                 for i in range(0, len(crops), 16)
             ]
         )
@@ -85,7 +101,8 @@ def run_cluster_cli(args) -> int:
     with open(args.preds, "rb") as f:
         preds = pickle.load(f)
     ds = DiscoveryDataset(args.dataset, args.set, args.data_path)
-    labels = cluster_boxes(preds, ds, nb_clusters=args.nb_clusters)
+    labels = cluster_boxes(preds, ds, nb_clusters=args.nb_clusters,
+                           checkpoint=getattr(args, "checkpoint", ""))
     out = os.path.splitext(args.preds)[0] + f"_clusters_{args.nb_clusters}.pkl"
     with open(out, "wb") as f:
         pickle.dump(labels, f)

@@ -97,6 +97,10 @@ def evaluate_predictions(
 
 
 def run_corloc_cli(args) -> int:
-    ds = DiscoveryDataset(args.dataset, args.set, args.data_path, no_hard=args.no_hard)
+    ds = DiscoveryDataset(
+        args.dataset, args.set, args.data_path, no_hard=args.no_hard,
+        coco_annotations=getattr(args, "coco_annotations", None),
+        coco20k_list=getattr(args, "coco20k_list", None),
+    )
     evaluate_predictions(args.preds, ds)
     return 0

@@ -45,7 +45,8 @@ class LostFeatureExtractor:
     """Feature extraction with a bucketed compile cache."""
 
     def __init__(self, spec, variables, masks=None, arch: str = "vit",
-                 which_features: str = "k", bucket: int = 4):
+                 which_features: str = "k", bucket: int = 4,
+                 need_attn: bool = False):
         self.spec = spec
         self.arch = arch
         self.which = which_features
@@ -57,18 +58,10 @@ class LostFeatureExtractor:
         self._pos_cache = {}
 
         @jax.jit
-        def vit_forward(variables, img, pos, token_mask):
+        def transformer_forward(variables, img, pos, token_mask):
             _, aux = spec.module.apply(
                 variables, img, train=False, override_pos_embedding=pos,
-                token_mask=token_mask,
-            )
-            return aux
-
-        @jax.jit
-        def dino_forward(variables, img, pos, token_mask):
-            _, aux = spec.module.apply(
-                variables, img, train=False, override_pos_embedding=pos,
-                token_mask=token_mask,
+                token_mask=token_mask, need_attn=need_attn,
             )
             return aux
 
@@ -83,8 +76,8 @@ class LostFeatureExtractor:
             var = jnp.var(f, axis=(1, 2), keepdims=True)
             return (f - mu) / jnp.sqrt(var + 1e-5), (h, w)
 
-        self._vit_forward = vit_forward
-        self._dino_forward = dino_forward
+        self._vit_forward = transformer_forward
+        self._dino_forward = transformer_forward
         self._cnn_forward = cnn_forward
 
     def _pos_and_mask(self, gh: int, gw: int, GH: int, GW: int):
@@ -163,7 +156,9 @@ class LostFeatureExtractor:
 def run_lost(args) -> int:
     t_start = time.time()
     dataset = DiscoveryDataset(
-        args.dataset, args.set, args.data_path, no_hard=args.no_hard
+        args.dataset, args.set, args.data_path, no_hard=args.no_hard,
+        coco_annotations=getattr(args, "coco_annotations", None),
+        coco20k_list=getattr(args, "coco20k_list", None),
     )
     arch = args.arch
     model_kw = {}

@@ -156,7 +156,8 @@ def split_qkv_dino(qkv_out, num_heads: int):
 
 
 def _build(name, cfg: DinoViTConfig):
-    module = DinoVisionTransformer(cfg=cfg)
+    # DINO pretrains at 224: stored pos_embed grid side = 224 // patch
+    module = DinoVisionTransformer(cfg=cfg, base_grid=224 // cfg.patch_size)
     return ModelSpec(
         name=name,
         module=module,

@@ -82,10 +82,13 @@ class Bottleneck(nn.Module):
         y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = relu(y)
+        # torchvision passes previous_dilation to a dilated stage's first
+        # block and the new dilation afterwards (resnet._make_layer); the
+        # ResNet loop below sets prev_dilation accordingly.
         y = nn.Conv(
             self.filters, (3, 3), strides=(self.strides, self.strides),
-            kernel_dilation=(self.dilation, self.dilation),
-            padding=[(self.dilation,) * 2] * 2, use_bias=False, name="conv2",
+            kernel_dilation=(self.prev_dilation, self.prev_dilation),
+            padding=[(self.prev_dilation,) * 2] * 2, use_bias=False, name="conv2",
         )(y)
         y = self.norm(name="bn2")(y)
         y = relu(y)

@@ -7,8 +7,11 @@ hand-edited torchvision internals dumping qkv/attention to disk
 (`main_lost.py:512-513`).  Here the model returns them:
 
     logits, aux = model.apply(vars, x)
-    aux["qkv"]:  (N, T, 3C) last block's window-attention qkv output,
-                 re-assembled to image token order
+    aux["qkv"]:  (N, T, 3C) last block's window-attention qkv output in
+                 window-major token order — the reference's own swin LOST
+                 consumes a single window's tokens (its w_featmap comes from
+                 sqrt(attn.shape[-2]) == the window side, `main_lost.py:517`),
+                 so window order is what its pipeline actually sees
     aux["features"]: (N, H/32, W/32, 8C) final feature map (GradCAM tap)
 
 Architecture per SwinV2 (arXiv:2111.09883), torchvision config swin_v2_t:

@@ -85,6 +85,7 @@ def _flash_fwd(q, k, v, valid, scale, block_q, block_k):
     vf = v.reshape(b * h, t, hd)
     validf = jnp.broadcast_to(valid[:, None, :], (b, h, t)).reshape(b * h, 1, t)
 
+    assert t % bq == 0 and t % min(block_k, t) == 0, (t, bq, block_k)
     out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, block_k=min(block_k, t), scale=scale),
         grid=grid,
@@ -151,7 +152,6 @@ def flash_attention(
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
-    interpret: Optional[bool] = None,
 ):
     """(B, H, T, D) attention without materializing (T, T).
 
@@ -170,13 +170,18 @@ def flash_attention(
         out, _ = attention_reference(q, k, v, scale=scale, mask=mask)
         return out
 
+    import math
+
     bq = min(block_q, _round_up(t, 8))
-    pad_t = _round_up(t, max(bq, min(block_k, t)))
+    bk = min(block_k, _round_up(t, 8))
+    # pad T to a common multiple of both block sizes so the q-grid and the
+    # k-loop cover every (padded) position exactly
+    pad_t = _round_up(t, math.lcm(bq, bk))
     if pad_t != t:
         padder = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
         q, k, v = padder(q), padder(k), padder(v)
         valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
-    out = _flash(q, k, v, valid, scale, bq, block_k)
+    out = _flash(q, k, v, valid, scale, bq, bk)
     return out[:, :, :t, :]
 
 

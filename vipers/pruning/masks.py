@@ -136,12 +136,10 @@ def sparsity_report(params, masks: MaskTree) -> Dict[str, float]:
     }
 
 
-def concat_masked_scores(scores: MaskTree, masks: MaskTree = None):
-    """Flatten score arrays (optionally only where mask==1) into one vector.
-
-    Deterministic order = sorted path order. Returns (vector, layout) where
-    layout = [(path, shape, size), ...] for scattering results back.
-    """
+def concat_masked_scores(scores: MaskTree):
+    """Flatten score arrays into one vector (deterministic sorted-path
+    order). Returns (vector, layout) where layout = [(path, shape, size)]
+    for scattering results back."""
     vec = []
     layout = []
     for path in sorted(scores):

@@ -105,6 +105,7 @@ def build_session(cfg: TrainConfig) -> Session:
         spec.module.apply, tx, cfg.num_classes, cfg.optim.label_smoothing,
         compute_dtype=compute_dtype, ema_decay=ema_decay,
         ema_every=cfg.model_ema_steps,
+        ema_warmup_steps=cfg.optim.lr_warmup_epochs * steps_per_epoch,
     )
     eval_step = make_eval_step(
         spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing, compute_dtype
@@ -142,7 +143,8 @@ def _train_loader(s: Session, epoch: int):
     if cfg.native_decode:
         from vipers.data import native
 
-        decode = partial(native.decode_train, crop_size=cfg.train_crop_size)
+        decode = partial(native.decode_train, crop_size=cfg.train_crop_size,
+                         auto_augment=cfg.auto_augment)
     else:
         decode = partial(train_decode, crop_size=cfg.train_crop_size,
                          auto_augment=cfg.auto_augment)
@@ -254,6 +256,13 @@ def run_magnitude(s: Session):
     rows = []
     while sparsity < cfg.pruning_threshold:
         print(f"Pruning iteration: {it} (sparsity {sparsity:.2f}%)")
+        # The reference recreates optimizer + lr_scheduler for every
+        # train_model_to_completion call (train.py:460-461): restart the
+        # schedule (step=0) and momentum for each pruning iteration.
+        s.state = s.state.replace(
+            step=jnp.zeros((), jnp.int32),
+            opt_state=s.tx.init(s.state.params),
+        )
         state, acc1 = train_model_to_completion(
             s.train_step, s.eval_step, s.state,
             lambda e: _train_loader(s, e), lambda: _val_loader(s),

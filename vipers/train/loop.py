@@ -35,9 +35,11 @@ def train_one_epoch(
     ):
         t0 = time.time()
         if normalize_fn is not None:
-            images = normalize_fn(images)
+            # per-batch rng stream enables RandomErasing inside normalize
+            erase_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x45), i)
+            images = normalize_fn(images, rng=erase_rng)
         if mixup_fn is not None:
-            mix_rng = jax.random.fold_in(rng, i * 2 + 1)
+            mix_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x4d), i)
             images, labels = mixup_fn(mix_rng, images, labels)
         state, metrics = train_step(state, (images, labels), rng)
         metrics = jax.device_get(metrics)

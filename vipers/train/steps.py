@@ -70,6 +70,7 @@ def make_train_step(
     compute_dtype=jnp.float32,
     ema_decay: Optional[float] = None,
     ema_every: int = 1,
+    ema_warmup_steps: int = 0,
     donate: bool = True,
 ):
     """Returns jitted ``step(state, batch, dropout_rng) -> (state, metrics)``.
@@ -119,9 +120,12 @@ def make_train_step(
         ema_params, ema_bs = state.ema_params, state.ema_batch_stats
         if ema_decay is not None and ema_params is not None:
             do_ema = (state.step % ema_every) == 0
+            # During LR warmup the reference keeps copying weights into the
+            # EMA (n_averaged reset, train.py:69-73): decay 0 until then.
+            decay_eff = jnp.where(state.step < ema_warmup_steps, 0.0, ema_decay)
 
             def upd(e, p):
-                return jnp.where(do_ema, ema_decay * e + (1 - ema_decay) * p, e)
+                return jnp.where(do_ema, decay_eff * e + (1 - decay_eff) * p, e)
 
             ema_params = jax.tree.map(upd, ema_params, params)
             if ema_bs is not None and new_bs is not None:
