@@ -199,3 +199,15 @@ def test_average_and_export_checkpoints(tmp_path):
     assert "weights-" in out
     slim = restore_checkpoint(out)
     assert "params" in slim and "epoch" not in slim
+
+
+def test_async_checkpoint_roundtrip(tmp_path):
+    from vipers.core.checkpoint import (restore_checkpoint, save_checkpoint,
+                                        wait_for_checkpoints)
+
+    tree = {"params": {"w": np.arange(5, dtype=np.float32)}}
+    p = str(tmp_path / "async_ckpt")
+    save_checkpoint(p, tree, use_async=True)
+    wait_for_checkpoints()
+    out = restore_checkpoint(p)
+    np.testing.assert_array_equal(out["params"]["w"], tree["params"]["w"])

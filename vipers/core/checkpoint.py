@@ -30,10 +30,29 @@ import orbax.checkpoint as ocp
 
 # ------------------------------ orbax -------------------------------------
 
-def save_checkpoint(path: str, tree, force: bool = True):
+_ASYNC: Optional["ocp.AsyncCheckpointer"] = None
+
+
+def save_checkpoint(path: str, tree, force: bool = True, use_async: bool = False):
+    """Save a pytree checkpoint; ``use_async=True`` writes in a background
+    thread (orbax AsyncCheckpointer) so training never blocks on IO — the
+    elastic-recovery story SURVEY §5 asks for (the reference blocks on
+    torch.save every epoch, `/root/reference/train.py:518-521`)."""
+    global _ASYNC
     path = os.path.abspath(path)
+    if use_async:
+        if _ASYNC is None:
+            _ASYNC = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+        _ASYNC.save(path, tree, force=force)
+        return
     ckptr = ocp.PyTreeCheckpointer()
     ckptr.save(path, tree, force=force)
+
+
+def wait_for_checkpoints():
+    """Block until pending async saves are durably written."""
+    if _ASYNC is not None:
+        _ASYNC.wait_until_finished()
 
 
 def restore_checkpoint(path: str, target=None):

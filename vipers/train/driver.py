@@ -211,10 +211,12 @@ def _checkpoint_fn(s: Session, method: str, tag):
         if state.ema_params is not None:
             tree["ema_params"] = state.ema_params
         if latest:
+            # rolling latest: async so the epoch loop never blocks on IO
             name = f"{cfg.model}_checkpoint_{method}_{tag}"
+            save_checkpoint(os.path.join(cfg.output_dir, name), tree, use_async=True)
         else:
             name = f"{cfg.model}_epoch_{epoch}_{method}_{tag}"
-        save_checkpoint(os.path.join(cfg.output_dir, name), tree)
+            save_checkpoint(os.path.join(cfg.output_dir, name), tree)
 
     return save
 
@@ -314,6 +316,10 @@ def resume_session(s: Session, path: str) -> int:
 
 
 def run(cfg: TrainConfig):
+    from vipers.core.checkpoint import wait_for_checkpoints
+    import atexit
+
+    atexit.register(wait_for_checkpoints)
     os.makedirs(cfg.output_dir, exist_ok=True)
     s = build_session(cfg)
     start_epoch = 0

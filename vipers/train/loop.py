@@ -140,5 +140,10 @@ def train_model_to_completion(
             checkpoint_fn(state, epoch, sparsity)
         if checkpoint_fn is not None:
             checkpoint_fn(state, epoch, sparsity, latest=True)
+    if checkpoint_fn is not None:
+        # flush the async rolling-latest save before handing state back
+        from vipers.core.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()
     print(f"Training time {time.time() - t_start:.0f}s")
     return state, last_acc1
