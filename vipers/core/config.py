@@ -45,6 +45,8 @@ class TrainConfig:
     seed: int = 42
     amp: bool = False  # bf16 compute on TPU
     native_decode: bool = False  # C++ libjpeg fast path (csrc/decode.cc)
+    profile_dir: str = ""  # write a jax.profiler device trace here
+    debug_nans: bool = False  # jax debug_nans sanitizer
     print_freq: int = 100
     output_dir: str = "./output"
     resume: str = ""
@@ -93,6 +95,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--amp", action="store_true", help="bf16 compute")
     p.add_argument("--native-decode", action="store_true",
                    help="C++ libjpeg decode fast path (approximate resize)")
+    p.add_argument("--profile-dir", default="",
+                   help="capture a jax.profiler device trace of epoch 0")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="fail fast on NaNs anywhere under jit")
     p.add_argument("--print-freq", type=int, default=100)
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--resume", default="")
@@ -130,6 +136,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         model_ema_steps=args.model_ema_steps, model_ema_decay=args.model_ema_decay,
         seed=args.seed, amp=args.amp,
         native_decode=getattr(args, "native_decode", False),
+        profile_dir=getattr(args, "profile_dir", ""),
+        debug_nans=getattr(args, "debug_nans", False),
         print_freq=args.print_freq,
         output_dir=args.output_dir, resume=args.resume, test_only=args.test_only,
     )

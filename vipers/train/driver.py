@@ -223,6 +223,8 @@ def _checkpoint_fn(s: Session, method: str, tag):
 
 def run_snip(s: Session, initial_epoch: int = 0):
     """SNIP path (`train.py:618-654`): prune once -> train to completion."""
+    from vipers.core.profiling import device_trace
+
     cfg = s.cfg
     if initial_epoch == 0:
         images, labels = next(iter(_train_loader(s, 0)))
@@ -237,15 +239,16 @@ def run_snip(s: Session, initial_epoch: int = 0):
     print(f"Sparsity after SNIP pruning: {sparsity:.2f}%")
     s.writer.write("prune", step=0, method="snip", sparsity=sparsity)
 
-    state, acc1 = train_model_to_completion(
-        s.train_step, s.eval_step, s.state,
-        lambda e: _train_loader(s, e), lambda: _val_loader(s),
-        cfg.optim.epochs, s.rng, initial_epoch=initial_epoch,
+    with device_trace(cfg.profile_dir or None):
+        state, acc1 = train_model_to_completion(
+            s.train_step, s.eval_step, s.state,
+            lambda e: _train_loader(s, e), lambda: _val_loader(s),
+            cfg.optim.epochs, s.rng, initial_epoch=initial_epoch,
         normalize_fn=s.normalize, mixup_fn=s.mixup,
-        checkpoint_fn=_checkpoint_fn(s, "snip", cfg.target_sparsity),
-        sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
-        eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
-    )
+            checkpoint_fn=_checkpoint_fn(s, "snip", cfg.target_sparsity),
+            sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
+            eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
+        )
     s.state = state
     return sparsity, acc1
 
@@ -320,6 +323,10 @@ def run(cfg: TrainConfig):
     import atexit
 
     atexit.register(wait_for_checkpoints)
+    if cfg.debug_nans:
+        from vipers.core.profiling import enable_nan_check
+
+        enable_nan_check(True)
     os.makedirs(cfg.output_dir, exist_ok=True)
     s = build_session(cfg)
     start_epoch = 0
