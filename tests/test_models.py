@@ -144,3 +144,15 @@ def test_dino_qkv_split_matches_torch_layout():
     tk = qkv[1].transpose(1, 2).reshape(n, t, -1)
     jq, jk, jv = split_qkv_dino(jnp.asarray(qkv_out.numpy()), nh)
     np.testing.assert_allclose(np.asarray(jk), tk.numpy(), atol=0)
+
+
+def test_mobilenet_v2_and_quantized_aliases():
+    spec = build_model("mobilenet_v2", num_classes=6)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    logits, aux = spec.module.apply(variables, x, train=False)
+    assert logits.shape == (1, 6)
+    assert aux["features"].shape == (1, 2, 2, 1280)  # stride 32, 1280 head
+    qspec = build_model("quantized_mobilenet_v2", num_classes=6)
+    assert qspec.extra.get("quantized") is True
+    assert "quantized_resnet50" in list_models()

@@ -103,7 +103,7 @@ def _ensure_builtins_imported():
     if _IMPORTED:
         return
     _IMPORTED = True
-    from vipers.models import resnet, vgg, vit, dino_vit  # noqa: F401
+    from vipers.models import resnet, vgg, vit, dino_vit, mobilenet  # noqa: F401
 
     try:
         from vipers.models import swin  # noqa: F401
