@@ -198,3 +198,32 @@ def test_explain_eval_contract(tmp_path):
         assert lines[2] == "On a total of 2 images."
         mass = float(lines[0].split(":")[1])
         assert 0.0 <= mass <= 1.0
+
+
+# ------------------------------------------------------------------- LRP
+
+def test_lrp_conservation_single_layer():
+    """epsilon-LRP conservation: sum of input relevance equals the output
+    relevance for a bias-free linear layer (eps -> 0)."""
+    from vipers.explain.lrp import _lrp_wrap
+
+    k = jnp.asarray(np.random.default_rng(0).normal(size=(6, 4)).astype(np.float32))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(1, 6)).astype(np.float32))
+    y, vjp = jax.vjp(lambda xx: _lrp_wrap(lambda z: z @ k, xx, 1e-9), x)
+    r_out = np.zeros((1, 4), np.float32)
+    r_out[0, 2] = float(y[0, 2])
+    (r_in,) = vjp(jnp.asarray(r_out))
+    assert float(jnp.sum(r_in)) == pytest.approx(float(y[0, 2]), rel=1e-5)
+
+
+def test_lrp_end_to_end_resnet():
+    from vipers.core.registry import build_model
+    from vipers.explain.lrp import lrp_attribution
+
+    spec = build_model("resnet18", num_classes=4)
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(1, 32, 32, 3)), jnp.float32)
+    variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+    rel, t = lrp_attribution(spec.module.apply, variables, x)
+    assert rel.shape == (32, 32, 3)
+    assert np.isfinite(rel).all() and np.abs(rel).sum() > 0
+    assert 0 <= t < 4

@@ -58,7 +58,8 @@ def main(argv=None):
     expl.add_argument("--checkpoint", default="")
     expl.add_argument("--data-path", default="/data/imagenet")
     expl.add_argument("--methods", nargs="+",
-                      default=["gradcam", "guided_gradcam", "ig", "attention"])
+                      default=["gradcam", "guided_gradcam", "ig", "attention"],
+                      help="any of: gradcam guided_gradcam ig attention lrp")
     expl.add_argument("--num-classes-sample", type=int, default=200)
     expl.add_argument("--output-dir", default="./explanations")
 

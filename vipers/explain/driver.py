@@ -115,6 +115,12 @@ def compute_heatmaps(
         rng = jax.random.PRNGKey(0) if rng is None else rng
         attr = sg(rng, x, jnp.asarray([int(np.argmax(out["prediction"]))]))
         out["ig"] = np.transpose(np.asarray(attr[0]), (2, 0, 1))  # CHW like captum
+    if "lrp" in methods:
+        from vipers.explain.lrp import lrp_attribution
+
+        kwargs = {"override_pos_embedding": pos} if pos is not None else {}
+        rel, _t = lrp_attribution(spec.module.apply, variables, x, **kwargs)
+        out["lrp"] = np.transpose(rel, (2, 0, 1))  # CHW like captum
     if "attention" in methods and is_vit:
         out["attention"] = vit_attention_heatmap(
             aux["attn"], (h // spec.patch_size, w // spec.patch_size), (h, w)
