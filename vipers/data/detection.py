@@ -84,6 +84,21 @@ def parse_voc_xml(path: str) -> Dict:
     return {"annotation": ann}
 
 
+class ImageDataset:
+    """Single-image dataset at native resolution (`datasets.py:45-82`):
+    decode + ImageNet-normalize, NO resize."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.name = os.path.basename(path)
+
+    def __iter__(self):
+        yield load_image_normalized(self.path), self.name
+
+    def load(self) -> np.ndarray:
+        return load_image_normalized(self.path)
+
+
 class DiscoveryDataset:
     """Enumerates (image_path, image_name, annotation) for VOC07/VOC12/COCO20k.
 

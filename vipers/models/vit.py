@@ -269,8 +269,22 @@ def split_qkv_torchvision(qkv_dump, num_heads: int):
     return flat(q), flat(k), flat(v)
 
 
+# Published torchvision IMAGENET1K_V1 metrics for the matching checkpoints
+# (the reference's WeightsEnum metadata, `vision_transformer.py:363-608`) —
+# carried so downstream tooling can report expected accuracy after import.
+_PUBLISHED_ACC = {
+    "vit_b_16": {"acc1": 81.072, "acc5": 95.318},
+    "vit_b_32": {"acc1": 75.912, "acc5": 92.466},
+    "vit_l_16": {"acc1": 79.662, "acc5": 94.638},
+    "vit_l_32": {"acc1": 76.972, "acc5": 93.07},
+}
+
+
 def _build(name, cfg: ViTConfig, image_size=(224, 224)):
     module = VisionTransformer(cfg=cfg, image_size=tuple(image_size))
+    extra = {"num_heads": cfg.num_heads, "hidden_dim": cfg.hidden_dim}
+    if name in _PUBLISHED_ACC:
+        extra["published"] = _PUBLISHED_ACC[name]
     return ModelSpec(
         name=name,
         module=module,
@@ -279,7 +293,7 @@ def _build(name, cfg: ViTConfig, image_size=(224, 224)):
         prune_exclude=("qkv",),
         patch_size=cfg.patch_size,
         family="vit",
-        extra={"num_heads": cfg.num_heads, "hidden_dim": cfg.hidden_dim},
+        extra=extra,
     )
 
 
