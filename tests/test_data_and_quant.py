@@ -245,3 +245,16 @@ def test_train_decode_with_auto_augment(tmp_path, rng):
     out = train_decode(p, np.random.default_rng(0), crop_size=32,
                        auto_augment="ra")
     assert out.shape == (32, 32, 3)
+
+
+def test_image_dataset_single(tmp_path, rng):
+    from PIL import Image
+
+    from vipers.data.detection import ImageDataset
+
+    p = str(tmp_path / "one.jpg")
+    Image.fromarray((rng.random((20, 30, 3)) * 255).astype(np.uint8)).save(p)
+    ds = ImageDataset(p)
+    (img, name), = list(ds)
+    assert img.shape == (20, 30, 3) and name == "one.jpg"
+    assert abs(float(img.mean())) < 5  # normalized

@@ -259,3 +259,21 @@ def test_lost_dino_path(synthetic_voc, tmp_path):
     import glob as g
 
     assert g.glob(os.path.join(out, "*_pred.png"))  # visualization written
+
+
+def test_dinoseg_path_vit(synthetic_voc, tmp_path):
+    """--dinoseg with a torchvision-style ViT: attention must materialize
+    (regression for the need_attn wiring)."""
+    import argparse
+
+    from vipers.discovery.driver import run_lost
+
+    args = argparse.Namespace(
+        model="vit_s_16", arch="vit", dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, checkpoint="", patch_size=16,
+        which_features="k", k_patches=100, dinoseg=True, dinoseg_head=2,
+        no_hard=False, output_dir=str(tmp_path / "dinoseg_out"), iteration=0,
+        visualize=None,
+    )
+    assert run_lost(args) == 0
+    assert os.path.exists(os.path.join(str(tmp_path / "dinoseg_out"), "preds.pkl"))

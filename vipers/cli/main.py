@@ -86,6 +86,8 @@ def main(argv=None):
     clus.add_argument("--set", default="trainval")
     clus.add_argument("--checkpoint", default="",
                       help="pretrained DINO weights for crop embedding")
+    clus.add_argument("--coco-annotations", default=None)
+    clus.add_argument("--coco20k-list", default=None)
 
     mvh = sub.add_parser("mvh", help="model-vs-human distortion benchmarks")
     from vipers.core.config import add_train_args as _ata_mvh

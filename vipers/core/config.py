@@ -45,7 +45,7 @@ class TrainConfig:
     seed: int = 42
     amp: bool = False  # bf16 compute on TPU
     native_decode: bool = False  # C++ libjpeg fast path (csrc/decode.cc)
-    profile_dir: str = ""  # write a jax.profiler device trace here
+    profile_dir: str = ""  # jax.profiler device trace of the (first) training run
     debug_nans: bool = False  # jax debug_nans sanitizer
     print_freq: int = 100
     output_dir: str = "./output"
@@ -96,7 +96,7 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--native-decode", action="store_true",
                    help="C++ libjpeg decode fast path (approximate resize)")
     p.add_argument("--profile-dir", default="",
-                   help="capture a jax.profiler device trace of epoch 0")
+                   help="capture a jax.profiler device trace of the training run")
     p.add_argument("--debug-nans", action="store_true",
                    help="fail fast on NaNs anywhere under jit")
     p.add_argument("--print-freq", type=int, default=100)

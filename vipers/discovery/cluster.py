@@ -100,7 +100,11 @@ def cluster_boxes(
 def run_cluster_cli(args) -> int:
     with open(args.preds, "rb") as f:
         preds = pickle.load(f)
-    ds = DiscoveryDataset(args.dataset, args.set, args.data_path)
+    ds = DiscoveryDataset(
+        args.dataset, args.set, args.data_path,
+        coco_annotations=getattr(args, "coco_annotations", None),
+        coco20k_list=getattr(args, "coco20k_list", None),
+    )
     labels = cluster_boxes(preds, ds, nb_clusters=args.nb_clusters,
                            checkpoint=getattr(args, "checkpoint", ""))
     out = os.path.splitext(args.preds)[0] + f"_clusters_{args.nb_clusters}.pkl"

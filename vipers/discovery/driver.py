@@ -178,6 +178,8 @@ def run_lost(args) -> int:
         # dino_seg thresholds raw CLS-attention mass over all tokens; run it
         # at exact shapes so bucket-pad tokens don't enter the mass.
         bucket=1 if args.dinoseg else 4,
+        # only dino_seg consumes the per-head attention probs
+        need_attn=bool(args.dinoseg),
     )
     acc = CorLocAccumulator()
     n_imgs = 0

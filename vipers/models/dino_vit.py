@@ -36,7 +36,7 @@ class DinoAttention(nn.Module):
     num_heads: int
 
     @nn.compact
-    def __call__(self, x, token_mask=None):
+    def __call__(self, x, token_mask=None, need_attn: bool = True):
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
@@ -53,7 +53,7 @@ class DinoAttention(nn.Module):
         out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
         out = nn.Dense(d, name="proj")(out)
-        return out, attn, qkv_out
+        return out, (attn if need_attn else None), qkv_out
 
 
 class DinoBlock(nn.Module):
@@ -61,10 +61,11 @@ class DinoBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x, token_mask=None):
+    def __call__(self, x, token_mask=None, need_attn: bool = True):
         d = x.shape[-1]
         y, attn, qkv_out = DinoAttention(self.num_heads, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), token_mask=token_mask
+            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), token_mask=token_mask,
+            need_attn=need_attn,
         )
         x = x + y
         z = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
@@ -117,7 +118,8 @@ class DinoVisionTransformer(nn.Module):
         attn = qkv_out = None
         for i in range(c.depth):
             x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(
-                x, token_mask=token_mask)
+                x, token_mask=token_mask,
+                need_attn=need_attn and i == c.depth - 1)
             if i == c.depth - 1:
                 attn, qkv_out = attn_i, qkv_i
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)

@@ -170,13 +170,14 @@ def flash_attention(
         out, _ = attention_reference(q, k, v, scale=scale, mask=mask)
         return out
 
-    import math
-
     bq = min(block_q, _round_up(t, 8))
-    bk = min(block_k, _round_up(t, 8))
-    # pad T to a common multiple of both block sizes so the q-grid and the
-    # k-loop cover every (padded) position exactly
-    pad_t = _round_up(t, math.lcm(bq, bk))
+    # pad to a q-block multiple, then clamp the k-block to a divisor of the
+    # padded length (bq always divides it) — keeps padding <= bq extra
+    # tokens instead of lcm blowups for odd block combinations
+    pad_t = _round_up(t, bq)
+    bk = min(block_k, pad_t)
+    if pad_t % bk:
+        bk = bq
     if pad_t != t:
         padder = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
         q, k, v = padder(q), padder(k), padder(v)

@@ -253,32 +253,40 @@ def run_snip(s: Session, initial_epoch: int = 0):
     return sparsity, acc1
 
 
-def run_magnitude(s: Session):
+def run_magnitude(s: Session, resuming: bool = False):
     """LRR path (`train.py:656-708`): loop train -> prune -> recount."""
+    from vipers.core.profiling import device_trace
+
     cfg = s.cfg
     sparsity = compute_sparsity_global(s.state.params, s.state.masks)
     it = cfg.starting_pruning_iteration
     rows = []
+    first = True
     while sparsity < cfg.pruning_threshold:
         print(f"Pruning iteration: {it} (sparsity {sparsity:.2f}%)")
         # The reference recreates optimizer + lr_scheduler for every
         # train_model_to_completion call (train.py:460-461): restart the
-        # schedule (step=0) and momentum for each pruning iteration.
-        s.state = s.state.replace(
-            step=jnp.zeros((), jnp.int32),
-            opt_state=s.tx.init(s.state.params),
-        )
-        state, acc1 = train_model_to_completion(
-            s.train_step, s.eval_step, s.state,
-            lambda e: _train_loader(s, e), lambda: _val_loader(s),
-            cfg.optim.epochs, jax.random.fold_in(s.rng, it),
-            normalize_fn=s.normalize, mixup_fn=s.mixup,
-            # filename contract: {model}_epoch_{e}_pruning_iteration_{NN}
-            # (`/root/reference/main_lost.py:346`, `evaluate_models.py:230`)
-            checkpoint_fn=_checkpoint_fn(s, "pruning_iteration", f"{it:02d}"),
-            sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
-            eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
-        )
+        # schedule (step=0) and momentum for each pruning iteration —
+        # except when resuming mid-iteration, where the restored
+        # opt_state/step must survive.
+        if not (first and resuming):
+            s.state = s.state.replace(
+                step=jnp.zeros((), jnp.int32),
+                opt_state=s.tx.init(s.state.params),
+            )
+        first = False
+        with device_trace((cfg.profile_dir or None) if it == cfg.starting_pruning_iteration else None):
+            state, acc1 = train_model_to_completion(
+                s.train_step, s.eval_step, s.state,
+                lambda e: _train_loader(s, e), lambda: _val_loader(s),
+                cfg.optim.epochs, jax.random.fold_in(s.rng, it),
+                normalize_fn=s.normalize, mixup_fn=s.mixup,
+                # filename contract: {model}_epoch_{e}_pruning_iteration_{NN}
+                # (`/root/reference/main_lost.py:346`, `evaluate_models.py:230`)
+                checkpoint_fn=_checkpoint_fn(s, "pruning_iteration", f"{it:02d}"),
+                sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
+                eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
+            )
         rows.append((acc1, sparsity))
         masks = magnitude_prune(state.params, state.masks, cfg.pruning_rate)
         # Bake: zero pruned weights immediately (torch remask-on-forward).
@@ -337,5 +345,5 @@ def run(cfg: TrainConfig):
     if cfg.pruning_method == "snip":
         return run_snip(s, initial_epoch=start_epoch)
     if cfg.pruning_method == "magnitude":
-        return run_magnitude(s)
+        return run_magnitude(s, resuming=bool(cfg.resume))
     raise ValueError(f"Unsupported pruning method {cfg.pruning_method!r}")
