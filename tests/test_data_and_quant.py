@@ -258,3 +258,24 @@ def test_image_dataset_single(tmp_path, rng):
     (img, name), = list(ds)
     assert img.shape == (20, 30, 3) and name == "one.jpg"
     assert abs(float(img.mean())) < 5  # normalized
+
+
+def test_imagefolder_listing_cache(tmp_path, rng):
+    from PIL import Image
+
+    from vipers.data.imagefolder import ImageFolder
+
+    root = tmp_path / "ds"
+    for c in ("x", "y"):
+        (root / c).mkdir(parents=True)
+        Image.fromarray((rng.random((8, 8, 3)) * 255).astype(np.uint8)).save(
+            root / c / "a.jpg")
+    cache = str(tmp_path / "cache")
+    ds1 = ImageFolder(str(root), cache_dir=cache)
+    import os
+
+    assert len(os.listdir(cache)) == 1
+    # second construction loads from the cache (remove the files to prove it)
+    (root / "x" / "a.jpg").unlink()
+    ds2 = ImageFolder(str(root), cache_dir=cache)
+    assert ds2.samples == ds1.samples

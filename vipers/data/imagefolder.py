@@ -19,10 +19,26 @@ IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".bmp", ".webp", ".ppm")
 
 
 class ImageFolder:
-    """Directory-per-class dataset: root/<class>/<image>."""
+    """Directory-per-class dataset: root/<class>/<image>.
 
-    def __init__(self, root: str):
+    ``cache_dir``: persist the file listing keyed by sha1(root) — the
+    reference's on-disk dataset cache (`/root/reference/train.py:144-150`);
+    scanning ImageNet's 1.28M files takes minutes, loading the cache doesn't.
+    """
+
+    def __init__(self, root: str, cache_dir: str = ""):
+        import hashlib
+        import pickle
+
         self.root = root
+        cache_path = None
+        if cache_dir:
+            h = hashlib.sha1(os.path.abspath(root).encode()).hexdigest()
+            cache_path = os.path.join(cache_dir, f"imagefolder_{h}.pkl")
+            if os.path.exists(cache_path):
+                with open(cache_path, "rb") as f:
+                    self.classes, self.class_to_idx, self.samples = pickle.load(f)
+                return
         classes = sorted(
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
         )
@@ -36,6 +52,10 @@ class ImageFolder:
             for fname in sorted(os.listdir(cdir)):
                 if fname.lower().endswith(IMG_EXTENSIONS):
                     self.samples.append((os.path.join(cdir, fname), self.class_to_idx[c]))
+        if cache_path:
+            os.makedirs(cache_dir, exist_ok=True)
+            with open(cache_path, "wb") as f:
+                pickle.dump((self.classes, self.class_to_idx, self.samples), f)
 
     def __len__(self):
         return len(self.samples)
