@@ -277,3 +277,91 @@ def test_dinoseg_path_vit(synthetic_voc, tmp_path):
     )
     assert run_lost(args) == 0
     assert os.path.exists(os.path.join(str(tmp_path / "dinoseg_out"), "preds.pkl"))
+
+
+# ------------------------------------------------- batched product pipeline
+
+def test_scrambled_qkv_gather_matches_host_split():
+    """The on-device row-gather closed form must reproduce
+    split_qkv_torchvision(stacked_qkv_dump(x)) for every modality."""
+    from vipers.models.vit import (
+        scrambled_qkv_gather,
+        split_qkv_torchvision,
+        stacked_qkv_dump,
+    )
+
+    rng = np.random.default_rng(7)
+    nh = 4
+    for t1 in (13, 49, 769):
+        x = jnp.asarray(rng.normal(size=(1, t1, 32)).astype(np.float32))
+        dump = stacked_qkv_dump(x)  # (3, T1, D)
+        q, k, v = split_qkv_torchvision(
+            dump.reshape(3, t1, 32), num_heads=nh
+        )
+        for which, ref in (("q", q), ("k", k), ("v", v)):
+            got = scrambled_qkv_gather(x[0], jnp.asarray(t1), which)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref[0]))
+        # rows beyond t1 (bucket padding) are don't-care: check the gather
+        # stays in bounds when the static length exceeds t1
+        xpad = jnp.concatenate([x[0], jnp.zeros((5, 32))], axis=0)
+        got = scrambled_qkv_gather(xpad, jnp.asarray(t1), "k")
+        np.testing.assert_array_equal(np.asarray(got[:t1]), np.asarray(k[0]))
+
+
+def test_batched_pipeline_matches_per_image(synthetic_voc):
+    """The fused batched product path (one jitted forward+scramble+LOST)
+    must produce the same boxes as the per-image extract()+lost() path,
+    including tail-batch padding and mixed buckets."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.data.detection import DiscoveryDataset, load_image_normalized
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.discovery.lost import box_feat_to_image
+
+    spec = build_model("vit_s_16", num_classes=10, image_size=(224, 224))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    ex = LostFeatureExtractor(spec, variables, arch="vit", which_features="k")
+    ds = DiscoveryDataset("VOC07", "trainval", synthetic_voc, no_hard=False)
+    p = 16
+
+    per_image, padded_imgs, init_sizes = [], [], []
+    for path, im_name in ds:
+        img = load_image_normalized(path)
+        ph = int(np.ceil(img.shape[0] / p) * p)
+        pw = int(np.ceil(img.shape[1] / p) * p)
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[: img.shape[0], : img.shape[1]] = img
+        feats, dims, valid_dims, scales, _ = ex.extract(padded, p)
+        pred, _, _, _ = lost(feats, dims, scales, (3, *img.shape[:2]),
+                             valid_dims=valid_dims)
+        per_image.append(pred)
+        padded_imgs.append(padded)
+        init_sizes.append((3, *img.shape[:2]))
+
+    pipe = ex.make_batched_pipeline(k_patches=100)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, im in enumerate(padded_imgs):
+        from vipers.data.preprocess import bucket_hw
+
+        groups[bucket_hw(im.shape[0], im.shape[1], p, ex.bucket)].append(i)
+    got = [None] * len(padded_imgs)
+    for idxs in groups.values():
+        imgs = [padded_imgs[i] for i in idxs]
+        # force a tail batch: pad group to 4 by repeating the last image
+        n_real = len(imgs)
+        imgs = imgs + [imgs[-1]] * (4 - n_real)
+        images, pos, tmask, vhw = ex.prepare_batch(imgs, p)
+        box_feat, _seed, seed_bg = jax.device_get(
+            pipe(ex.variables, images, pos, tmask, vhw)
+        )
+        assert not seed_bg[:n_real].any()
+        for j, i in enumerate(idxs):
+            got[i] = box_feat_to_image(box_feat[j], [p, p], init_sizes[i])
+
+    for want, have in zip(per_image, got):
+        np.testing.assert_allclose(have, want, atol=0)

@@ -269,6 +269,31 @@ def split_qkv_torchvision(qkv_dump, num_heads: int):
     return flat(q), flat(k), flat(v)
 
 
+def scrambled_qkv_gather(x_compact, t1, which: str = "k"):
+    """On-device, single-image equivalent of
+    ``split_qkv_torchvision(stacked_qkv_dump(x))[which]``.
+
+    The reference's reshape of the stacked (3, T1, D) dump into
+    (T1, 3, nh, hd) reads the identical copies out of phase — algebraically
+    it is the pure row gather ``out[t] = x[(3*t + c) % T1]`` with c = 0/1/2
+    for q/k/v and the feature dim untouched (the head split+re-flatten is a
+    row-major identity).  That closed form makes the scramble jittable with
+    a *traced* valid-token count ``t1``, so one compiled program serves
+    every image in a bucket (`/root/reference/main_lost.py:478-490`).
+
+    Args:
+      x_compact: (T, D) last-block ln_1 tokens, rows [0, t1) being the
+        tier-1 (CLS + valid) tokens in raster order; rows >= t1 arbitrary.
+      t1: traced int — number of tier-1 tokens (1 + gh*gw).
+      which: "q" | "k" | "v".
+    Returns (T, D); rows >= t1 are garbage and must be masked downstream.
+    """
+    c_sel = {"q": 0, "k": 1, "v": 2}[which]
+    t = x_compact.shape[0]
+    src = (3 * jnp.arange(t) + c_sel) % t1
+    return x_compact[src]
+
+
 # Published torchvision IMAGENET1K_V1 metrics for the matching checkpoints
 # (the reference's WeightsEnum metadata, `vision_transformer.py:363-608`) —
 # carried so downstream tooling can report expected accuracy after import.
