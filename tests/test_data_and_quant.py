@@ -74,11 +74,12 @@ def test_ra_sampler_invariants():
     n, reps, world = 40, 3, 4
     streams = [ra_sampler_indices(n, world, r, epoch=0, repetitions=reps)
                for r in range(world)]
-    num_selected = int(np.floor(n // 256 * 256 / world))
+    # n < 256: the reference's floor(len/256)*256 truncation selects zero
+    # samples; we fall back to the full repeated stream so small datasets
+    # still train (sampler.py small-n guard)
+    num_samples = int(np.ceil(n * reps / world))
     for s in streams:
-        assert len(s) == num_selected  # truncation formula (sampler.py:33)
-    # with n < 256 the selected count is 0 — mirror of the reference's
-    # floor(len/256)*256 truncation; use a bigger n for coverage checks
+        assert len(s) == num_samples
     n = 512
     streams = [ra_sampler_indices(n, world, r, epoch=1, repetitions=reps)
                for r in range(world)]
@@ -162,18 +163,13 @@ def test_int8_bake_and_dequant():
     assert err.max() <= float(np.asarray(scales[("fc", "kernel")]).max()) / 2 + 1e-6
 
 
-def test_qat_step_keeps_masks_and_improves_nothing_breaks(tmp_path):
-    """QAT wrapper composes with the masked train step: pruned weights stay
-    zero through fake-quant training (BASELINE config #5 slice)."""
-    import optax
-
-    from vipers.models.resnet import BasicBlock  # noqa: F401 (registry side effect)
+def _qat_fixture():
     from vipers.core.registry import build_model
     from vipers.pruning import init_masks, magnitude_prune
-    from vipers.pruning.masks import apply_masks, _flat
+    from vipers.pruning.masks import apply_masks
     from vipers.train.optim import make_optimizer
-    from vipers.train.quantize import make_qat_train_step
-    from vipers.train.steps import TrainState, make_train_step
+    from vipers.train.quantize import init_observers, observer_sites
+    from vipers.train.steps import TrainState
 
     spec = build_model("resnet18", num_classes=4)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 3)), jnp.float32)
@@ -182,20 +178,153 @@ def test_qat_step_keeps_masks_and_improves_nothing_breaks(tmp_path):
     params, bs = variables["params"], variables["batch_stats"]
     masks = magnitude_prune(params, init_masks(params), 0.5)
     params = apply_masks(params, masks)
-
     cfg = OptimConfig(opt="sgd", lr=0.01, epochs=1)
     tx = make_optimizer(cfg, params, make_lr_schedule(cfg, 1))
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
                        batch_stats=bs, masks=masks, opt_state=tx.init(params))
-    base = make_train_step(spec.module.apply, tx, num_classes=4, donate=False)
-    qat = make_qat_train_step(base)
+    sites = observer_sites(spec.module, {"params": params, "batch_stats": bs},
+                           x, train=False, need_attn=False)
+    observers = init_observers(sites)
+    return spec, tx, state, observers, x, y
+
+
+@pytest.mark.slow
+def test_qat_step_quantizes_activations_and_keeps_masks():
+    """QAT composes with pruning: pruned weights stay zero, observers see
+    real ranges, and activations are fake-quantized in the forward
+    (round-1 gap: the QAT loop never touched ObserverState)."""
+    from vipers.pruning.masks import _flat
+    from vipers.train.quantize import make_qat_train_step
+
+    spec, tx, state, observers, x, y = _qat_fixture()
+    assert observers  # conv/dense sites discovered
+    qat = make_qat_train_step(spec.module, tx, num_classes=4)
+    obs0 = observers
     for i in range(3):
-        state, metrics = qat(state, (x, y), jax.random.PRNGKey(i))
+        state, observers, metrics = qat(state, observers, (x, y),
+                                        jax.random.PRNGKey(i))
     assert np.isfinite(float(metrics["loss"]))
+    # observers actually updated (ranges initialized and non-degenerate)
+    moved = [
+        k for k in observers
+        if bool(observers[k].initialized)
+        and float(observers[k].max_val - observers[k].min_val) > 0
+    ]
+    assert len(moved) == len(observers)
+    assert all(not bool(o.initialized) for o in obs0.values())
+    # pruned weights still exactly zero
     flat = _flat(state.params)
     for path, mask in state.masks.items():
         vals = np.asarray(flat[path])[~np.asarray(mask)]
         np.testing.assert_allclose(vals, 0.0, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_qat_freeze_schedules():
+    """observer_update=False freezes ranges; bn_frozen=True freezes batch
+    stats (train_quantization.py:110-125 semantics)."""
+    from vipers.train.quantize import make_qat_train_step
+
+    spec, tx, state, observers, x, y = _qat_fixture()
+    warm = make_qat_train_step(spec.module, tx, num_classes=4)
+    state, observers, _ = warm(state, observers, (x, y), jax.random.PRNGKey(0))
+
+    frozen = make_qat_train_step(spec.module, tx, num_classes=4,
+                                 observer_update=False, bn_frozen=True)
+    state2, observers2, _ = frozen(state, observers, (x, y),
+                                   jax.random.PRNGKey(1))
+    for k in observers:
+        assert float(observers2[k].min_val) == float(observers[k].min_val)
+        assert float(observers2[k].max_val) == float(observers[k].max_val)
+    for a, b in zip(jax.tree.leaves(state.batch_stats),
+                    jax.tree.leaves(state2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # unfrozen variant does move BN stats
+    state3, _, _ = warm(state, observers, (x, y), jax.random.PRNGKey(1))
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(state.batch_stats),
+                        jax.tree.leaves(state3.batch_stats))
+    ]
+    assert max(diffs) > 0
+
+
+def test_fake_quant_activation_changes_forward():
+    """quantized_apply(apply_act_fake_quant=True) must alter the forward
+    (activations snap to the uint8 grid) once observers are calibrated."""
+    import flax.linen as nn
+
+    from vipers.train.quantize import (
+        init_observers, observer_sites, quantized_apply,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, need_attn=False):
+            h = nn.Dense(16, name="fc1")(x)
+            h = nn.relu(h)
+            return nn.Dense(4, name="fc2")(h), {}
+
+    m = Tiny()
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(8, 12)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    sites = observer_sites(m, v, x)
+    obs = init_observers(sites)
+    # calibrate (observe only)
+    _, obs = quantized_apply(m, v, x, obs, update_observers=True,
+                             apply_act_fake_quant=False)
+    (logits_q, _), _ = quantized_apply(m, v, x, obs, update_observers=False,
+                                       apply_act_fake_quant=True)
+    logits, _ = m.apply(v, x)
+    assert not np.allclose(np.asarray(logits_q), np.asarray(logits))
+    # but close: one QDQ round per site
+    np.testing.assert_allclose(np.asarray(logits_q), np.asarray(logits),
+                               atol=0.2)
+
+
+def test_int8_dense_matches_qdq_within_tolerance():
+    """The real-int8 dot_general path (uint8 act x int8 weight, int32
+    accumulate) must match QDQ inference to ~1%."""
+    import flax.linen as nn
+
+    from vipers.train.quantize import (
+        dequantize_params, init_observers, int8_apply, observer_sites,
+        ptq_calibrate, quantize_params_int8,
+    )
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, need_attn=False):
+            h = nn.Dense(32, name="fc1")(x)
+            h = nn.relu(h)
+            return nn.Dense(8, name="fc2")(h), {}
+
+    m = Tiny()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(16, 24)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    obs = init_observers(observer_sites(m, v, x))
+    obs = ptq_calibrate(
+        m, v, obs,
+        [(jnp.asarray(rng.normal(size=(16, 24)), jnp.float32), None)
+         for _ in range(4)],
+        num_batches=4,
+    )
+    q, scales = quantize_params_int8(v["params"])
+    qdq_logits, _ = m.apply({"params": dequantize_params(v["params"], q, scales)}, x)
+    int8_logits, _ = int8_apply(m, v, x, q, scales, obs)
+    ref_scale = float(np.abs(np.asarray(qdq_logits)).max())
+    err = float(np.abs(np.asarray(int8_logits) - np.asarray(qdq_logits)).max())
+    assert err <= 0.02 * ref_scale + 0.05
+
+    # calibration must affect the int8 result (round-1 gap: observer result
+    # was printed and discarded)
+    from vipers.train.quantize import init_observers as init2
+    obs_fresh = init2(observer_sites(m, v, x))
+    # un-calibrated observers (scale 1e-9-ish) produce garbage
+    bad_logits, _ = int8_apply(m, v, x, q, scales, obs_fresh)
+    assert not np.allclose(np.asarray(bad_logits), np.asarray(int8_logits),
+                           atol=0.1)
 
 
 # ------------------------------------------------------------- native decode

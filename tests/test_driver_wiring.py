@@ -1,0 +1,198 @@
+"""Wiring tests for round-2 driver/config gaps:
+  * --ra-sampler actually feeds the train loader (train.py:228-236),
+  * --cache-dataset reaches ImageFolder,
+  * --resnet-dilate builds a dilated model in the evaluation sweep,
+  * ema_batch_stats round-trips through checkpoint/resume,
+  * LRR resume continues from the restored epoch,
+  * maybe_initialize_distributed gating (utils.py:245-269 parity).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from vipers.core.config import TrainConfig
+from vipers.train.optim import OptimConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_imagenet(tmp_path_factory):
+    root = tmp_path_factory.mktemp("tinyds2")
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 8), ("val", 4)):
+        for cls in ("class_a", "class_b"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
+                if cls == "class_b":
+                    arr[..., 0] = np.minimum(arr[..., 0] + 80, 255)
+                Image.fromarray(arr).save(d / f"img_{i}.jpg")
+    return str(root)
+
+
+def _cfg(tiny_imagenet, tmp_path, **over):
+    optim = OptimConfig(opt="sgd", lr=0.01, weight_decay=1e-4, epochs=1,
+                        lr_scheduler="steplr")
+    base = dict(
+        model="resnet18", data_path=tiny_imagenet, num_classes=2,
+        train_crop_size=32, val_resize_size=40, val_crop_size=32,
+        batch_size=4, workers=2, pruning_method="snip", target_sparsity=0.5,
+        optim=optim, seed=0, output_dir=str(tmp_path / "out"), print_freq=0,
+    )
+    base.update(over)
+    return TrainConfig(**base)
+
+
+@pytest.mark.slow
+def test_ra_sampler_wired_into_train_loader(tiny_imagenet, tmp_path, monkeypatch):
+    """--ra-sampler must route _train_loader through ra_sampler_indices and
+    the loader must consume exactly that index stream."""
+    from vipers.data import sampler as sampler_mod
+    from vipers.train.driver import _train_loader, build_session
+
+    cfg = _cfg(tiny_imagenet, tmp_path, ra_sampler=True, ra_reps=2)
+    s = build_session(cfg)
+
+    calls = {}
+    real = sampler_mod.ra_sampler_indices
+
+    def spy(n, num_replicas, rank, epoch, seed=0, shuffle=True, repetitions=3):
+        calls["args"] = (n, num_replicas, rank, epoch, repetitions)
+        # tiny datasets truncate to 0 under the DeiT /256 rule; return a
+        # fixed stream so loader consumption is observable
+        return [0, 1, 2, 3, 0, 1, 2, 3]
+
+    monkeypatch.setattr(sampler_mod, "ra_sampler_indices", spy)
+    loader = _train_loader(s, epoch=3)
+    batches = list(loader)
+    assert calls["args"] == (len(s.train_ds), jax.process_count(),
+                             jax.process_index(), 3, 2)
+    assert sum(b[0].shape[0] for b in batches) == 8  # consumed the RA stream
+    # and the real implementation still honors the DeiT repetition invariant
+    idx = real(512, 2, 0, 0, repetitions=2) + real(512, 2, 1, 0, repetitions=2)
+    counts = np.bincount(idx, minlength=512)
+    assert counts.max() <= 2
+
+
+@pytest.mark.slow
+def test_cache_dataset_wired(tiny_imagenet, tmp_path):
+    from vipers.train.driver import build_session
+
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache, exist_ok=True)
+    cfg = _cfg(tiny_imagenet, tmp_path, cache_dataset=cache)
+    build_session(cfg)
+    pkls = [f for f in os.listdir(cache) if f.startswith("imagefolder_")]
+    assert len(pkls) == 2  # train + val listings cached
+
+
+def test_resnet_dilate_builds_dilated_model(tiny_imagenet, tmp_path):
+    from vipers.train.driver import build_session
+
+    cfg = _cfg(tiny_imagenet, tmp_path, resnet_dilate=2)
+    s = build_session(cfg)
+    assert s.spec.extra["dilate"] == 2
+    # dilated stage-4: spatial resolution stays 2x larger than undilated
+    x = jnp.zeros((1, 32, 32, 3))
+    feats_mod = s.spec.module.clone(headless=True)
+    v = feats_mod.init(jax.random.PRNGKey(0), x, train=False)
+    out, _ = feats_mod.apply(v, x, train=False)
+    cfg1 = _cfg(tiny_imagenet, tmp_path, resnet_dilate=1)
+    s1 = build_session(cfg1)
+    m1 = s1.spec.module.clone(headless=True)
+    v1 = m1.init(jax.random.PRNGKey(0), x, train=False)
+    out1, _ = m1.apply(v1, x, train=False)
+    assert out.shape[1] == 2 * out1.shape[1]
+
+
+@pytest.mark.slow
+def test_ema_batch_stats_checkpoint_roundtrip(tiny_imagenet, tmp_path):
+    """EMA-BN stats must survive checkpoint/resume (round-1 advisor
+    finding: they silently reset, corrupting EMA eval of BN models)."""
+    from vipers.train.driver import build_session, resume_session, run_snip
+
+    cfg = _cfg(tiny_imagenet, tmp_path, model_ema=True, model_ema_steps=1,
+               model_ema_decay=0.9)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = build_session(cfg)
+    run_snip(s)
+    assert s.state.ema_batch_stats is not None
+
+    ckpt = os.path.join(cfg.output_dir, "resnet18_checkpoint_snip_0.5")
+    s2 = build_session(_cfg(tiny_imagenet, tmp_path, model_ema=True,
+                            model_ema_steps=1, model_ema_decay=0.9))
+    resume_session(s2, ckpt)
+    want = jax.tree.leaves(s.state.ema_batch_stats)
+    got = jax.tree.leaves(s2.state.ema_batch_stats)
+    assert len(want) == len(got)
+    for w, g in zip(want, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_lrr_resume_continues_from_restored_epoch(tiny_imagenet, tmp_path, monkeypatch):
+    """A mid-iteration LRR resume must not re-run completed epochs
+    (reference train.py:469 range(initial_epoch, epochs))."""
+    from vipers.train import driver as drv
+
+    cfg = _cfg(tiny_imagenet, tmp_path, pruning_method="magnitude",
+               pruning_rate=0.5, pruning_threshold=30.0)
+    s = drv.build_session(cfg)
+    seen = {}
+
+    def fake_tmc(train_step, eval_step, state, tl, vl, epochs, rng,
+                 initial_epoch=0, **kw):
+        seen["initial_epoch"] = initial_epoch
+        # pretend we finished: sparsity jump ends the while loop
+        return state, 50.0
+
+    monkeypatch.setattr(drv, "train_model_to_completion", fake_tmc)
+    monkeypatch.setattr(drv, "compute_sparsity_global",
+                        lambda p, m: seen.setdefault("n", 0) or 99.9
+                        if "initial_epoch" in seen else 0.0)
+    drv.run_magnitude(s, resuming=True, initial_epoch=5)
+    assert seen["initial_epoch"] == 5
+
+
+def test_distributed_init_gating(monkeypatch):
+    from vipers.parallel.mesh import maybe_initialize_distributed
+
+    for var in ("MASTER_ADDR", "RANK", "WORLD_SIZE", "SLURM_PROCID",
+                "JAX_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_initialize_distributed(verbose=False) is False
+
+    # world size 1 -> still single-process (utils.py:254-257)
+    monkeypatch.setenv("MASTER_ADDR", "127.0.0.1")
+    monkeypatch.setenv("RANK", "0")
+    monkeypatch.setenv("WORLD_SIZE", "1")
+    assert maybe_initialize_distributed(verbose=False) is False
+
+
+@pytest.mark.slow
+def test_resumed_session_can_train(tiny_imagenet, tmp_path):
+    """A resumed opt_state must be usable by tx.update — orbax restores
+    optax NamedTuples as plain dicts; restore_like re-imposes the
+    container types (regression: first post-resume step crashed with
+    AttributeError: 'dict' object has no attribute 'trace')."""
+    from vipers.train.driver import (
+        _train_loader, build_session, resume_session, run_snip,
+    )
+
+    cfg = _cfg(tiny_imagenet, tmp_path)
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    s = build_session(cfg)
+    run_snip(s)
+    ckpt = os.path.join(cfg.output_dir, "resnet18_checkpoint_snip_0.5")
+
+    s2 = build_session(_cfg(tiny_imagenet, tmp_path))
+    resume_session(s2, ckpt)
+    images, labels = next(iter(_train_loader(s2, 0)))
+    batch = (s2.normalize(images), jnp.asarray(labels))
+    state, metrics = s2.train_step(s2.state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))

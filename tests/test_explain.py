@@ -93,6 +93,7 @@ def test_guided_relu_vjp():
     np.testing.assert_array_equal(np.asarray(g), [0.0, 0.0, 2.0, 0.0])
 
 
+@pytest.mark.slow
 def test_guided_backprop_context_changes_model_grads():
     from vipers.core.registry import build_model
 
@@ -136,6 +137,7 @@ def test_gradcam_cnn_properties():
     assert 0 <= target < 4
 
 
+@pytest.mark.slow
 def test_guided_gradcam_cnn():
     spec, variables, x = _tiny_resnet()
     _logits, aux = spec.module.apply(variables, x, train=False)
@@ -145,6 +147,7 @@ def test_guided_gradcam_cnn():
     assert ggc.shape == (1, 32, 32, 3)
 
 
+@pytest.mark.slow
 def test_gradcam_vit_token_grid():
     from vipers.core.registry import build_model
 
@@ -165,6 +168,7 @@ def test_vit_attention_heatmap_shape():
     assert hm.shape == (70, 90)
 
 
+@pytest.mark.slow
 def test_explain_eval_contract(tmp_path):
     """explain-eval CLI writes the {method}_{model}_pruning_iteration txt
     contract on a synthetic VOC with segmentation masks."""

@@ -48,6 +48,7 @@ def test_pallas_interpret_matches_reference():
     np.testing.assert_allclose(np.asarray(lse), want_lse, atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_vit_flash_path_matches_attn_path():
     """need_attn=False (flash/fallback) == need_attn=True logits."""
     from vipers.core.registry import build_model

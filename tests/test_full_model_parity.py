@@ -192,6 +192,7 @@ def _tv_resnet_sd(model):
 
 
 @pytest.mark.parametrize("rswd", [(False, False, False), (False, False, True)])
+@pytest.mark.slow
 def test_resnet50_full_model_parity(rswd):
     """End-to-end resnet50 parity incl. the dilated (LOST dilate=2) variant —
     guards the Bottleneck first-block previous_dilation semantics."""

@@ -50,6 +50,7 @@ def test_dryrun_multichip_is_hermetic_under_driver_env():
     assert "mesh (4, 2)" in proc.stdout  # dp=4 x tp=2 over 8 devices
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_in_process():
     # conftest pins 8 fake CPU devices; the dryrun must also work when the
     # default platform IS cpu (the no-tunnel case).
@@ -58,6 +59,7 @@ def test_dryrun_multichip_in_process():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import jax
 

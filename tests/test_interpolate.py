@@ -16,6 +16,7 @@ from vipers.models.interpolate import bicubic_resize_2d, interpolate_pos_embeddi
 
 @pytest.mark.parametrize("align", [True, False])
 @pytest.mark.parametrize("out_hw", [(14, 14), (20, 30), (7, 9), (40, 61)])
+@pytest.mark.slow
 def test_bicubic_matches_torch(align, out_hw):
     rng = np.random.default_rng(0)
     x = rng.normal(size=(1, 5, 14, 14)).astype(np.float32)

@@ -196,6 +196,7 @@ def test_voc_dataset_and_gt(synthetic_voc):
     assert cls == ["thing"]
 
 
+@pytest.mark.slow
 def test_lost_end_to_end_corloc(synthetic_voc, tmp_path):
     """BASELINE config #3 in miniature: LOST on VOC with an untrained tiny
     ViT produces boxes + a results txt; CorLoc re-evaluation agrees."""
@@ -223,6 +224,7 @@ def test_lost_end_to_end_corloc(synthetic_voc, tmp_path):
     assert corloc_txt == pytest.approx(corloc_re, abs=0.1)
 
 
+@pytest.mark.slow
 def test_lost_cnn_path(synthetic_voc, tmp_path):
     """resnet/vgg feature path: headless features + whole-slab LayerNorm
     (`main_lost.py:570-600`)."""
@@ -241,6 +243,7 @@ def test_lost_cnn_path(synthetic_voc, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "lost_cnn"), "preds.pkl"))
 
 
+@pytest.mark.slow
 def test_lost_dino_path(synthetic_voc, tmp_path):
     import argparse
 
@@ -261,6 +264,7 @@ def test_lost_dino_path(synthetic_voc, tmp_path):
     assert g.glob(os.path.join(out, "*_pred.png"))  # visualization written
 
 
+@pytest.mark.slow
 def test_dinoseg_path_vit(synthetic_voc, tmp_path):
     """--dinoseg with a torchvision-style ViT: attention must materialize
     (regression for the need_attn wiring)."""
@@ -281,6 +285,7 @@ def test_dinoseg_path_vit(synthetic_voc, tmp_path):
 
 # ------------------------------------------------- batched product pipeline
 
+@pytest.mark.slow
 def test_scrambled_qkv_gather_matches_host_split():
     """The on-device row-gather closed form must reproduce
     split_qkv_torchvision(stacked_qkv_dump(x)) for every modality."""
@@ -308,6 +313,7 @@ def test_scrambled_qkv_gather_matches_host_split():
         np.testing.assert_array_equal(np.asarray(got[:t1]), np.asarray(k[0]))
 
 
+@pytest.mark.slow
 def test_batched_pipeline_matches_per_image(synthetic_voc):
     """The fused batched product path (one jitted forward+scramble+LOST)
     must produce the same boxes as the per-image extract()+lost() path,

@@ -22,7 +22,10 @@ def test_registry_lists_required_models():
         assert required in names, required
 
 
-@pytest.mark.parametrize("name,dilate,hw", [("resnet18", 1, 2), ("resnet50", 2, 4)])
+@pytest.mark.parametrize("name,dilate,hw", [
+    ("resnet18", 1, 2),
+    pytest.param("resnet50", 2, 4, marks=pytest.mark.slow),
+])
 def test_resnet_forward(name, dilate, hw):
     spec = build_model(name, num_classes=10, dilate=dilate)
     x = jnp.zeros((2, 64, 64, 3))
@@ -32,6 +35,7 @@ def test_resnet_forward(name, dilate, hw):
     assert aux["features"].shape[1] == hw  # dilate=2 keeps stride 16
 
 
+@pytest.mark.slow
 def test_resnet_headless():
     spec = build_model("resnet50_bottom", dilate=2)
     x = jnp.zeros((1, 64, 64, 3))
@@ -48,6 +52,7 @@ def test_vgg16_headless_stride16():
     assert feats.shape == (1, 4, 4, 512)  # last maxpool removed => /16
 
 
+@pytest.mark.slow
 def test_vit_forward_and_aux():
     spec = build_model("vit_s_16", num_classes=10, image_size=(32, 48))
     x = jnp.zeros((2, 32, 48, 3))
@@ -72,6 +77,7 @@ def test_vit_qkv_exclusion_from_pruning():
     assert any("mlp" in j for j in joined)
 
 
+@pytest.mark.slow
 def test_vit_rectangular_pos_embed_override():
     spec = build_model("vit_s_16", num_classes=5, image_size=(224, 224))
     variables = spec.module.init(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
@@ -105,6 +111,7 @@ def test_stacked_qkv_scramble_matches_torch():
     np.testing.assert_allclose(np.asarray(jv), tv.numpy(), atol=0)
 
 
+@pytest.mark.slow
 def test_dino_vit_forward_and_qkv():
     spec = build_model("dino_vit_tiny", patch_size=16)
     x = jnp.zeros((1, 64, 96, 3))
@@ -118,6 +125,7 @@ def test_dino_vit_forward_and_qkv():
     assert k.shape == (1, t, 192)
 
 
+@pytest.mark.slow
 def test_swin_v2_forward_and_aux():
     spec = build_model("swin_v2_t", num_classes=7, input_size=(64, 64))
     x = jnp.zeros((1, 64, 64, 3))
@@ -146,6 +154,7 @@ def test_dino_qkv_split_matches_torch_layout():
     np.testing.assert_allclose(np.asarray(jk), tk.numpy(), atol=0)
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_and_quantized_aliases():
     spec = build_model("mobilenet_v2", num_classes=6)
     x = jnp.zeros((1, 64, 64, 3))

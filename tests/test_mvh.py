@@ -27,6 +27,7 @@ def test_distortion_semantics(rng):
     assert lo.std() < img.std()
 
 
+@pytest.mark.slow
 def test_mvh_runner_and_csv(tmp_path):
     """17-benchmark runner with a trivial 'model': eval_step counts the
     label-0 predictions of a fixed classifier on distorted batches."""

@@ -19,6 +19,7 @@ def test_mesh_shapes():
         make_mesh(model_parallel=3)
 
 
+@pytest.mark.slow
 def test_dp_grads_equal_single_device():
     """Gradient of the jitted loss over a data-sharded batch equals the
     single-device gradient on the same (global) batch — the DDP all-reduce
@@ -51,6 +52,7 @@ def test_dp_grads_equal_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_forward_equals_replicated():
     """ViT forward with tensor-parallel kernel shardings equals the
     replicated forward (XLA inserts the collectives; values unchanged)."""
@@ -86,12 +88,14 @@ def test_metric_psum_semantics():
     assert float(total) == float(vals.sum())
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     import __graft_entry__ as ge
 

@@ -197,6 +197,7 @@ def test_sparsity_accounting(rng):
     assert compute_sparsity_global(p, masks) == pytest.approx(expected)
 
 
+@pytest.mark.slow
 def test_masked_training_weights_stay_zero(rng):
     """SURVEY.md §7 'Masked training purity' invariant: pruned weights stay
     exactly 0 through optimizer updates incl. weight decay and momentum."""

@@ -48,6 +48,7 @@ def _cfg(tiny_imagenet, tmp_path, **over):
     return TrainConfig(**base)
 
 
+@pytest.mark.slow
 def test_snip_train_eval_checkpoint(tiny_imagenet, tmp_path):
     from vipers.train.driver import build_session, run_snip
 
@@ -80,6 +81,7 @@ def test_snip_train_eval_checkpoint(tiny_imagenet, tmp_path):
                                       np.asarray(mask))
 
 
+@pytest.mark.slow
 def test_magnitude_iterative_driver(tiny_imagenet, tmp_path):
     from vipers.train.driver import build_session, run_magnitude
 
@@ -113,6 +115,7 @@ def test_eval_only(tiny_imagenet, tmp_path):
     assert loss > 0
 
 
+@pytest.mark.slow
 def test_resume_from_checkpoint(tiny_imagenet, tmp_path):
     """--resume restores model/opt/epoch/masks and continues training
     (reference crash-recovery story, train.py:505-521 + :801)."""

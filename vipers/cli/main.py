@@ -77,6 +77,12 @@ def main(argv=None):
     ata(quant)
     quant.add_argument("--mode", default="qat", choices=["qat", "ptq"])
     quant.add_argument("--calibration-batches", type=int, default=32)
+    quant.add_argument("--num-observer-update-epochs", type=int, default=4,
+                       help="epochs before freezing activation observers "
+                            "(train_quantization.py:120-122)")
+    quant.add_argument("--num-batch-norm-update-epochs", type=int, default=3,
+                       help="epochs before freezing BN statistics "
+                            "(train_quantization.py:123-125)")
 
     clus = sub.add_parser("cluster", help="k-means pseudo-labels for discovered boxes")
     clus.add_argument("--preds", required=True)
@@ -107,6 +113,13 @@ def main(argv=None):
 
     args = p.parse_args(argv)
 
+    # Multi-host rendezvous before any backend use (reference calls
+    # init_distributed_mode first thing in every entry point,
+    # `utils.py:245-269`); a no-op for single-process runs.
+    from vipers.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
     if args.cmd == "train":
         from vipers.core.config import config_from_args
         from vipers.train.driver import run
@@ -117,7 +130,10 @@ def main(argv=None):
         from vipers.core.config import config_from_args
         from vipers.train.evaluate_models import run_sweep
 
-        return run_sweep(config_from_args(args))
+        rows = run_sweep(config_from_args(args))
+        for acc1, sparsity in rows:
+            print(f"acc1 {acc1:.3f}\tsparsity {sparsity:.2f}")
+        return 0  # rows land in the txt artifacts; a non-empty sweep is success
     if args.cmd == "lost":
         from vipers.discovery.driver import run_lost
 

@@ -63,6 +63,31 @@ def restore_checkpoint(path: str, target=None):
     return ckptr.restore(path, item=target)
 
 
+def restore_like(template, restored):
+    """Re-impose the container types of ``template`` (optax NamedTuples,
+    tuples) onto an orbax raw-restored tree (which returns plain
+    dicts/lists): orbax serializes NamedTuples as field-name dicts and
+    tuples as lists, so a resumed ``opt_state`` would otherwise crash the
+    first ``tx.update`` after resume."""
+    if template is None:
+        return None
+    if hasattr(template, "_fields"):  # NamedTuple (optax states)
+        vals = {}
+        for i, f in enumerate(template._fields):
+            sub = restored[f] if isinstance(restored, dict) else restored[i]
+            vals[f] = restore_like(getattr(template, f), sub)
+        return type(template)(**vals)
+    if isinstance(template, (tuple, list)):
+        if isinstance(restored, dict):  # {"0": ..., "1": ...}
+            restored = [restored[str(i)] for i in range(len(template))]
+        return type(template)(
+            restore_like(t, r) for t, r in zip(template, restored)
+        )
+    if isinstance(template, dict):
+        return {k: restore_like(v, restored[k]) for k, v in template.items()}
+    return restored  # leaf
+
+
 def average_checkpoints(paths):
     """Elementwise average of the params of several checkpoints
     (fairseq-style, `/root/reference/utils.py:272-320`)."""

@@ -37,6 +37,17 @@ class TrainConfig:
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
     random_erase: float = 0.0
+    # repeated-augmentation sampling (`/root/reference/train.py:228-236`)
+    ra_sampler: bool = False
+    ra_reps: int = 3
+    # dataset listing cache dir (`/root/reference/train.py:144-150`)
+    cache_dataset: str = ""
+    # ResNet dilation for evaluation sweeps
+    # (`/root/reference/evaluate_models.py:373-379`)
+    resnet_dilate: int = 1
+    # evaluate on VOC instead of an ImageFolder val split
+    # (`/root/reference/evaluate_models.py:207-228`)
+    eval_dataset: str = "imagenet"  # imagenet | voc
     # EMA
     model_ema: bool = False
     model_ema_steps: int = 32
@@ -88,6 +99,19 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--mixup-alpha", type=float, default=0.0)
     p.add_argument("--cutmix-alpha", type=float, default=0.0)
     p.add_argument("--random-erase", type=float, default=0.0)
+    p.add_argument("--ra-sampler", action="store_true",
+                   help="repeated-augmentation sampling (sampler.py:7-62)")
+    p.add_argument("--ra-reps", type=int, default=3,
+                   help="repetitions per sample for --ra-sampler")
+    p.add_argument("--cache-dataset", default="",
+                   help="dir for the sha1-keyed file-listing cache "
+                        "(train.py:144-150)")
+    p.add_argument("--resnet-dilate", type=int, default=1, choices=[1, 2, 4],
+                   help="replace_stride_with_dilation for evaluation sweeps")
+    p.add_argument("--eval-dataset", default="imagenet",
+                   choices=["imagenet", "voc"],
+                   help="evaluate sweep on ImageFolder val or VOC"
+                        " (evaluate_models.py:207-228)")
     p.add_argument("--model-ema", action="store_true")
     p.add_argument("--model-ema-steps", type=int, default=32)
     p.add_argument("--model-ema-decay", type=float, default=0.99998)
@@ -132,7 +156,13 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         starting_pruning_iteration=args.starting_pruning_iteration,
         optim=optim, auto_augment=getattr(args, "auto_augment", ""),
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
-        random_erase=args.random_erase, model_ema=args.model_ema,
+        random_erase=args.random_erase,
+        ra_sampler=getattr(args, "ra_sampler", False),
+        ra_reps=getattr(args, "ra_reps", 3),
+        cache_dataset=getattr(args, "cache_dataset", ""),
+        resnet_dilate=getattr(args, "resnet_dilate", 1),
+        eval_dataset=getattr(args, "eval_dataset", "imagenet"),
+        model_ema=args.model_ema,
         model_ema_steps=args.model_ema_steps, model_ema_decay=args.model_ema_decay,
         seed=args.seed, amp=args.amp,
         native_decode=getattr(args, "native_decode", False),

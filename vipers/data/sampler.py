@@ -30,6 +30,11 @@ def ra_sampler_indices(
     num_samples = int(math.ceil(n * float(repetitions) / num_replicas))
     total_size = num_samples * num_replicas
     num_selected = int(math.floor(n // 256 * 256 / num_replicas))
+    if num_selected == 0:
+        # The DeiT /256 truncation selects zero samples for datasets under
+        # 256 images (the reference inherits this, sampler.py:20); keep the
+        # stream usable for small runs instead of yielding an empty epoch.
+        num_selected = num_samples
 
     if shuffle:
         g = np.random.default_rng(seed + epoch)

@@ -27,6 +27,71 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_initialize_distributed(verbose: bool = True) -> bool:
+    """Multi-host rendezvous — the `jax.distributed.initialize()` analogue
+    of the reference's `init_process_group(backend="nccl")` with env/SLURM
+    rank pickup (`/root/reference/utils.py:245-269`).
+
+    Coordinator discovery, mirroring the reference's precedence:
+      * JAX-native env (``JAX_COORDINATOR_ADDRESS`` or the standard
+        coordinator envs jax.distributed reads itself),
+      * torchrun-style ``RANK``/``WORLD_SIZE``/``MASTER_ADDR[:PORT]``,
+      * SLURM (``SLURM_PROCID`` etc. — jax.distributed auto-detects).
+
+    Returns True if a multi-process runtime was initialized; single-process
+    runs (no env present, or WORLD_SIZE==1) return False without touching
+    the backend — exactly like the reference's "Not using distributed mode"
+    branch (`utils.py:254-257`).
+
+    NCCL -> TPU mapping (SURVEY §2.2): after initialization there is no
+    user-visible backend — grad/metric all-reduce become ``psum`` inside
+    jitted steps (XLA lowers them to ICI collectives within a slice, DCN
+    across slices), barrier becomes any blocking collective, and broadcast
+    is ``device_put`` with a replicated sharding.  Master-only side effects
+    key on ``jax.process_index() == 0`` (`utils.py:236-242`).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if coord is None and "MASTER_ADDR" in os.environ and "RANK" in os.environ:
+        # torchrun-style env:// rendezvous (`utils.py:246-252`)
+        coord = (
+            f"{os.environ['MASTER_ADDR']}:{os.environ.get('MASTER_PORT', '29500')}"
+        )
+        nproc = os.environ.get("WORLD_SIZE")
+        pid = os.environ.get("RANK")
+    slurm = "SLURM_PROCID" in os.environ and int(
+        os.environ.get("SLURM_NTASKS", "1")
+    ) > 1
+    if coord is None and not slurm:
+        if verbose:
+            print("Not using distributed mode")
+        return False
+    if nproc is not None and int(nproc) <= 1:
+        if verbose:
+            print("Not using distributed mode (world size 1)")
+        return False
+    kwargs = {}
+    if coord is not None:
+        kwargs = {
+            "coordinator_address": coord,
+            "num_processes": int(nproc) if nproc else None,
+            "process_id": int(pid) if pid else None,
+        }
+    jax.distributed.initialize(**kwargs)  # SLURM: auto-detected, no kwargs
+    if verbose:
+        print(
+            f"| distributed init (rank {jax.process_index()}): "
+            f"{jax.process_count()} processes, "
+            f"{jax.device_count()} devices"
+        )
+    return True
+
+
 def make_mesh(
     devices: Optional[Sequence] = None,
     model_parallel: int = 1,

@@ -61,7 +61,11 @@ class Session:
 
 
 def build_session(cfg: TrainConfig) -> Session:
-    spec = build_model(cfg.model, num_classes=cfg.num_classes)
+    model_kw = {"num_classes": cfg.num_classes}
+    if cfg.resnet_dilate != 1 and cfg.model.startswith("resnet"):
+        # dilated evaluation sweeps (`evaluate_models.py:373-379`)
+        model_kw["dilate"] = cfg.resnet_dilate
+    spec = build_model(cfg.model, **model_kw)
     rng = jax.random.PRNGKey(cfg.seed)
     init_rng, run_rng = jax.random.split(rng)
     h = w = cfg.train_crop_size
@@ -74,8 +78,10 @@ def build_session(cfg: TrainConfig) -> Session:
     batch_stats = variables.get("batch_stats")
     masks = init_masks(params, exclude=spec.prune_exclude)
 
-    train_ds = ImageFolder(os.path.join(cfg.data_path, "train"))
-    val_ds = ImageFolder(os.path.join(cfg.data_path, "val"))
+    train_ds = ImageFolder(os.path.join(cfg.data_path, "train"),
+                           cache_dir=cfg.cache_dataset)
+    val_ds = ImageFolder(os.path.join(cfg.data_path, "val"),
+                         cache_dir=cfg.cache_dataset)
     steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
 
     schedule = make_lr_schedule(cfg.optim, steps_per_epoch)
@@ -91,8 +97,9 @@ def build_session(cfg: TrainConfig) -> Session:
             cfg.model_ema_decay, jax.process_count(), cfg.batch_size,
             cfg.model_ema_steps, cfg.optim.epochs,
         )
-        ema_params = jax.tree.map(lambda x: x, params)
-        ema_bs = jax.tree.map(lambda x: x, batch_stats) if batch_stats else None
+        # real copies: aliasing params would donate the same buffer twice
+        ema_params = jax.tree.map(jnp.copy, params)
+        ema_bs = jax.tree.map(jnp.copy, batch_stats) if batch_stats else None
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
@@ -136,10 +143,20 @@ def build_session(cfg: TrainConfig) -> Session:
 
 def _train_loader(s: Session, epoch: int):
     cfg = s.cfg
-    idx = shard_indices_for_host(
-        len(s.train_ds), jax.process_count(), jax.process_index(),
-        epoch, seed=cfg.seed,
-    )
+    if cfg.ra_sampler:
+        # repeated augmentation: each sample appears ra_reps times across
+        # hosts per epoch (`/root/reference/train.py:228-236`, sampler.py)
+        from vipers.data.sampler import ra_sampler_indices
+
+        idx = ra_sampler_indices(
+            len(s.train_ds), jax.process_count(), jax.process_index(),
+            epoch, seed=cfg.seed, repetitions=cfg.ra_reps,
+        )
+    else:
+        idx = shard_indices_for_host(
+            len(s.train_ds), jax.process_count(), jax.process_index(),
+            epoch, seed=cfg.seed,
+        )
     if cfg.native_decode:
         from vipers.data import native
 
@@ -210,6 +227,11 @@ def _checkpoint_fn(s: Session, method: str, tag):
         }
         if state.ema_params is not None:
             tree["ema_params"] = state.ema_params
+        if state.ema_batch_stats is not None:
+            # EMA evaluation of BN models reads ema_batch_stats
+            # (steps.py make_eval_step(use_ema=True)); dropping it from the
+            # checkpoint would silently reset EMA-BN stats across resume.
+            tree["ema_batch_stats"] = state.ema_batch_stats
         if latest:
             # rolling latest: async so the epoch loop never blocks on IO
             name = f"{cfg.model}_checkpoint_{method}_{tag}"
@@ -253,8 +275,14 @@ def run_snip(s: Session, initial_epoch: int = 0):
     return sparsity, acc1
 
 
-def run_magnitude(s: Session, resuming: bool = False):
-    """LRR path (`train.py:656-708`): loop train -> prune -> recount."""
+def run_magnitude(s: Session, resuming: bool = False, initial_epoch: int = 0):
+    """LRR path (`train.py:656-708`): loop train -> prune -> recount.
+
+    ``initial_epoch`` applies to the *first* iteration only: a
+    mid-iteration resume continues from the restored epoch with the
+    restored opt_state/step (reference `train.py:469`
+    ``range(initial_epoch, epochs)``); later iterations restart at 0.
+    """
     from vipers.core.profiling import device_trace
 
     cfg = s.cfg
@@ -274,12 +302,14 @@ def run_magnitude(s: Session, resuming: bool = False):
                 step=jnp.zeros((), jnp.int32),
                 opt_state=s.tx.init(s.state.params),
             )
+        start = initial_epoch if (first and resuming) else 0
         first = False
         with device_trace((cfg.profile_dir or None) if it == cfg.starting_pruning_iteration else None):
             state, acc1 = train_model_to_completion(
                 s.train_step, s.eval_step, s.state,
                 lambda e: _train_loader(s, e), lambda: _val_loader(s),
                 cfg.optim.epochs, jax.random.fold_in(s.rng, it),
+                initial_epoch=start,
                 normalize_fn=s.normalize, mixup_fn=s.mixup,
                 # filename contract: {model}_epoch_{e}_pruning_iteration_{NN}
                 # (`/root/reference/main_lost.py:346`, `evaluate_models.py:230`)
@@ -305,20 +335,25 @@ def resume_session(s: Session, path: str) -> int:
     """Restore model/optimizer/epoch/EMA/masks from a checkpoint — the
     crash-recovery story (`/root/reference/train.py:505-521` keys +
     `--resume` at `:801`). Returns the epoch to continue from."""
-    from vipers.core.checkpoint import restore_checkpoint
+    from vipers.core.checkpoint import restore_checkpoint, restore_like
 
     tree = restore_checkpoint(path)
     masks = {
         tuple(k.split("/")): jnp.asarray(v, bool)
         for k, v in (tree.get("masks") or {}).items()
     } or s.state.masks
+    opt_state = s.state.opt_state
+    if tree.get("opt_state") is not None:
+        # orbax returns plain dicts/lists; rebuild the optax NamedTuples
+        opt_state = restore_like(s.state.opt_state, tree["opt_state"])
     s.state = s.state.replace(
         params=tree["params"],
         batch_stats=tree.get("batch_stats", s.state.batch_stats),
         masks=masks,
-        opt_state=tree.get("opt_state", s.state.opt_state),
+        opt_state=opt_state,
         step=jnp.asarray(tree.get("step", s.state.step), jnp.int32),
         ema_params=tree.get("ema_params", s.state.ema_params),
+        ema_batch_stats=tree.get("ema_batch_stats", s.state.ema_batch_stats),
     )
     start_epoch = int(tree.get("epoch", -1)) + 1
     print(f"Resumed from {path} at epoch {start_epoch} "
@@ -345,5 +380,6 @@ def run(cfg: TrainConfig):
     if cfg.pruning_method == "snip":
         return run_snip(s, initial_epoch=start_epoch)
     if cfg.pruning_method == "magnitude":
-        return run_magnitude(s, resuming=bool(cfg.resume))
+        return run_magnitude(s, resuming=bool(cfg.resume),
+                             initial_epoch=start_epoch)
     raise ValueError(f"Unsupported pruning method {cfg.pruning_method!r}")

@@ -6,6 +6,17 @@ prune-identity dance), compute sparsity, evaluate top-1/5, append
 ``split/acc1 ... custom_x_axis {sparsity}`` lines to
 ``{model}_dilation_{d}.txt`` (`evaluate_models.py:79-82`) and a
 performance.txt for the plotting layer.
+
+Dilation: ``cfg.resnet_dilate`` builds the dilated ResNet
+(`evaluate_models.py:373-379`) — the same flag that stamps the output
+filename actually constructs the model.
+
+VOC branch (`evaluate_models.py:207-228,357-361`): the reference's VOC
+path is degenerate as written (its loop unpacks the detection loader's
+``(im_name, image)`` pairs as ``(image, target)`` and would crash in
+``criterion``); we implement the evident intent — run the classifier over
+VOC images with eval preprocessing and score against the first annotated
+object's VOC class index — and keep the txt contract.
 """
 
 from __future__ import annotations
@@ -16,17 +27,46 @@ import re
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from vipers.core.config import TrainConfig
 from vipers.core.metrics import MetricsWriter
 from vipers.pruning import compute_sparsity_global
 from vipers.train.loop import evaluate
 
+VOC_CLASSES = (
+    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
+    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
+    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+)
 
-def run_sweep(cfg: TrainConfig, dilation: int = 1):
+
+def _voc_eval_batches(cfg: TrainConfig, normalize_fn):
+    """Yield (images, labels) batches from a VOC detection set, labels =
+    first GT object's VOC class index (eval preset preprocessing)."""
+    from vipers.data.detection import DiscoveryDataset
+    from vipers.data.preprocess import eval_decode
+
+    ds = DiscoveryDataset("VOC07", "trainval", cfg.data_path, no_hard=False)
+    images, labels = [], []
+    for path, im_name in ds:
+        gt, cls = ds.extract_gt(im_name)
+        if gt is None or len(gt) == 0:
+            continue
+        images.append(eval_decode(path, cfg.val_resize_size, cfg.val_crop_size))
+        labels.append(VOC_CLASSES.index(cls[0]) if cls[0] in VOC_CLASSES else 0)
+        if len(images) == cfg.batch_size:
+            yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)
+            images, labels = [], []
+    if images:
+        yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)
+
+
+def run_sweep(cfg: TrainConfig, dilation: int = None):
     from vipers.train.driver import _val_loader, build_session
     from vipers.discovery.driver import load_lost_checkpoint
 
+    dilation = cfg.resnet_dilate if dilation is None else dilation
     s = build_session(cfg)
     pattern = os.path.join(
         cfg.output_dir, f"{cfg.model}_epoch_*_pruning_iteration_*"
@@ -39,6 +79,8 @@ def run_sweep(cfg: TrainConfig, dilation: int = 1):
         # fall back to any checkpoints of this model
         ckpts = sorted(globlib.glob(os.path.join(cfg.output_dir, f"{cfg.model}_epoch_*")))
     out_txt = os.path.join(cfg.output_dir, f"{cfg.model}_dilation_{dilation}.txt")
+    voc = cfg.eval_dataset == "voc"
+    split = "voc" if voc else "test"
     rows = []
     with open(out_txt, "a") as f:
         for ckpt in ckpts:
@@ -49,11 +91,17 @@ def run_sweep(cfg: TrainConfig, dilation: int = 1):
                 masks=masks or s.state.masks,
             )
             sparsity = compute_sparsity_global(state.params, state.masks)
-            acc1, acc5, loss = evaluate(
-                s.eval_step, state, _val_loader(s), normalize_fn=s.normalize
-            )
+            if voc:
+                acc1, acc5, loss = evaluate(
+                    s.eval_step, state, _voc_eval_batches(cfg, s.normalize)
+                )
+            else:
+                acc1, acc5, loss = evaluate(
+                    s.eval_step, state, _val_loader(s), normalize_fn=s.normalize,
+                    expected_samples=len(s.val_ds),
+                )
             for name, val in (("acc1", acc1), ("acc5", acc5), ("loss", loss)):
-                f.write(f"test/{name} {val} custom_x_axis {sparsity}\n")
+                f.write(f"{split}/{name} {val} custom_x_axis {sparsity}\n")
             rows.append((acc1, sparsity))
             print(f"{ckpt}: sparsity {sparsity:.2f}% acc1 {acc1:.3f}")
     if rows:

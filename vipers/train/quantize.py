@@ -1,16 +1,30 @@
-"""int8 quantization: QAT (fake-quant + STE) and PTQ calibration.
+"""int8 quantization: QAT (weight + activation fake-quant with observer /
+BN freeze schedules), PTQ calibration, and real-int8 execution.
 
 Counterpart of `/root/reference/train_quantization.py:15-154`, which uses
 torch.ao (fbgemm/qnnpack kernels):
   * QAT: fuse -> prepare_qat -> train with observer/BN-freeze schedules
     (observers frozen after ``num_observer_update_epochs``, BN stats frozen
-    after ``num_batch_norm_update_epochs`` — `:110-125`) -> int8 convert,
+    after ``num_batch_norm_update_epochs`` — `:110-125`) -> per-epoch int8
+    convert + eval (`:129-135`),
   * PTQ: calibrate observers on N batches -> convert (`:83-104`).
 
-TPU-native design: fake-quantization is a pure function with a
-straight-through estimator; observers are min/max EMAs carried in the train
-state; "convert" bakes per-channel int8 weights + scales that XLA feeds to
-the int8 MXU path via ``lax.dot_general`` with int8 inputs.
+TPU-native design:
+  * weights: per-output-channel symmetric int8 fake-quant with a
+    straight-through estimator (torch default QAT weight scheme),
+  * activations: per-tensor affine uint8 fake-quant at every conv/dense
+    input AND output, driven by moving-average min/max observers carried
+    through the jitted step as a pytree (torch
+    MovingAverageMinMaxObserver / FusedMovingAvgObsFakeQuantize). The
+    sites are injected with ``flax.linen.intercept_methods`` — no model
+    rewrites,
+  * observer freeze = a static flag variant of the step (no observer
+    updates compiled in); BN freeze = forward with running stats and no
+    batch-stats mutation (torch ``freeze_bn_stats`` semantics),
+  * convert = bake int8 weights + scales; Dense layers then execute as a
+    REAL int8 ``lax.dot_general`` (uint8 activation x int8 weight, int32
+    accumulate on the MXU int8 path) with the zero-point folded into a
+    per-column correction; convs remain quantize-dequantize.
 """
 
 from __future__ import annotations
@@ -18,9 +32,13 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, Optional, Tuple
 
+import flax.linen as nn
+import flax.struct
 import jax
 import jax.numpy as jnp
 from flax import traverse_util
+
+ACT_QMIN, ACT_QMAX = 0, 255  # uint8 activations (torch default affine)
 
 
 @jax.custom_vjp
@@ -72,34 +90,45 @@ def fake_quant_weights(params, exclude=()) -> dict:
     return traverse_util.unflatten_dict(flat)
 
 
-@dataclasses.dataclass
+@flax.struct.dataclass
 class ObserverState:
-    """Per-activation-site moving-average min/max (torch
-    MovingAverageMinMaxObserver, averaging_constant=0.01)."""
+    """Per-site moving-average min/max (torch MovingAverageMinMaxObserver,
+    averaging_constant=0.01). The first update snaps to the batch range
+    (torch's uninitialized sentinel), later updates EMA. A pytree, so
+    observers flow through jitted steps."""
 
     min_val: jnp.ndarray
     max_val: jnp.ndarray
+    initialized: jnp.ndarray  # bool scalar
 
     @staticmethod
     def init():
-        return ObserverState(jnp.zeros(()), jnp.zeros(()))
+        return ObserverState(
+            jnp.zeros(()), jnp.zeros(()), jnp.zeros((), bool)
+        )
 
     def update(self, x, momentum: float = 0.01):
         mn = jnp.min(x).astype(jnp.float32)
         mx = jnp.max(x).astype(jnp.float32)
-        return ObserverState(
-            self.min_val + momentum * (mn - self.min_val),
-            self.max_val + momentum * (mx - self.max_val),
+        new_min = jnp.where(
+            self.initialized, self.min_val + momentum * (mn - self.min_val), mn
         )
+        new_max = jnp.where(
+            self.initialized, self.max_val + momentum * (mx - self.max_val), mx
+        )
+        return ObserverState(new_min, new_max, jnp.ones((), bool))
 
-    def qparams(self, qmin=0, qmax=255) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        scale = jnp.maximum((self.max_val - self.min_val) / (qmax - qmin), 1e-9)
-        zp = jnp.clip(jnp.round(qmin - self.min_val / scale), qmin, qmax)
+    def qparams(self, qmin=ACT_QMIN, qmax=ACT_QMAX) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # torch affine qparams: range always includes 0
+        mn = jnp.minimum(self.min_val, 0.0)
+        mx = jnp.maximum(self.max_val, 0.0)
+        scale = jnp.maximum((mx - mn) / (qmax - qmin), 1e-9)
+        zp = jnp.clip(jnp.round(qmin - mn / scale), qmin, qmax)
         return scale, zp
 
 
 def quantize_params_int8(params, exclude=()):
-    """Bake int8 weights + scales for inference. Returns
+    """Bake int8 weights + scales for inference ("convert"). Returns
     (int8_params, scales) flat dicts keyed by kernel path."""
     flat = traverse_util.flatten_dict(params)
     q, scales = {}, {}
@@ -122,90 +151,363 @@ def dequantize_params(params, q, scales):
     return traverse_util.unflatten_dict(flat)
 
 
-def make_qat_train_step(base_train_step, exclude=()):
-    """Wrap a train step so the forward sees fake-quantized weights.
+# ------------------------------------------------ activation observation
 
-    The underlying step already masks gradients/updates (pruning); QAT
-    composes by quantizing the masked weights on the fly — matching the
-    reference's quantization-of-pruned-models flow
-    (`train_quantization.py:56-78` + BASELINE config #5).
+def _is_site(mod, context) -> bool:
+    return isinstance(mod, (nn.Dense, nn.Conv)) and context.method_name == "__call__"
+
+
+def observer_sites(module, variables, x, **apply_kwargs):
+    """Trace one forward to discover every conv/dense activation site."""
+    sites = []
+
+    def ic(next_fn, args, kwargs, context):
+        out = next_fn(*args, **kwargs)
+        if _is_site(context.module, context):
+            sites.append("/".join(context.module.path))
+        return out
+
+    with nn.intercept_methods(ic):
+        module.apply(variables, x, **apply_kwargs)
+    return sites
+
+
+def init_observers(sites) -> Dict[str, ObserverState]:
+    """Input ("...:in") and output ("...:out") observers per site: outputs
+    drive the QAT fake-quant, inputs supply the int8 matmul qparams."""
+    return {f"{s}:{io}": ObserverState.init() for s in sites for io in ("in", "out")}
+
+
+def quantized_apply(
+    module,
+    variables,
+    x,
+    observers: Dict[str, ObserverState],
+    update_observers: bool = True,
+    apply_act_fake_quant: bool = True,
+    exclude=(),
+    **apply_kwargs,
+):
+    """Forward with activation observation (+ optional fake-quant) at every
+    conv/dense site. Returns (apply outputs, new observer dict).
+
+    ``update_observers=False`` compiles the frozen-observer variant
+    (reference `train_quantization.py:120-122`); ``apply_act_fake_quant=
+    False`` is PTQ calibration (observe only, torch prepare())."""
+    new_obs: Dict[str, ObserverState] = {}
+
+    def ic(next_fn, args, kwargs, context):
+        mod = context.module
+        if not _is_site(mod, context):
+            return next_fn(*args, **kwargs)
+        path = "/".join(mod.path)
+        if f"{path}:out" not in observers or any(e in path for e in exclude):
+            return next_fn(*args, **kwargs)
+        obs_in = observers[f"{path}:in"]
+        new_obs[f"{path}:in"] = (
+            obs_in.update(args[0]) if update_observers else obs_in
+        )
+        out = next_fn(*args, **kwargs)
+        obs_out = observers[f"{path}:out"]
+        obs_out = obs_out.update(out) if update_observers else obs_out
+        new_obs[f"{path}:out"] = obs_out
+        if apply_act_fake_quant:
+            scale, zp = obs_out.qparams()
+            out = fake_quant(out, scale, zp, ACT_QMIN, ACT_QMAX)
+        return out
+
+    with nn.intercept_methods(ic):
+        out = module.apply(variables, x, **apply_kwargs)
+    return out, new_obs
+
+
+# --------------------------------------------------------- real int8 path
+
+def int8_dense(x, w_q, w_scale, act_scale, act_zp, bias=None):
+    """Dense executed in integer arithmetic: uint8 activations x int8
+    weights with int32 accumulation (the TPU MXU int8 path), dequantized
+    once at the output.
+
+    y = s_x * s_w * [ (x_q - 128) @ w_q  +  (128 - zp_x) * colsum(w_q) ] + b
+
+    The 128 shift keeps the activation operand in int8 range so the matmul
+    is a true int8 x int8 -> int32 ``dot_general``; the zero-point term is
+    a per-column rank-1 correction.
     """
+    xq = jnp.clip(jnp.round(x / act_scale + act_zp), ACT_QMIN, ACT_QMAX)
+    xs = (xq - 128.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xs, w_q,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    colsum = jnp.sum(w_q.astype(jnp.int32), axis=0).astype(jnp.float32)
+    acc = acc + (128.0 - act_zp) * colsum
+    y = acc * (act_scale * w_scale.reshape(1, -1))
+    if bias is not None:
+        y = y + bias
+    return y
 
-    def step(state, batch, rng):
-        qparams = fake_quant_weights(state.params, exclude)
-        qstate = state.replace(params=qparams)
-        new_qstate, metrics = base_train_step(qstate, batch, rng)
-        # gradients flowed through STE to the fake-quant weights; apply the
-        # same deltas to the full-precision master weights.
-        delta = jax.tree.map(lambda n, o: n - o, new_qstate.params, qparams)
-        new_params = jax.tree.map(lambda p, d: p + d, state.params, delta)
-        return new_qstate.replace(params=new_params), metrics
+
+def int8_apply(module, variables, x, q, scales, observers, **apply_kwargs):
+    """Inference with every quantized Dense executed via ``int8_dense``
+    (real integer matmul); conv kernels run QDQ. ``observers`` supplies the
+    per-site input qparams gathered by QAT/PTQ."""
+    qd = dequantize_params(variables["params"], q, scales)
+
+    def ic(next_fn, args, kwargs, context):
+        mod = context.module
+        if isinstance(mod, nn.Dense) and context.method_name == "__call__":
+            kpath = tuple(mod.path) + ("kernel",)
+            site = "/".join(mod.path) + ":in"
+            if kpath in q and site in observers:
+                s, zp = observers[site].qparams()
+                bias = (
+                    mod.get_variable("params", "bias")
+                    if mod.has_variable("params", "bias") else None
+                )
+                return int8_dense(args[0], q[kpath], scales[kpath], s, zp, bias)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(ic):
+        return module.apply({**variables, "params": qd}, x, **apply_kwargs)
+
+
+# ------------------------------------------------------------- QAT step
+
+def make_qat_train_step(
+    module,
+    tx,
+    num_classes: int,
+    label_smoothing: float = 0.0,
+    exclude=(),
+    observer_update: bool = True,
+    bn_frozen: bool = False,
+):
+    """Jitted QAT step: masked grads (pruning composes), per-channel int8
+    weight fake-quant with STE, activation fake-quant from moving
+    observers. ``observer_update``/``bn_frozen`` are compile-time flags —
+    the epoch driver swaps step variants exactly where the reference flips
+    torch's enable/disable_observer and freeze_bn_stats
+    (`train_quantization.py:110-125`)."""
+    from vipers.pruning.masked_optim import mask_gradients
+    from vipers.pruning.masks import apply_masks
+    from vipers.train.steps import accuracy_topk, cross_entropy
+    import optax
+
+    def loss_fn(params, batch_stats, masks, observers, batch, rng):
+        images, labels = batch
+        qparams = fake_quant_weights(apply_masks(params, masks), exclude)
+        variables = {"params": qparams}
+        kwargs = dict(train=not bn_frozen, rngs={"dropout": rng}, need_attn=False)
+        mutable_bs = batch_stats is not None and not bn_frozen
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+            if mutable_bs:
+                kwargs["mutable"] = ["batch_stats"]
+        out, new_obs = quantized_apply(
+            module, variables, images, observers,
+            update_observers=observer_update, exclude=exclude, **kwargs,
+        )
+        if mutable_bs:
+            (logits, _aux), new_vars = out
+            new_bs = new_vars["batch_stats"]
+        else:
+            logits, _aux = out
+            new_bs = batch_stats
+        loss = cross_entropy(logits, labels, num_classes, label_smoothing)
+        return loss, (logits, new_bs, new_obs)
+
+    def step(state, observers, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (logits, new_bs, new_obs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, state.masks, observers, batch, rng)
+        grads = mask_gradients(grads, state.masks)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = mask_gradients(updates, state.masks)
+        params = optax.apply_updates(state.params, updates)
+        acc1, acc5 = accuracy_topk(logits, batch[1])
+        metrics = {"loss": loss, "acc1": acc1, "acc5": acc5}
+        new_state = state.replace(
+            step=state.step + 1, params=params, batch_stats=new_bs,
+            opt_state=opt_state,
+        )
+        return new_state, new_obs, metrics
+
+    return jax.jit(step)
+
+
+def make_int8_eval_step(module, q, scales, observers, num_classes: int):
+    """Eval step running Dense layers in real int8 — plugs into
+    ``train.loop.evaluate`` (per-epoch converted-model eval,
+    `train_quantization.py:129-135`)."""
+    from vipers.train.steps import cross_entropy
+    from vipers.pruning.masks import apply_masks
+
+    @jax.jit
+    def step(state, batch):
+        images, labels = batch
+        variables = {"params": apply_masks(state.params, state.masks)}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        logits, _aux = int8_apply(
+            module, variables, images, q, scales, observers,
+            train=False, need_attn=False,
+        )
+        loss = cross_entropy(logits, labels, num_classes)
+        if labels.ndim == 2:
+            labels = jnp.argmax(labels, axis=1)
+        _, pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))
+        correct = pred == labels[:, None]
+        return {
+            "loss_sum": loss * labels.shape[0],
+            "top1": jnp.sum(correct[:, :1]),
+            "top5": jnp.sum(correct),
+            "n": jnp.asarray(labels.shape[0], jnp.int32),
+        }
 
     return step
 
 
-def ptq_calibrate(apply_fn, variables, batches, num_batches: int = 32):
-    """PTQ: run calibration batches, observe activation ranges at the
-    logits site, return observer state (`train_quantization.py:83-104`)."""
-    obs = ObserverState.init()
+def ptq_calibrate(module, variables, observers, batches, num_batches: int = 32,
+                  exclude=()):
+    """PTQ calibration: observe every conv/dense site over N batches
+    (`train_quantization.py:83-104`); no fake-quant applied."""
+
+    @jax.jit
+    def calib_step(observers, images):
+        _out, new_obs = quantized_apply(
+            module, variables, images, observers,
+            update_observers=True, apply_act_fake_quant=False,
+            exclude=exclude, train=False, need_attn=False,
+        )
+        return new_obs
+
     for i, (images, _labels) in enumerate(batches):
         if i >= num_batches:
             break
-        logits, _aux = apply_fn(variables, jnp.asarray(images), train=False)
-        obs = obs.update(logits)
-    return obs
+        observers = calib_step(observers, jnp.asarray(images))
+    return observers
 
+
+# ------------------------------------------------------------- CLI driver
 
 def run_quantize(args) -> int:
-    from vipers.core.config import config_from_args
-    from vipers.train.driver import build_session, _train_loader, _val_loader
-    from vipers.train.loop import evaluate, train_one_epoch
-
-    cfg = config_from_args(args)
     import os
 
+    import numpy as np
+
+    from vipers.core.config import config_from_args
+    from vipers.train.driver import (
+        _train_loader, _val_loader, build_session, resume_session,
+    )
+    from vipers.train.loop import evaluate
+
+    cfg = config_from_args(args)
     os.makedirs(cfg.output_dir, exist_ok=True)
     s = build_session(cfg)
+    if not cfg.resume:
+        # quantizing random weights silently "works" but is meaningless —
+        # the reference always loads a trained model first
+        # (`train_quantization.py:53,76-81`).
+        raise SystemExit(
+            "vipers quantize requires --resume <checkpoint> (a trained, "
+            "possibly pruned model to quantize)"
+        )
+    resume_session(s, cfg.resume)
+
+    module = s.spec.module
+    exclude = s.spec.prune_exclude
+    h = w = cfg.train_crop_size
+    probe_vars = {"params": s.state.params}
+    if s.state.batch_stats is not None:
+        probe_vars["batch_stats"] = s.state.batch_stats
+    sites = observer_sites(
+        module, probe_vars, jnp.zeros((1, h, w, 3)), train=False, need_attn=False
+    )
+    observers = init_observers(sites)
+    print(f"{len(sites)} quantizable activation sites")
+
     if args.mode == "ptq":
         batches = ((s.normalize(i), l) for i, l in _train_loader(s, 0))
-        obs = ptq_calibrate(s.spec.module.apply,
-                            {"params": s.state.params,
-                             **({"batch_stats": s.state.batch_stats}
-                                if s.state.batch_stats is not None else {})},
-                            batches, args.calibration_batches)
-        q, scales = quantize_params_int8(s.state.params, s.spec.prune_exclude)
-        qparams = dequantize_params(s.state.params, q, scales)
-        state = s.state.replace(params=qparams)
-        acc1, acc5, loss = evaluate(s.eval_step, state, _val_loader(s),
-                                    normalize_fn=s.normalize)
-        print(f"PTQ int8: acc1 {acc1:.3f} acc5 {acc5:.3f} "
-              f"(act range [{float(obs.min_val):.3f}, {float(obs.max_val):.3f}])")
-        return 0
-    # QAT — needs a non-donating base step: the wrapper reads the
-    # fake-quant params again after the inner step returns.
-    from vipers.train.steps import make_train_step
-    import jax.numpy as _jnp
-
-    base_step = make_train_step(
-        s.spec.module.apply,
-        # rebuild the tx used by the session (same schedule/masking)
-        s.tx, cfg.num_classes, cfg.optim.label_smoothing,
-        compute_dtype=_jnp.bfloat16 if cfg.amp else _jnp.float32,
-        donate=False,
-    )
-    qat_step = make_qat_train_step(base_step, s.spec.prune_exclude)
-    import jax as _jax
-
-    state = s.state
-    for epoch in range(cfg.optim.epochs):
-        state, _ = train_one_epoch(
-            qat_step, state, _train_loader(s, epoch),
-            _jax.random.fold_in(s.rng, epoch), epoch,
-            normalize_fn=s.normalize, print_freq=cfg.print_freq,
+        observers = ptq_calibrate(
+            module, probe_vars, observers, batches,
+            args.calibration_batches, exclude,
         )
-        # per-epoch int8 convert + eval (`train_quantization.py:129-135`)
-        q, scales = quantize_params_int8(state.params, s.spec.prune_exclude)
-        qparams = dequantize_params(state.params, q, scales)
-        evaluate(s.eval_step, state.replace(params=qparams), _val_loader(s),
-                 epoch, normalize_fn=s.normalize, log_suffix="INT8")
+        q, scales = quantize_params_int8(s.state.params, exclude)
+        qdq = s.state.replace(params=dequantize_params(s.state.params, q, scales))
+        acc1, acc5, loss = evaluate(s.eval_step, qdq, _val_loader(s),
+                                    normalize_fn=s.normalize)
+        print(f"PTQ QDQ:  acc1 {acc1:.3f} acc5 {acc5:.3f}")
+        int8_step = make_int8_eval_step(module, q, scales, observers,
+                                        cfg.num_classes)
+        acc1_i, acc5_i, _ = evaluate(int8_step, s.state, _val_loader(s),
+                                     normalize_fn=s.normalize)
+        print(f"PTQ int8: acc1 {acc1_i:.3f} acc5 {acc5_i:.3f} "
+              f"(Dense layers executed in int8)")
+        from vipers.core.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(cfg.output_dir, "quantized_post_train_model"),
+            {"params": qdq.params,
+             "observers": {k: {"min": o.min_val, "max": o.max_val}
+                           for k, o in observers.items()}},
+        )
+        return 0
+
+    # ---- QAT (`train_quantization.py:106-154`)
+    from vipers.train.loop import train_one_epoch
+
+    n_obs_epochs = getattr(args, "num_observer_update_epochs", 4)
+    n_bn_epochs = getattr(args, "num_batch_norm_update_epochs", 3)
+    state = s.state
+    step_cache = {}
+    for epoch in range(cfg.optim.epochs):
+        observer_update = epoch < n_obs_epochs
+        bn_frozen = epoch >= n_bn_epochs
+        key = (observer_update, bn_frozen)
+        if key not in step_cache:
+            step_cache[key] = make_qat_train_step(
+                module, s.tx, cfg.num_classes, cfg.optim.label_smoothing,
+                exclude, observer_update=observer_update, bn_frozen=bn_frozen,
+            )
+        if not observer_update and epoch == n_obs_epochs:
+            print(f"Disabling observer for subseq epochs, epoch = {epoch}")
+        if bn_frozen and epoch == n_bn_epochs:
+            print(f"Freezing BN for subseq epochs, epoch = {epoch}")
+        qat_step = step_cache[key]
+
+        # inline epoch loop: the step signature carries observers
+        rng = jax.random.fold_in(s.rng, epoch)
+        for i, (images, labels) in enumerate(_train_loader(s, epoch)):
+            batch = (s.normalize(images), jnp.asarray(labels))
+            state, observers, metrics = qat_step(state, observers, batch, rng)
+            if cfg.print_freq and i % cfg.print_freq == 0:
+                print(f"QAT epoch {epoch} [{i}] loss "
+                      f"{float(metrics['loss']):.4f}")
+
+        # per-epoch convert -> int8 eval (`train_quantization.py:129-135`)
+        evaluate(s.eval_step,
+                 state.replace(params=fake_quant_weights(state.params, exclude)),
+                 _val_loader(s), epoch, normalize_fn=s.normalize,
+                 log_suffix="QAT")
+        q, scales = quantize_params_int8(state.params, exclude)
+        int8_step = make_int8_eval_step(module, q, scales, observers,
+                                        cfg.num_classes)
+        evaluate(int8_step, state, _val_loader(s), epoch,
+                 normalize_fn=s.normalize, log_suffix="INT8")
+
+        from vipers.core.checkpoint import save_checkpoint
+
+        save_checkpoint(
+            os.path.join(cfg.output_dir, "qat_checkpoint"),
+            {"params": state.params,
+             "masks": {"/".join(k): v for k, v in state.masks.items()},
+             "epoch": np.int32(epoch),
+             "observers": {k: {"min": o.min_val, "max": o.max_val}
+                           for k, o in observers.items()}},
+            use_async=True,
+        )
+    s.state = state
     return 0
