@@ -231,3 +231,34 @@ def test_lrp_end_to_end_resnet():
     assert rel.shape == (32, 32, 3)
     assert np.isfinite(rel).all() and np.abs(rel).sum() > 0
     assert 0 <= t < 4
+
+
+@pytest.mark.slow
+def test_run_explain_untrained_seed_baseline(tmp_path):
+    """--untrained --seed N: random-init model, seed-stamped output dir
+    (explain.py:108-116,167-189 parity)."""
+    import argparse
+    import os
+
+    from PIL import Image
+
+    from vipers.explain.driver import run_explain
+
+    # tiny 2-class val ImageFolder
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / "data" / "val" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(
+            rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        ).save(d / "x.jpg")
+
+    args = argparse.Namespace(
+        model="resnet18", checkpoint="", data_path=str(tmp_path / "data"),
+        methods=["gradcam"], num_classes_sample=2,
+        output_dir=str(tmp_path / "out"), untrained=True, seed=7,
+    )
+    assert run_explain(args) == 0
+    seed_dir = tmp_path / "out" / "untrained_model_seed_7" / "gradcam"
+    assert seed_dir.is_dir()
+    assert any(seed_dir.rglob("*_nparray.npy"))

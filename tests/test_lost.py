@@ -371,3 +371,39 @@ def test_batched_pipeline_matches_per_image(synthetic_voc):
 
     for want, have in zip(per_image, got):
         np.testing.assert_allclose(have, want, atol=0)
+
+
+@pytest.mark.slow
+def test_lost_swin_path(synthetic_voc, tmp_path):
+    """swin feature path (`main_lost.py:501-566`): last block's window qkv,
+    w_featmap = window side, true qkv split, scales = image/patch."""
+    import argparse
+
+    from vipers.discovery.driver import run_lost
+
+    import torch
+
+    from tests.torch_swin_oracle import random_torchvision_swin_sd
+
+    # real checkpoint path: zero-init biases make window pad tokens
+    # degenerate seeds, so (like the reference) swin LOST runs on imported
+    # trained-style weights
+    ckpt = str(tmp_path / "swin.pth")
+    torch.save({"model": random_torchvision_swin_sd(seed=0, num_classes=1000)},
+               ckpt)
+    args = argparse.Namespace(
+        model="swin_v2_t", arch="swin", dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, checkpoint=ckpt, patch_size=16,
+        which_features="k", k_patches=100, dinoseg=False, dinoseg_head=2,
+        no_hard=False, output_dir=str(tmp_path / "lost_swin"), iteration=3,
+        visualize=None,
+    )
+    assert run_lost(args) == 0
+    out = str(tmp_path / "lost_swin")
+    assert os.path.exists(os.path.join(out, "results_iteration_03.txt"))
+    import pickle
+
+    preds = pickle.load(open(os.path.join(out, "preds.pkl"), "rb"))
+    assert len(preds) == 3
+    for box in preds.values():
+        assert len(box) == 4 and box[2] >= box[0] and box[3] >= box[1]

@@ -165,3 +165,64 @@ def test_mobilenet_v2_and_quantized_aliases():
     qspec = build_model("quantized_mobilenet_v2", num_classes=6)
     assert qspec.extra.get("quantized") is True
     assert "quantized_resnet50" in list_models()
+
+
+@pytest.mark.slow
+def test_swin_v2_full_model_parity_vs_torch():
+    """Full swin_v2_t forward parity: random torchvision-layout state dict
+    -> hand-built torch oracle (torchvision eval math incl. pad-to-window,
+    per-axis shift zeroing, runtime k-bias zeroing, PatchMergingV2 channel
+    order) vs the flax model through import_torch_checkpoint."""
+    import torch
+
+    from tests.torch_swin_oracle import random_torchvision_swin_sd, swin_v2_t_forward
+    from vipers.core.checkpoint import import_torch_checkpoint, to_jax
+    from vipers.core.registry import build_model
+
+    sd = random_torchvision_swin_sd(seed=0, num_classes=10)
+    rng = np.random.default_rng(0)
+    # 96x64: last stage 3x2 < window 8 -> pad-to-window + shift-zeroing
+    # paths exercised; stage maps 24x16, 12x8, 6x4, 3x2
+    x = rng.normal(size=(1, 96, 64, 3)).astype(np.float32)
+
+    logits_t, feats_t, _ = swin_v2_t_forward(
+        {k: v.clone() for k, v in sd.items()},
+        torch.from_numpy(x.transpose(0, 3, 1, 2)),
+    )
+
+    params, _bs, masks = import_torch_checkpoint(
+        {k: v.numpy() for k, v in sd.items()}, "swin_v2_t"
+    )
+    assert masks == {}
+    spec = build_model("swin_v2_t", num_classes=10)
+    logits_j, aux = spec.module.apply({"params": to_jax(params)},
+                                      jnp.asarray(x), train=False)
+    np.testing.assert_allclose(
+        np.asarray(aux["features"]), feats_t.numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_j), logits_t.numpy(), atol=2e-4, rtol=1e-3
+    )
+
+
+@pytest.mark.slow
+def test_swin_importer_roundtrips_pruned_checkpoint():
+    """Pruned (weight_orig/weight_mask) swin checkpoints import with masks."""
+    import torch
+
+    from tests.torch_swin_oracle import random_torchvision_swin_sd
+    from vipers.core.checkpoint import import_torch_checkpoint
+
+    sd = random_torchvision_swin_sd(seed=1, num_classes=4)
+    # reparametrize one layer the way torch.nn.utils.prune stores it
+    w = sd.pop("features.7.1.attn.proj.weight")
+    mask = (torch.rand(w.shape) > 0.5).float()
+    sd["features.7.1.attn.proj.weight_orig"] = w
+    sd["features.7.1.attn.proj.weight_mask"] = mask
+    params, _bs, masks = import_torch_checkpoint(
+        {k: v.numpy() for k, v in sd.items()}, "swin_v2_t"
+    )
+    key = ("stage3_block1", "attn", "proj", "kernel")
+    assert key in masks
+    got = params["stage3_block1"]["attn"]["proj"]["kernel"]
+    np.testing.assert_allclose(got, (w * mask).numpy().T)

@@ -25,7 +25,8 @@ def main(argv=None):
 
     lost = sub.add_parser("lost", help="LOST object discovery + CorLoc")
     lost.add_argument("--model", default="vit_s_16")
-    lost.add_argument("--arch", default="vit", help="feature family: vit|dino|resnet|vgg16")
+    lost.add_argument("--arch", default="vit",
+                      help="feature family: vit|dino|swin|resnet|vgg16")
     lost.add_argument("--dataset", default="VOC07", choices=["VOC07", "VOC12", "COCO20k"])
     lost.add_argument("--set", default="trainval")
     lost.add_argument("--data-path", required=False, default="/data")
@@ -62,6 +63,11 @@ def main(argv=None):
                       help="any of: gradcam guided_gradcam ig attention lrp")
     expl.add_argument("--num-classes-sample", type=int, default=200)
     expl.add_argument("--output-dir", default="./explanations")
+    expl.add_argument("--untrained", action="store_true",
+                      help="random-init baseline model "
+                           "(explain.py:108-116,167-189)")
+    expl.add_argument("--seed", type=int, default=0,
+                      help="init seed for --untrained; stamps the output dir")
 
     ee = sub.add_parser("explain-eval", help="RMA/RRA scoring on VOC masks")
     ee.add_argument("--model", default="vit_b_32")

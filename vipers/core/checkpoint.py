@@ -140,7 +140,8 @@ def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
 
 
 def normalize_torch_state_dict(sd) -> Dict[str, np.ndarray]:
-    import torch
+    def _np(v):
+        return v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
 
     out: Dict[str, np.ndarray] = {}
     raw = {}
@@ -152,17 +153,16 @@ def normalize_torch_state_dict(sd) -> Dict[str, np.ndarray]:
         if k.endswith("_orig"):
             base = k[: -len("_orig")]
             mask = raw.get(base + "_mask")
-            w = v
+            w = _np(v)
             if mask is not None:
-                w = v * mask
-                out[base + ".__mask__"] = mask.detach().cpu().numpy().astype(bool)
-            out[base] = w.detach().cpu().numpy()
+                mask = _np(mask)
+                w = w * mask
+                out[base + ".__mask__"] = mask.astype(bool)
+            out[base] = w
         elif k.endswith("_mask"):
             continue
         else:
-            out[k] = (
-                v.detach().cpu().numpy() if isinstance(v, torch.Tensor) else np.asarray(v)
-            )
+            out[k] = _np(v)
     return out
 
 
@@ -307,6 +307,64 @@ def import_vgg16(sd: Dict[str, np.ndarray], headless: bool = False):
     return traverse_util.unflatten_dict(p), masks
 
 
+def import_swin_v2_t(sd: Dict[str, np.ndarray]):
+    """torchvision ``swin_v2_t`` state dict -> our SwinTransformerV2 params.
+
+    torchvision layout (`/root/reference/main_lost.py:104-106` loads these
+    checkpoints): features.0 = [Conv2d, Permute, LayerNorm] patch embed;
+    features.{1,3,5,7} = stages of SwinTransformerBlockV2 with
+    norm1/norm2 (res-post-norm), attn.{qkv,proj,logit_scale,cpb_mlp.0,
+    cpb_mlp.2}, mlp.{0,3}; features.{2,4,6} = PatchMergingV2
+    (reduction, norm); then norm/head. relative_coords_table and
+    relative_position_index buffers are recomputed, not imported.
+    Returns (params, masks).
+    """
+    p, masks = {}, {}
+
+    def put_lin(tkey, path, bias=True):
+        p[path + ("kernel",)] = _lin_w(sd[tkey + ".weight"])
+        m = sd.get(tkey + ".weight.__mask__")
+        if m is not None:
+            masks[path + ("kernel",)] = _lin_w(m)
+        if bias and tkey + ".bias" in sd:
+            p[path + ("bias",)] = sd[tkey + ".bias"]
+
+    def put_ln(tkey, path):
+        p[path + ("scale",)] = sd[tkey + ".weight"]
+        p[path + ("bias",)] = sd[tkey + ".bias"]
+
+    p[("patch_embed", "kernel")] = _conv_w(sd["features.0.0.weight"])
+    p[("patch_embed", "bias")] = sd["features.0.0.bias"]
+    if "features.0.0.weight.__mask__" in sd:
+        masks[("patch_embed", "kernel")] = _conv_w(sd["features.0.0.weight.__mask__"])
+    put_ln("features.0.2", ("patch_norm",))
+
+    depths = (2, 2, 6, 2)
+    for si, depth in enumerate(depths):
+        f = 1 + 2 * si  # torchvision stage index: 1, 3, 5, 7
+        for bi in range(depth):
+            t = f"features.{f}.{bi}"
+            o = (f"stage{si}_block{bi}",)
+            put_ln(f"{t}.norm1", o + ("norm1",))
+            put_ln(f"{t}.norm2", o + ("norm2",))
+            put_lin(f"{t}.attn.qkv", o + ("attn", "qkv"))
+            put_lin(f"{t}.attn.proj", o + ("attn", "proj"))
+            p[o + ("attn", "logit_scale")] = sd[f"{t}.attn.logit_scale"]
+            put_lin(f"{t}.attn.cpb_mlp.0", o + ("attn", "cpb_fc1"))
+            put_lin(f"{t}.attn.cpb_mlp.2", o + ("attn", "cpb_fc2"), bias=False)
+            put_lin(f"{t}.mlp.0", o + ("fc1",))
+            put_lin(f"{t}.mlp.3", o + ("fc2",))
+        if si < len(depths) - 1:
+            m = f"features.{2 + 2 * si}"
+            put_lin(f"{m}.reduction", (f"merge{si}", "reduction"), bias=False)
+            put_ln(f"{m}.norm", (f"merge{si}", "norm"))
+
+    put_ln("norm", ("norm",))
+    if "head.weight" in sd:
+        put_lin("head", ("head",))
+    return traverse_util.unflatten_dict(p), masks
+
+
 def import_torch_checkpoint(path_or_sd, model_name: str, **kw):
     """Dispatch by model family. Returns (params, batch_stats, masks) with
     masks as a flat {path: bool array} dict matching ``pruning.masks``."""
@@ -330,6 +388,9 @@ def import_torch_checkpoint(path_or_sd, model_name: str, **kw):
         return params, None, masks
     if name.startswith("vgg"):
         params, masks = import_vgg16(sd, headless=kw.get("headless", False))
+        return params, None, masks
+    if name.startswith("swin"):
+        params, masks = import_swin_v2_t(sd)
         return params, None, masks
     raise ValueError(f"no importer for model {model_name!r}")
 

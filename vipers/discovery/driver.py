@@ -75,6 +75,13 @@ class LostFeatureExtractor:
             return aux
 
         @jax.jit
+        def swin_forward(variables, img):
+            _, aux = spec.module.apply(variables, img, train=False)
+            return aux
+
+        self._swin_forward = swin_forward
+
+        @jax.jit
         def cnn_forward(variables, img):
             feats, _aux = spec.module.apply(variables, img, train=False)
             n, h, w, d = feats.shape
@@ -160,6 +167,21 @@ class LostFeatureExtractor:
             else:
                 feats = feats_tok[None]
             return feats, (GH, GW), (gh, gw), [patch_size, patch_size], aux["attn"]
+        if self.arch == "swin":
+            # `main_lost.py:501-566`: hook the last block's window-attention
+            # qkv, w_featmap = sqrt(attn.shape[-2]) (the WINDOW side), true
+            # qkv split, no CLS, scales = image/patch_size.  The reference
+            # path only functions when the last stage fits one window
+            # (224^2 -> 7x7 <= 8); like it, we consume the first window.
+            aux = self._swin_forward(self.variables, jnp.asarray(img_hwc)[None])
+            t_win = aux["attn"].shape[-2]
+            ws = int(np.sqrt(t_win))
+            nh = aux["attn"].shape[1]
+            qkv_first = aux["qkv"][:, :t_win, :]  # first window's tokens
+            q, k, v = split_qkv_dino(qkv_first, nh)
+            feats = np.asarray({"k": k, "q": q, "v": v}[self.which])
+            scales = [h / patch_size, w / patch_size]
+            return feats, (ws, ws), (ws, ws), scales, aux["attn"]
         # CNN path: exact shapes (conv receptive fields cross any extra
         # padding, so bucket-masking would not be exact).
         feats, (fh, fw) = self._cnn_forward(self.variables, jnp.asarray(img_hwc)[None])

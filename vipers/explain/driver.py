@@ -30,9 +30,9 @@ from vipers.models.interpolate import interpolate_pos_embedding
 from vipers.pruning.masks import apply_masks
 
 
-def _load_model(model_name: str, checkpoint: str = ""):
+def _load_model(model_name: str, checkpoint: str = "", seed: int = 0):
     spec = build_model(model_name)
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.PRNGKey(seed)
     h, w = spec.input_size
     variables = spec.module.init(rng, jnp.zeros((1, h, w, 3)), train=False)
     if checkpoint:
@@ -136,7 +136,19 @@ def run_explain(args) -> int:
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    spec, variables = _load_model(args.model, args.checkpoint)
+    untrained = getattr(args, "untrained", False)
+    seed = getattr(args, "seed", 0)
+    out_root = args.output_dir
+    if untrained:
+        # Untrained-seed baseline (`/root/reference/explain.py:108-116,
+        # 167-189`): random-init model at the given seed; results land in
+        # a seed-stamped subdirectory like the reference's dir_prefix.
+        spec, variables = _load_model(args.model, "", seed=seed)
+        out_root = os.path.join(args.output_dir,
+                                f"untrained_model_seed_{seed}")
+        print(f"Using untrained vanilla model: {args.model} with seed: {seed}")
+    else:
+        spec, variables = _load_model(args.model, args.checkpoint)
     val_dir = os.path.join(args.data_path, "val")
     from vipers.data.imagefolder import ImageFolder
     from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD, eval_decode
@@ -157,7 +169,7 @@ def run_explain(args) -> int:
         for method, hm in maps.items():
             if method == "prediction":
                 continue
-            d = os.path.join(args.output_dir, method, cls)
+            d = os.path.join(out_root, method, cls)
             os.makedirs(d, exist_ok=True)
             np.save(os.path.join(d, f"{os.path.basename(path)}_nparray.npy"), hm)
             disp = hm if hm.ndim == 2 else np.abs(hm).sum(0)
@@ -168,7 +180,7 @@ def run_explain(args) -> int:
             plt.savefig(os.path.join(d, f"heatmap_{os.path.basename(path)}"))
             plt.close()
         n_done += 1
-    print(f"explained {n_done} classes -> {args.output_dir}")
+    print(f"explained {n_done} classes -> {out_root}")
     return 0
 
 

@@ -71,6 +71,36 @@ def _relative_position_index(ws: int):
     return (rel[..., 0] * (2 * ws - 1) + rel[..., 1]).astype(np.int32)  # (T, T)
 
 
+class _QKVDense(nn.Module):
+    """qkv projection returning (full-bias, k-bias-zeroed) outputs.
+
+    torchvision ``shifted_window_attention_v2`` clones the bias and zeroes
+    its middle third each call, so imported checkpoints (whose stored
+    k-bias may be nonzero) only match if the ATTENTION uses the zeroed
+    version.  The full-bias output is what a forward hook on the ``qkv``
+    Linear captures — the reference's swin LOST dump consumes that
+    (`main_lost.py:505-513`); with the zeroed bias, window pad tokens
+    would have exactly-zero k features, win the inverse-degree seed and
+    make LOST abort on every image."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        full = x @ kernel + bias
+        third = self.features // 3
+        k_only = jnp.zeros_like(bias).at[third : 2 * third].set(
+            bias[third : 2 * third]
+        )
+        return full, full - k_only
+
+
 class WindowAttentionV2(nn.Module):
     dim: int
     num_heads: int
@@ -82,13 +112,14 @@ class WindowAttentionV2(nn.Module):
         b, t, c = x.shape
         h = self.num_heads
         hd = c // h
-        qkv_out = nn.Dense(3 * c, use_bias=True, name="qkv")(x)
-        qkv = qkv_out.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
+        qkv_full, qkv_used = _QKVDense(3 * c, name="qkv")(x)
+        qkv = qkv_used.reshape(b, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # cosine attention with learnable per-head temperature (SwinV2 §3)
-        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-6)
-        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-6)
+        # cosine attention with learnable per-head temperature (SwinV2 §3);
+        # torch F.normalize uses eps=1e-12
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
+        k = k / jnp.maximum(jnp.linalg.norm(k, axis=-1, keepdims=True), 1e-12)
         logit_scale = self.param(
             "logit_scale",
             lambda _k, s: jnp.full(s, float(np.log(10.0))),
@@ -117,16 +148,18 @@ class WindowAttentionV2(nn.Module):
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, t, c)
         out = nn.Dense(c, name="proj")(out)
-        return out, attn, qkv_out
+        return out, attn, qkv_full
 
 
-def _shift_attn_mask(h: int, w: int, ws: int, shift: int):
-    """Additive -100 mask for cross-window attention after a cyclic shift."""
+def _shift_attn_mask(h: int, w: int, ws: int, sh: int, sw: int):
+    """Additive -100 mask for cross-window attention after a cyclic shift —
+    exactly torchvision's region labeling over the PADDED (h, w) map,
+    including the degenerate slices when one axis has shift 0."""
     img = np.zeros((1, h, w, 1), np.float32)
     cnt = 0
-    for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-        for wsl in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
-            img[:, hs, wsl, :] = cnt
+    for hs in ((0, -ws), (-ws, -sh), (-sh, None)):
+        for wsl in ((0, -ws), (-ws, -sw), (-sw, None)):
+            img[:, hs[0]:hs[1], wsl[0]:wsl[1], :] = cnt
             cnt += 1
     win = _window_partition(jnp.asarray(img), ws).reshape(-1, ws * ws)
     diff = win[:, :, None] - win[:, None, :]
@@ -139,30 +172,57 @@ class SwinBlockV2(nn.Module):
     window_size: int
     shift: int
     mlp_ratio: float = 4.0
+    sd_rate: float = 0.0  # stochastic depth (torchvision linearly scaled)
+
+    def _drop_path(self, y, train: bool):
+        if not train or self.sd_rate == 0.0:
+            return y
+        keep = 1.0 - self.sd_rate
+        mask = jax.random.bernoulli(
+            self.make_rng("dropout"), keep, (y.shape[0], 1, 1, 1)
+        )
+        return y * mask.astype(y.dtype) / keep
 
     @nn.compact
-    def __call__(self, x):
-        """x: (N, H, W, C). Returns (x, attn, qkv) of this block."""
-        n, h, w, c = x.shape
-        ws = min(self.window_size, h, w)
-        shift = self.shift if ws < min(h, w) else 0
+    def __call__(self, x, train: bool = False):
+        """x: (N, H, W, C). Returns (x, attn, qkv) of this block.
 
-        sx = jnp.roll(x, (-shift, -shift), axis=(1, 2)) if shift else x
+        torchvision ``shifted_window_attention`` semantics: H/W are
+        zero-PADDED up to window multiples (pad tokens participate in the
+        attention unmasked), the shift is zeroed per-axis when one window
+        covers that axis, and the output is cropped back.
+        """
+        n, h, w, c = x.shape
+        ws = self.window_size
+        pad_b = (ws - h % ws) % ws
+        pad_r = (ws - w % ws) % ws
+        xp = (
+            jnp.pad(x, ((0, 0), (0, pad_b), (0, pad_r), (0, 0)))
+            if (pad_b or pad_r) else x
+        )
+        H, W = h + pad_b, w + pad_r
+        sh = self.shift if ws < H else 0
+        sw = self.shift if ws < W else 0
+
+        sx = jnp.roll(xp, (-sh, -sw), axis=(1, 2)) if (sh or sw) else xp
         windows = _window_partition(sx, ws)
-        mask = _shift_attn_mask(h, w, ws, shift) if shift else None
+        mask = _shift_attn_mask(H, W, ws, sh, sw) if (sh or sw) else None
         y, attn, qkv = WindowAttentionV2(
             self.dim, self.num_heads, ws, name="attn"
         )(windows, mask)
-        y = _window_reverse(y, ws, h, w)
-        if shift:
-            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = _window_reverse(y, ws, H, W)
+        if sh or sw:
+            y = jnp.roll(y, (sh, sw), axis=(1, 2))
+        y = y[:, :h, :w, :]
         # res-post-norm (SwinV2): x + norm(f(x))
-        x = x + nn.LayerNorm(epsilon=1e-5, name="norm1")(y)
+        x = x + self._drop_path(nn.LayerNorm(epsilon=1e-5, name="norm1")(y), train)
 
         z = nn.Dense(int(c * self.mlp_ratio), name="fc1")(x)
         z = nn.gelu(z, approximate=False)
         z = nn.Dense(c, name="fc2")(z)
-        x = x + nn.LayerNorm(epsilon=1e-5, name="norm2")(z)
+        x = x + self._drop_path(
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(z), train
+        )
         return x, attn, qkv
 
 
@@ -170,8 +230,13 @@ class PatchMergingV2(nn.Module):
     @nn.compact
     def __call__(self, x):
         n, h, w, c = x.shape
+        if h % 2 or w % 2:  # torchvision pads odd maps
+            x = jnp.pad(x, ((0, 0), (0, h % 2), (0, w % 2), (0, 0)))
+            h, w = h + h % 2, w + w % 2
         x = x.reshape(n, h // 2, 2, w // 2, 2, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+        # torchvision channel order: cat([x0, x1, x2, x3]) =
+        # [(r0,c0), (r1,c0), (r0,c1), (r1,c1)] — col-offset-major
+        x = x.transpose(0, 1, 3, 4, 2, 5).reshape(n, h // 2, w // 2, 4 * c)
         x = nn.Dense(2 * c, use_bias=False, name="reduction")(x)
         return nn.LayerNorm(epsilon=1e-5, name="norm")(x)
 
@@ -185,6 +250,7 @@ class SwinV2Config:
     window_size: int = 8
     num_classes: int = 1000
     mlp_ratio: float = 4.0
+    stochastic_depth_prob: float = 0.2  # torchvision swin_v2_t default
 
 
 class SwinTransformerV2(nn.Module):
@@ -200,14 +266,19 @@ class SwinTransformerV2(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         last_attn = last_qkv = None
+        total_blocks = sum(c.depths)
+        block_id = 0
         for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
             for bi in range(depth):
                 shift = 0 if bi % 2 == 0 else c.window_size // 2
+                # torchvision: stochastic depth linearly scaled over blocks
+                sd = c.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
                 x, attn, qkv = SwinBlockV2(
                     x.shape[-1], heads, c.window_size, shift,
-                    c.mlp_ratio, name=f"stage{si}_block{bi}",
-                )(x)
+                    c.mlp_ratio, sd_rate=sd, name=f"stage{si}_block{bi}",
+                )(x, train=train)
                 last_attn, last_qkv = attn, qkv
+                block_id += 1
             if si < len(c.depths) - 1:
                 x = PatchMergingV2(name=f"merge{si}")(x)
 
