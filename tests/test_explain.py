@@ -262,3 +262,26 @@ def test_run_explain_untrained_seed_baseline(tmp_path):
     seed_dir = tmp_path / "out" / "untrained_model_seed_7" / "gradcam"
     assert seed_dir.is_dir()
     assert any(seed_dir.rglob("*_nparray.npy"))
+
+
+@pytest.mark.slow
+def test_guided_gradcam_vit():
+    """GGC on a ViT (the reference's own ViT branch is broken code):
+    token-grid GradCAM upsampled x input gradients, input-shaped output."""
+    from vipers.core.registry import build_model
+    from vipers.explain.driver import compute_heatmaps
+
+    spec = build_model("vit_s_16", num_classes=5, image_size=(32, 32))
+    variables = spec.module.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 3)), train=False)
+    img = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+    maps = compute_heatmaps(spec, variables, img, ["guided_gradcam", "gradcam"])
+    ggc = maps["guided_gradcam"]
+    assert ggc.shape == (3, 32, 32)
+    assert np.all(np.isfinite(ggc))
+    # GGC = gbp * cam: zero wherever the CAM is zero
+    cam = maps["gradcam"]
+    assert cam.shape == (32, 32)
+    mask = cam == 0
+    if mask.any():
+        assert np.allclose(ggc[:, mask], 0.0)

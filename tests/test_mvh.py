@@ -49,17 +49,32 @@ def test_mvh_runner_and_csv(tmp_path):
     labels = (images.mean(axis=(1, 2, 3)) > 127).astype(np.int32)
     batches = [(images, labels)]
 
+    from vipers.data.distortions import DISTORTION_LEVELS
+
     results = eval_mvh(eval_step, None, batches)
-    param_names = [n for n in MVH_ORDER if not np.isnan(results[n])]
-    assert len(param_names) == 12  # 12 parametric, 5 stimulus NaN
+    param_names = [n for n in MVH_ORDER if isinstance(results[n], list)]
+    assert len(param_names) == 12  # 12 parametric (level sweeps), 5 stimulus NaN
     for n in param_names:
-        assert 0.0 <= results[n] <= 100.0
+        # one accuracy per toolbox parameter level
+        assert len(results[n]) == len(DISTORTION_LEVELS[n])
+        assert all(0.0 <= a <= 100.0 for a in results[n])
+    # level sweeps are non-trivial: heavy contrast reduction must not beat
+    # the undistorted condition for this brightness classifier
+    assert results["contrast"][0] >= results["contrast"][-1]
 
     path = write_mvh_csv(results, "resnet18", 3, str(tmp_path))
     assert path.endswith("resnet18_pruning_step_3.csv")
     lines = open(path).read().strip().splitlines()
-    assert len(lines) == 17
-    assert lines[0].startswith("colour,")
+    # reference row structure: header + rows 1..18 (17 = reserved)
+    assert len(lines) == 19
+    assert lines[1].startswith("edge,")
+    assert lines[16].startswith("sketch,")
+    assert lines[17].startswith("reserved,")
+    assert lines[18].startswith("stylized,")
+    # last column of a parametric row is the across-level mean
+    cols = lines[5].split(",")  # contrast
+    assert cols[0] == "contrast"
+    assert float(cols[-1]) == pytest.approx(float(np.mean(results["contrast"])))
 
     # the plot layer can read it back
     from vipers.viz.plots import plot_mvh

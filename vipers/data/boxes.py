@@ -1,9 +1,12 @@
 """Vectorized box IoU family: IoU / GIoU / DIoU / CIoU.
 
-Same math and edge-handling as `/root/reference/datasets.py:312-364`
-(ultralytics-style): box1 is (4,), box2 is (n, 4); the +eps terms sit on the
-heights and union exactly where the reference puts them, so values match to
-float rounding.
+Same math and edge-handling as `/root/reference/datasets.py:312-364`: box1
+is (4,), box2 is (n, 4); the +eps terms sit on the heights and union exactly
+where the reference puts them, so values match to float rounding.  That
+reference function is itself vendored ultralytics-yolov5 code
+(https://github.com/ultralytics/yolov5/blob/master/utils/metrics.py,
+GPL-3.0); this is a numpy transcription kept line-compatible because exact
+IoU semantics are a CorLoc-parity requirement.
 """
 
 from __future__ import annotations

@@ -195,9 +195,7 @@ class DiscoveryDataset:
         return extract_gt_COCO(ann)
 
     def load_image(self, im_name: str) -> np.ndarray:
-        path = dict(self.items)[
-            im_name
-        ] if False else os.path.join(os.path.dirname(self.items[0][0]), im_name)
+        path = os.path.join(os.path.dirname(self.items[0][0]), im_name)
         return np.asarray(Image.open(path).convert("RGB"))
 
 

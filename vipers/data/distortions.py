@@ -32,15 +32,19 @@ def _to_gray(img):
     return np.repeat(g, 3, axis=-1)
 
 
-def colour(img, rng, level=0):
-    """grayscale presentation (the 'colour' benchmark tests gray vs color)."""
-    del rng, level
-    return _to_gray(img)
+def colour(img, rng, level=1):
+    """'colour' benchmark conditions: level 0 = true colour (unchanged),
+    level 1 = grayscale presentation."""
+    del rng
+    return _to_gray(img) if level else img
 
 
-def false_colour(img, rng, level=0):
-    """opponent-color inversion: keep luminance, flip chroma."""
-    del rng, level
+def false_colour(img, rng, level=1):
+    """level 0 = true colour; level 1 = opponent-color inversion (keep
+    luminance, flip chroma)."""
+    del rng
+    if not level:
+        return img
     g = (img * GRAY_W).sum(-1, keepdims=True)
     return np.clip(2 * g - img, 0.0, 1.0)
 
@@ -87,6 +91,8 @@ def low_pass(img, rng, level=3.0):
 def high_pass(img, rng, level=1.0):
     del rng
     g = _to_gray(img)
+    if level <= 0:  # toolbox sigma=inf condition: unfiltered grayscale
+        return g
     hp = g - _blur(g, level) + 0.5
     return np.clip(hp, 0, 1)
 
@@ -103,10 +109,12 @@ def phase_scrambling(img, rng, level=90.0):
     return np.repeat(out[..., None], 3, axis=-1)
 
 
-def power_equalisation(img, rng, level=0):
-    """Replace every image's FFT amplitude spectrum with the mean 1/f-like
-    spectrum (here: the image's own rotationally-averaged spectrum)."""
-    del rng, level
+def power_equalisation(img, rng, level=1):
+    """level 0 = original; level 1 = FFT amplitude spectrum replaced with
+    the mean 1/f-like spectrum (here: the image's own mean amplitude)."""
+    del rng
+    if not level:
+        return img
     g = _to_gray(img)[..., 0]
     f = np.fft.fft2(g)
     amp = np.abs(f)
@@ -137,7 +145,7 @@ def eidolonI(img, rng, level=8.0):
 
 
 def eidolonII(img, rng, level=8.0):
-    return _eidolon(img, rng, reach=level, coherence=0.5)
+    return _eidolon(img, rng, reach=level, coherence=0.3)
 
 
 def eidolonIII(img, rng, level=8.0):
@@ -160,3 +168,23 @@ PARAMETRIC_DISTORTIONS: Dict[str, Callable] = {
 }
 
 STIMULUS_DATASETS = ("cue-conflict", "edge", "silhouette", "sketch", "stylized")
+
+# Per-benchmark parameter sweeps — the levels the modelvshuman toolbox
+# evaluates (Geirhos et al. 2021, consumed row-wise by
+# `/root/reference/mvh_performance_plot.py:44-87`).  high-pass level 0
+# means "no filtering" (sigma=inf in the toolbox); eidolon coherence is
+# fixed per benchmark (I=0.0, II=0.3, III=1.0) with reach swept.
+DISTORTION_LEVELS: Dict[str, list] = {
+    "colour": [0, 1],                      # colour / grayscale
+    "false-colour": [0, 1],                # colour / opponent
+    "contrast": [1.0, 0.5, 0.3, 0.15, 0.10, 0.05, 0.03, 0.01],
+    "low-pass": [0, 1, 3, 5, 7, 10, 15, 40],
+    "high-pass": [0, 3.0, 1.5, 1.0, 0.7, 0.55, 0.45, 0.4],
+    "phase-scrambling": [0, 30, 60, 90, 120, 150, 180],
+    "power-equalisation": [0, 1],          # original / equalised
+    "rotation": [0, 90, 180, 270],
+    "uniform-noise": [0.0, 0.03, 0.05, 0.1, 0.2, 0.35, 0.6, 0.9],
+    "eidolonI": [1, 2, 4, 8, 16, 32, 64, 128],
+    "eidolonII": [1, 2, 4, 8, 16, 32, 64, 128],
+    "eidolonIII": [1, 2, 4, 8, 16, 32, 64, 128],
+}

@@ -104,7 +104,13 @@ def compute_heatmaps(
     if "gradcam" in methods:
         cam, _t = gradcam(apply_with_tap, variables, x, tap_shape, token_grid, aux_key)
         out["gradcam"] = cam
-    if "guided_gradcam" in methods and not is_vit:
+    if "guided_gradcam" in methods:
+        # ViT too: the reference's ViT GGC branch is broken as written
+        # (explain.py:205 dereferences a swin attribute on a torchvision
+        # ViT); here GGC composes the token-grid GradCAM with the guided
+        # input gradients — ViT/swin have no ReLUs, so "guided" reduces to
+        # plain input gradients, which is the captum behavior for
+        # ReLU-free models.
         ggc, _t = guided_gradcam(apply_with_tap, variables, x, tap_shape,
                                  token_grid, aux_key)
         out["guided_gradcam"] = np.transpose(np.asarray(ggc[0]), (2, 0, 1))  # CHW

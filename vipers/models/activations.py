@@ -42,8 +42,24 @@ def relu(x):
     return jax.nn.relu(x)
 
 
+def is_guided() -> bool:
+    """Whether relu() currently traces as guided_relu — call sites that jit
+    a model fn should assert this at TRACE time (see guided_backprop)."""
+    return _GUIDED
+
+
 @contextmanager
 def guided_backprop():
+    """Trace-time flag: code TRACED inside this context gets guided ReLUs.
+
+    CAVEAT (round-1 review): the flag is consulted when ``relu`` runs during
+    tracing, not when a compiled function executes.  A consumer that jits a
+    model fn BEFORE entering the context silently keeps un-guided gradients
+    (the cached executable was traced with the flag off).  The shipped
+    explain drivers build fresh (un-jitted or freshly-jitted) closures per
+    context; new call sites should assert ``is_guided()`` inside the traced
+    function body or avoid pre-built jits.
+    """
     global _GUIDED
     prev = _GUIDED
     _GUIDED = True

@@ -270,6 +270,7 @@ def run_snip(s: Session, initial_epoch: int = 0):
             checkpoint_fn=_checkpoint_fn(s, "snip", cfg.target_sparsity),
             sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
             eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
+            expected_eval_samples=len(s.val_ds),
         )
     s.state = state
     return sparsity, acc1
@@ -316,6 +317,7 @@ def run_magnitude(s: Session, resuming: bool = False, initial_epoch: int = 0):
                 checkpoint_fn=_checkpoint_fn(s, "pruning_iteration", f"{it:02d}"),
                 sparsity=sparsity, writer=s.writer, print_freq=cfg.print_freq,
                 eval_step_ema=s.eval_step_ema if cfg.model_ema else None,
+                expected_eval_samples=len(s.val_ds),
             )
         rows.append((acc1, sparsity))
         masks = magnitude_prune(state.params, state.masks, cfg.pruning_rate)

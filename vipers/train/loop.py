@@ -115,6 +115,7 @@ def train_model_to_completion(
     writer: Optional[MetricsWriter] = None,
     print_freq: int = 100,
     eval_step_ema=None,
+    expected_eval_samples: Optional[int] = None,
 ):
     """Epoch driver (`/root/reference/train.py:434-527`): per-epoch
     train -> eval (-> EMA eval) -> checkpoint (every 10 epochs + last)."""
@@ -130,6 +131,7 @@ def train_model_to_completion(
         last_acc1, _, _ = evaluate(
             eval_step, state, eval_loader_fn(), epoch,
             normalize_fn=normalize_fn, writer=writer,
+            expected_samples=expected_eval_samples,
         )
         if eval_step_ema is not None and state.ema_params is not None:
             evaluate(

@@ -131,6 +131,8 @@ def read_mvh_csv(path: str) -> Dict[str, float]:
         for i, line in enumerate(f.read().strip().splitlines()):
             parts = line.replace(";", ",").split(",")
             name = parts[0].strip() if not _is_float(parts[0]) else MVH_BENCHMARKS[i % len(MVH_BENCHMARKS)]
+            if name in ("reserved", "benchmark"):  # header / skipped row 17
+                continue
             vals = [float(p) for p in parts if _is_float(p)]
             if vals:
                 out[name] = vals[-1]
