@@ -75,3 +75,74 @@ def test_flash_gradients_match_reference():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_flash_custom_vjp_backward_matches_autodiff():
+    """_flash_vjp_bwd (the recomputation backward the TPU path uses) must
+    produce the same dq/dk/dv as autodiff through the reference attention —
+    round-1 gap: the custom-vjp backward was never executed by any test."""
+    from vipers.ops.flash_attention import (
+        NEG_INF, _flash_vjp_bwd, attention_reference,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, t, hd = 2, 3, 24, 16
+    q = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    valid = jnp.asarray(rng.random((b, t)) > 0.2)
+    cot = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    scale = hd ** -0.5
+
+    def ref_sum(q, k, v):
+        out, _ = attention_reference(q, k, v, scale=scale,
+                                     mask=valid[:, None, None, :])
+        return jnp.sum(out * cot)
+
+    dq_ad, dk_ad, dv_ad = jax.grad(ref_sum, argnums=(0, 1, 2))(q, k, v)
+
+    # residuals as the flash forward would produce them
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    out, _ = attention_reference(q, k, v, scale=scale,
+                                 mask=valid[:, None, None, :])
+    dq, dk, dv, dvalid = _flash_vjp_bwd(scale, 128, 128,
+                                        (q, k, v, valid, out, lse), cot)
+    assert dvalid is None
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ad), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ad), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ad), atol=2e-5)
+
+
+def test_valid_to_segment_ids_matches_masked_reference():
+    """The segment-id lowering of our (B, T) validity mask must reproduce
+    the -1e9 key-mask semantics — checked against the library's own pure
+    mha_reference (runs on CPU)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as ofa
+
+    from vipers.ops.flash_attention import (
+        attention_reference, valid_to_segment_ids,
+    )
+
+    rng = np.random.default_rng(3)
+    b, h, t, hd = 2, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+    valid = jnp.asarray(rng.random((b, t)) > 0.3)
+    scale = hd ** -0.5
+
+    want, _ = attention_reference(q, k, v, scale=scale,
+                                  mask=valid[:, None, None, :])
+    got = ofa.mha_reference(q, k, v, ab=None,
+                            segment_ids=valid_to_segment_ids(valid),
+                            sm_scale=scale)
+    # compare only valid query rows (pad queries are don't-care garbage)
+    vm = np.asarray(valid)
+    for bi in range(b):
+        np.testing.assert_allclose(
+            np.asarray(got)[bi, :, vm[bi]], np.asarray(want)[bi, :, vm[bi]],
+            atol=1e-5,
+        )

@@ -63,15 +63,16 @@ class MultiHeadAttention(nn.Module):
         q, k, v = heads(q), heads(k), heads(v)
         scale = float(hd) ** -0.5  # static python scalar: jit-safe
 
-        # Blockwise Pallas attention only where it pays: at ViT-B/S scale
-        # (T <= ~2k) XLA's fused einsum+softmax is faster on this hardware
-        # (measured: 585 vs 246 img/s on the LOST bench); the flash kernel's
-        # job is O(T) memory at long sequences (SURVEY §5 "blockwise so long
-        # sequences are memory-safe").
+        # Blockwise Pallas attention where it pays: the tuned library
+        # flash kernel beats XLA's einsum+softmax from ~mid sequence
+        # lengths (measured 1.57 vs 1.79 ms at the LOST bench shape
+        # T=769->pad 896, B=8, bf16) and is O(T) memory for long
+        # sequences (SURVEY §5). Below ~512 tokens the kernel dispatch
+        # overhead dominates — keep the einsum.
         use_flash = (
             not need_attn
             and not (train and self.dropout_rate > 0)
-            and t > 2048
+            and t >= 512
         )
         if use_flash:
             from vipers.ops.flash_attention import flash_attention

@@ -146,30 +146,90 @@ def _flash_vjp_bwd(scale, block_q, block_k, res, g):
 _flash.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
 
 
+def _official_blocks(pad_t: int):
+    """Block sizes for the library kernel: kv blocks must be multiples of
+    128 and divide pad_t (pad_t is a 128-multiple, so full-length kv is
+    always legal); q blocks just divide pad_t — half-length q blocks
+    measured fastest at ViT scale (896 tokens: bq=448 beat 896 and 128)."""
+    bq = pad_t // 2 if pad_t % 2 == 0 and pad_t > 256 else pad_t
+    return bq, pad_t
+
+
+def valid_to_segment_ids(valid):
+    """(B, T) bool key/query mask -> library SegmentIds: valid tokens are
+    segment 0, pad tokens segment 1. Cross-segment attention is masked, so
+    valid queries never read pad keys; pad queries produce garbage rows the
+    consumer masks out (same contract as the -1e9 mask path)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+    seg = (~valid).astype(jnp.int32)
+    return SegmentIds(q=seg, kv=seg)
+
+
+def flash_attention_official(q, k, v, valid=None, scale: Optional[float] = None):
+    """Blockwise attention via the tuned library kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention), with our (B, T)
+    validity mask lowered to segment ids. TPU only; measured ~15% faster
+    than the XLA einsum+softmax at ViT-S LOST shapes (T=769 -> pad 896)
+    and O(T) memory. Its custom VJP serves the training path."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as ofa
+
+    b, h, t, hd = q.shape
+    scale = (hd ** -0.5) if scale is None else scale
+    pad_t = _round_up(t, 128)
+    if valid is None and pad_t == t:
+        segment_ids = None
+    else:
+        if valid is None:
+            valid = jnp.ones((b, t), bool)
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
+        segment_ids = valid_to_segment_ids(valid)
+    if pad_t != t:
+        padder = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
+        q, k, v = padder(q), padder(k), padder(v)
+    bq, bk = _official_blocks(pad_t)
+    bs = ofa.BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bk,
+        block_q_dkv=bq, block_k_dkv=bk,
+        block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk,
+    )
+    out = ofa.flash_attention(
+        q, k, v, segment_ids=segment_ids, sm_scale=scale, block_sizes=bs
+    )
+    return out[:, :, :t, :]
+
+
 def flash_attention(
     q, k, v,
     valid: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    use_official: bool = True,
 ):
     """(B, H, T, D) attention without materializing (T, T).
 
     valid: (B, T) bool key mask (True = attend). T is padded internally to a
     block multiple. On non-TPU backends falls back to the reference einsum
-    (Pallas TPU kernels don't run on CPU outside interpret mode).
+    (Pallas TPU kernels don't run on CPU outside interpret mode). On TPU the
+    tuned library kernel is used by default; ``use_official=False`` selects
+    this module's own kernel (kept as the dependency-free fallback and for
+    interpret-mode testing).
     """
     b, h, t, hd = q.shape
     scale = (hd ** -0.5) if scale is None else scale
-    if valid is None:
-        valid = jnp.ones((b, t), bool)
 
     platform = jax.devices()[0].platform
     if platform != "tpu":
-        mask = valid[:, None, None, :]
+        mask = valid[:, None, None, :] if valid is not None else None
         out, _ = attention_reference(q, k, v, scale=scale, mask=mask)
         return out
+    if use_official:
+        return flash_attention_official(q, k, v, valid=valid, scale=scale)
 
+    if valid is None:
+        valid = jnp.ones((b, t), bool)
     bq = min(block_q, _round_up(t, 8))
     # pad to a q-block multiple, then clamp the k-block to a divisor of the
     # padded length (bq always divides it) — keeps padding <= bq extra
