@@ -407,3 +407,31 @@ def test_lost_swin_path(synthetic_voc, tmp_path):
     assert len(preds) == 3
     for box in preds.values():
         assert len(box) == 4 and box[2] >= box[0] and box[3] >= box[1]
+
+
+@pytest.mark.slow
+def test_lost_data_parallel_equals_single_device(synthetic_voc, tmp_path):
+    """--data-parallel: the batch sharded over an 8-device (data,) mesh
+    must produce the same predictions as the unsharded run (conftest gives
+    8 fake CPU devices)."""
+    import argparse
+    import pickle
+
+    from vipers.discovery.driver import run_lost
+
+    def go(dp, out):
+        args = argparse.Namespace(
+            model="vit_s_16", arch="vit", dataset="VOC07", set="trainval",
+            data_path=synthetic_voc, checkpoint="", patch_size=16,
+            which_features="k", k_patches=100, dinoseg=False, dinoseg_head=2,
+            no_hard=False, output_dir=str(tmp_path / out), iteration=0,
+            visualize=None, batch_size=8, data_parallel=dp,
+        )
+        assert run_lost(args) == 0
+        return pickle.load(open(tmp_path / out / "preds.pkl", "rb"))
+
+    single = go(False, "lost_single")
+    sharded = go(True, "lost_dp")
+    assert single.keys() == sharded.keys()
+    for k in single:
+        np.testing.assert_allclose(sharded[k], single[k], atol=0)

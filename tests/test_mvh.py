@@ -102,3 +102,36 @@ def test_heatmap_grid_and_gif(tmp_path):
     import os
 
     assert os.path.getsize(grid) > 0 and os.path.getsize(gif) > 0
+
+
+def test_drawing_utils_parity_tail():
+    """draw_segmentation_masks / draw_keypoints / flow_to_image
+    (torchvision_utils.py:257-611 equivalents)."""
+    from vipers.viz.draw import (
+        draw_keypoints, draw_segmentation_masks, flow_to_image,
+    )
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, size=(16, 20, 3), dtype=np.uint8)
+    m1 = np.zeros((16, 20), bool); m1[2:8, 3:9] = True
+    m2 = np.zeros((16, 20), bool); m2[5:12, 6:14] = True
+    out = draw_segmentation_masks(img, np.stack([m1, m2]), alpha=1.0,
+                                  colors=[(255, 0, 0), (0, 255, 0)])
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    np.testing.assert_array_equal(out[3, 4], [255, 0, 0])     # mask 1 only
+    np.testing.assert_array_equal(out[6, 7], [0, 0, 0])       # overlap -> black
+    np.testing.assert_array_equal(out[0, 0], img[0, 0])       # untouched
+
+    kp = np.asarray([[[4.0, 4.0], [15.0, 10.0]]])
+    out2 = draw_keypoints(img, kp, connectivity=[(0, 1)], colors=(0, 0, 255))
+    assert (out2[..., 2] == 255).any()  # blue pixels drawn
+
+    flow = np.zeros((2, 8, 8), np.float32)
+    flow[0, :, :4] = 1.0   # rightward
+    flow[1, :, 4:] = -1.0  # upward
+    rgb = flow_to_image(flow)
+    assert rgb.shape == (3, 8, 8) and rgb.dtype == np.uint8
+    assert not np.array_equal(rgb[:, 0, 0], rgb[:, 0, 7])  # direction-coded
+    batched = flow_to_image(np.stack([flow, flow]))
+    assert batched.shape == (2, 3, 8, 8)
+    np.testing.assert_array_equal(batched[0], rgb)

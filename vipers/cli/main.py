@@ -44,6 +44,11 @@ def main(argv=None):
     lost.add_argument("--output-dir", default="./outputs")
     lost.add_argument("--iteration", type=int, default=0)
     lost.add_argument("--visualize", default=None, choices=[None, "fms", "seed_expansion", "pred"])
+    lost.add_argument("--batch-size", type=int, default=8,
+                      help="images per jitted LOST batch (per bucket shape)")
+    lost.add_argument("--data-parallel", action="store_true",
+                      help="shard LOST batches over all devices of a "
+                           "(data,) mesh")
 
     corloc = sub.add_parser("corloc", help="re-score saved predictions vs GT")
     corloc.add_argument("--preds", required=True, help="preds.pkl or detectron json")

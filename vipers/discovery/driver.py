@@ -260,6 +260,30 @@ class LostFeatureExtractor:
 
         return run
 
+    def shard_for_mesh(self, mesh, batch_inputs):
+        """Data-parallel LOST: place the batch on a ("data",) mesh (batch
+        arrays sharded over the data axis, params/pos replicated) so the
+        jitted pipeline runs SPMD over all chips — XLA partitions the
+        vmapped program with zero collectives (per-image independence).
+        Replaces the reference's single-GPU loop with mesh scaling."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        repl = NamedSharding(mesh, P())
+        images, pos, tmask, vhw = batch_inputs
+        if images.shape[0] % mesh.devices.size:
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by "
+                f"{mesh.devices.size} devices"
+            )
+        self.variables = jax.device_put(self.variables, repl)
+        return (
+            jax.device_put(images, data),
+            jax.device_put(pos, data),
+            None if tmask is None else jax.device_put(tmask, data),
+            jax.device_put(vhw, data),
+        )
+
     def prepare_batch(self, imgs, patch: int):
         """Stack tier-1-padded images sharing one bucket shape into the
         batched-pipeline inputs (images, pos, token_mask, valid_hw).
@@ -331,6 +355,14 @@ def run_lost(args) -> int:
         extractor.make_batched_pipeline(k_patches=args.k_patches)
         if use_batched else None
     )
+    mesh = None
+    if use_batched and getattr(args, "data_parallel", False):
+        from vipers.parallel.mesh import make_mesh
+
+        mesh = make_mesh(model_parallel=1)
+        n_dev = mesh.devices.size
+        batch_size = max(batch_size // n_dev, 1) * n_dev
+        print(f"LOST data-parallel over {n_dev} devices, batch {batch_size}")
 
     def flush(bucket_key):
         recs = buffers.pop(bucket_key)
@@ -339,7 +371,10 @@ def run_lost(args) -> int:
         # pad the tail batch by repeating the last image so every bucket
         # compiles exactly one batch shape
         imgs = imgs + [imgs[-1]] * (batch_size - n_real)
-        images, pos, tmask, vhw = extractor.prepare_batch(imgs, p)
+        batch_inputs = extractor.prepare_batch(imgs, p)
+        if mesh is not None:
+            batch_inputs = extractor.shard_for_mesh(mesh, batch_inputs)
+        images, pos, tmask, vhw = batch_inputs
         box_feat, _seeds, seed_bg = jax.device_get(
             pipeline(extractor.variables, images, pos, tmask, vhw)
         )
