@@ -435,3 +435,62 @@ def test_lost_data_parallel_equals_single_device(synthetic_voc, tmp_path):
     assert single.keys() == sharded.keys()
     for k in single:
         np.testing.assert_allclose(sharded[k], single[k], atol=0)
+
+
+@pytest.mark.parametrize("case", range(6))
+def test_dino_seg_reference_bugs_mode(case):
+    """reference_bugs=True must reproduce the reference's component
+    selection bit-for-bit (object_discovery.py:160-183), including its
+    off-by-ones: the size scan drops the last component id and a
+    single-component map selects the background."""
+    from vipers.discovery.lost import dino_seg
+
+    rng = np.random.default_rng(case)
+    gh = gw = 8
+    nh = 2
+    # synthesize CLS attention whose thresholded map has case-varied blobs
+    attnmap = rng.random((nh, gh * gw)).astype(np.float32) * 0.01
+    # distinct hot values: exact ties would make the result depend on sort
+    # tie-breaking (torch vs numpy vs jnp), which real attention never has
+    counter = [0]
+
+    def hot(sl):
+        n = sl.stop - sl.start
+        attnmap[0, sl] = 1.0 + (counter[0] + np.arange(n)) * 0.01
+        counter[0] += n
+
+    if case % 3 == 0:
+        hot(slice(9, 12))               # single blob
+    elif case % 3 == 1:
+        hot(slice(9, 12))               # two blobs, different sizes
+        hot(slice(40, 45))
+    else:
+        hot(slice(9, 11))               # three blobs
+        hot(slice(30, 32))
+        hot(slice(60, 63))
+    attn = np.zeros((1, nh, gh * gw + 1, gh * gw + 1), np.float32)
+    attn[0, :, 0, 1:] = attnmap
+
+    def oracle(attn):
+        """reference snippet in numpy+scipy."""
+        attentions = attn[0, :, 0, 1:].reshape(nh, -1)
+        val = np.sort(attentions, axis=1)
+        idx = np.argsort(attentions, axis=1)
+        val = val / val.sum(axis=1, keepdims=True)
+        cumval = np.cumsum(val, axis=1)
+        th = cumval > (1 - 0.6)
+        th_attn = np.zeros_like(th)
+        for h in range(nh):
+            th_attn[h] = th[h][np.argsort(idx[h])]
+        m = th_attn.reshape(nh, gh, gw).astype(float)
+        labeled, _ = scipy.ndimage.label(m[0])
+        sizes = [np.sum(labeled == c) for c in range(np.max(labeled))]
+        biggest = np.argmax(sizes[1:]) + 1 if len(sizes) > 1 else 0
+        mask = np.where(labeled == biggest)
+        ymin, ymax = mask[0].min(), mask[0].max() + 1
+        xmin, xmax = mask[1].min(), mask[1].max() + 1
+        return [xmin * 16, ymin * 16, xmax * 16, ymax * 16]
+
+    want = oracle(attn)
+    got = dino_seg(attn, (gh, gw), 16, head=0, reference_bugs=True)
+    assert got == want

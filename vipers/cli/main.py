@@ -36,6 +36,9 @@ def main(argv=None):
     lost.add_argument("--k-patches", type=int, default=100)
     lost.add_argument("--dinoseg", action="store_true")
     lost.add_argument("--dinoseg-head", type=int, default=4)
+    lost.add_argument("--dinoseg-reference-bugs", action="store_true",
+                      help="bit-exact reference component selection incl. "
+                           "its off-by-ones (object_discovery.py:162-171)")
     lost.add_argument("--no-hard", action="store_true")
     lost.add_argument("--coco-annotations", default=None,
                       help="COCO instances json (required for COCO20k)")

@@ -416,7 +416,10 @@ def run_lost(args) -> int:
             if attn is None:
                 raise ValueError("--dinoseg needs a transformer arch")
             pred = np.asarray(
-                dino_seg(attn, dims, p, head=args.dinoseg_head), dtype=np.float64
+                dino_seg(attn, dims, p, head=args.dinoseg_head,
+                         reference_bugs=getattr(
+                             args, "dinoseg_reference_bugs", False)),
+                dtype=np.float64,
             )
         else:
             pred, _A, _scores, _seed = lost(

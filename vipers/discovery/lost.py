@@ -194,10 +194,18 @@ def detect_box(M, seed, dims, initial_im_size=None, scales=None):
     return pred, pred_feats
 
 
-def dino_seg(attn, dims, patch_size: int, head: int = 0):
+def dino_seg(attn, dims, patch_size: int, head: int = 0,
+             reference_bugs: bool = False):
     """DINO attention-segmentation baseline (`object_discovery.py:137-185`):
     keep 60% of each head's CLS-attention mass, take the largest connected
-    component of the chosen head, box it."""
+    component of the chosen head, box it.
+
+    ``reference_bugs=True`` reproduces the reference's component selection
+    bit-for-bit, including its off-by-ones (`object_discovery.py:162-171`):
+    ``range(np.max(labeled))`` drops the last component id from the size
+    scan, and a single-component map selects component 0 — the BACKGROUND
+    box. Default is the evidently intended semantics (largest foreground
+    component)."""
     w_featmap, h_featmap = dims
     attn = jnp.asarray(attn)
     nh = attn.shape[1]
@@ -206,7 +214,27 @@ def dino_seg(attn, dims, patch_size: int, head: int = 0):
     th_attn = _mass_threshold(attentions, 0.6)
     grid = th_attn.reshape(nh, w_featmap, h_featmap)
 
-    comp = largest_component_mask(grid[head] > 0.5)
+    if reference_bugs:
+        from vipers.discovery.components import label_components
+
+        labeled = np.asarray(label_components(grid[head] > 0.5))
+        # renumber components in raster first-occurrence order (scipy's
+        # numbering) — the reference bug is id-order-sensitive
+        remap, nxt = {}, 1
+        flat = labeled.ravel()
+        out = np.zeros_like(flat)
+        for i, v in enumerate(flat):
+            if v > 0:
+                if v not in remap:
+                    remap[v] = nxt
+                    nxt += 1
+                out[i] = remap[v]
+        labeled = out.reshape(labeled.shape)
+        sizes = [int(np.sum(labeled == c)) for c in range(int(labeled.max()))]
+        biggest = int(np.argmax(sizes[1:])) + 1 if len(sizes) > 1 else 0
+        comp = jnp.asarray(labeled == biggest)
+    else:
+        comp = largest_component_mask(grid[head] > 0.5)
     ymin, ymax, xmin, xmax = (int(v) for v in component_bbox(comp))
     return [xmin * patch_size, ymin * patch_size, xmax * patch_size, ymax * patch_size]
 
