@@ -196,3 +196,47 @@ def test_resumed_session_can_train(tiny_imagenet, tmp_path):
     batch = (s2.normalize(images), jnp.asarray(labels))
     state, metrics = s2.train_step(s2.state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.slow
+def test_distributed_init_two_process_rendezvous(tmp_path):
+    """Real multi-process bring-up: two subprocesses rendezvous via
+    torchrun-style env and see a 2-process global runtime (regression:
+    the env guard used jax.process_count(), initializing the backend
+    before jax.distributed.initialize could run)."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    prog = (
+        "from vipers.parallel.mesh import maybe_initialize_distributed\n"
+        "assert maybe_initialize_distributed(verbose=False) is True\n"
+        "import jax\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "assert jax.device_count() == 2, jax.device_count()\n"
+        "print('rank', jax.process_index(), 'ok')\n"
+    )
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        env.update({
+            "JAX_PLATFORMS": "cpu",
+            "MASTER_ADDR": "127.0.0.1",
+            "MASTER_PORT": str(port),
+            "RANK": str(rank),
+            "WORLD_SIZE": "2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", prog],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
+        assert f"rank {rank} ok" in out

@@ -49,6 +49,10 @@ def main(argv=None):
     lost.add_argument("--visualize", default=None, choices=[None, "fms", "seed_expansion", "pred"])
     lost.add_argument("--batch-size", type=int, default=8,
                       help="images per jitted LOST batch (per bucket shape)")
+    lost.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                      help="compute dtype for the feature forward (bf16 is "
+                           "the bench headline; LOST thresholds are "
+                           "parity-insensitive at box granularity)")
     lost.add_argument("--data-parallel", action="store_true",
                       help="shard LOST batches over all devices of a "
                            "(data,) mesh")

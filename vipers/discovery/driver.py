@@ -140,7 +140,9 @@ class LostFeatureExtractor:
             GH, GW = bh // patch_size, bw // patch_size
             pos, mask = self._pos_and_mask(gh, gw, GH, GW)
             fwd = self._vit_forward if self.arch == "vit" else self._dino_forward
-            aux = fwd(self.variables, jnp.asarray(img)[None], pos, mask)
+            aux = fwd(self.variables,
+                      jnp.asarray(img)[None].astype(self.compute_dtype),
+                      pos.astype(self.compute_dtype), mask)
             nh = self.spec.extra["num_heads"]
             rows = np.arange(GH * GW) // GW
             cols = np.arange(GH * GW) % GW
@@ -331,6 +333,9 @@ def run_lost(args) -> int:
     if args.checkpoint:
         variables, masks = load_lost_checkpoint(args.checkpoint, spec, variables)
 
+    dtype = {"f32": None, "bf16": jnp.bfloat16}[
+        getattr(args, "dtype", None) or "f32"
+    ]
     extractor = LostFeatureExtractor(
         spec, variables, masks, arch=arch, which_features=args.which_features,
         # dino_seg thresholds raw CLS-attention mass over all tokens; run it
@@ -338,6 +343,7 @@ def run_lost(args) -> int:
         bucket=1 if args.dinoseg else 4,
         # only dino_seg consumes the per-head attention probs
         need_attn=bool(args.dinoseg),
+        compute_dtype=dtype,
     )
     acc = CorLocAccumulator()
     n_imgs = 0

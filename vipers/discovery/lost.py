@@ -220,16 +220,13 @@ def dino_seg(attn, dims, patch_size: int, head: int = 0,
         labeled = np.asarray(label_components(grid[head] > 0.5))
         # renumber components in raster first-occurrence order (scipy's
         # numbering) — the reference bug is id-order-sensitive
-        remap, nxt = {}, 1
         flat = labeled.ravel()
-        out = np.zeros_like(flat)
-        for i, v in enumerate(flat):
-            if v > 0:
-                if v not in remap:
-                    remap[v] = nxt
-                    nxt += 1
-                out[i] = remap[v]
-        labeled = out.reshape(labeled.shape)
+        ids, first = np.unique(flat, return_index=True)
+        fg = ids > 0
+        order = np.argsort(first[fg])  # fg ids by first raster occurrence
+        remap = np.zeros(int(ids.max()) + 1, flat.dtype)
+        remap[ids[fg][order]] = np.arange(1, fg.sum() + 1)
+        labeled = remap[flat].reshape(labeled.shape)
         sizes = [int(np.sum(labeled == c)) for c in range(int(labeled.max()))]
         biggest = int(np.argmax(sizes[1:])) + 1 if len(sizes) > 1 else 0
         comp = jnp.asarray(labeled == biggest)

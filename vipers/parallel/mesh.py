@@ -52,8 +52,12 @@ def maybe_initialize_distributed(verbose: bool = True) -> bool:
     """
     import os
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # ORDER MATTERS: decide from the ENVIRONMENT only. Touching
+    # jax.process_count()/jax.devices() here would initialize the XLA
+    # backend, after which jax.distributed.initialize() refuses to run
+    # ("must be called before any JAX calls").
+    if jax.distributed.is_initialized():
+        return True
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")

@@ -62,12 +62,46 @@ def _voc_eval_batches(cfg: TrainConfig, normalize_fn):
         yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)
 
 
+def _eval_only_session(cfg: TrainConfig):
+    """Model + eval step + normalize WITHOUT touching ImageFolder — the
+    VOC sweep's data_path is a detection root, not train/val class dirs."""
+    import types
+
+    from vipers.core.registry import build_model
+    from vipers.data.preprocess import make_device_normalize
+    from vipers.pruning import init_masks
+    from vipers.train.steps import TrainState, make_eval_step
+
+    model_kw = {"num_classes": cfg.num_classes}
+    if cfg.resnet_dilate != 1 and cfg.model.startswith("resnet"):
+        model_kw["dilate"] = cfg.resnet_dilate
+    spec = build_model(cfg.model, **model_kw)
+    h = w = cfg.train_crop_size
+    variables = spec.module.init(
+        jax.random.PRNGKey(cfg.seed), jnp.zeros((1, h, w, 3)), train=False
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        masks=init_masks(variables["params"], exclude=spec.prune_exclude),
+        opt_state=None,
+    )
+    return types.SimpleNamespace(
+        spec=spec, state=state,
+        eval_step=make_eval_step(spec.module.apply, cfg.num_classes),
+        normalize=make_device_normalize(),
+    )
+
+
 def run_sweep(cfg: TrainConfig, dilation: int = None):
     from vipers.train.driver import _val_loader, build_session
     from vipers.discovery.driver import load_lost_checkpoint
 
     dilation = cfg.resnet_dilate if dilation is None else dilation
-    s = build_session(cfg)
+    s = (
+        _eval_only_session(cfg) if cfg.eval_dataset == "voc"
+        else build_session(cfg)
+    )
     pattern = os.path.join(
         cfg.output_dir, f"{cfg.model}_epoch_*_pruning_iteration_*"
     )

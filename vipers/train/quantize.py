@@ -157,14 +157,19 @@ def _is_site(mod, context) -> bool:
     return isinstance(mod, (nn.Dense, nn.Conv)) and context.method_name == "__call__"
 
 
-def observer_sites(module, variables, x, **apply_kwargs):
-    """Trace one forward to discover every conv/dense activation site."""
+def observer_sites(module, variables, x, exclude=(), **apply_kwargs):
+    """Trace one forward to discover every conv/dense activation site.
+    ``exclude`` filters here so the observer dict's key set matches what
+    ``quantized_apply`` emits — otherwise the pytree structure would shrink
+    after the first step (retrace + lost checkpoint entries)."""
     sites = []
 
     def ic(next_fn, args, kwargs, context):
         out = next_fn(*args, **kwargs)
         if _is_site(context.module, context):
-            sites.append("/".join(context.module.path))
+            path = "/".join(context.module.path)
+            if not any(e in path for e in exclude):
+                sites.append(path)
         return out
 
     with nn.intercept_methods(ic):
@@ -178,6 +183,20 @@ def init_observers(sites) -> Dict[str, ObserverState]:
     return {f"{s}:{io}": ObserverState.init() for s in sites for io in ("in", "out")}
 
 
+def _frozen_batchnorm(mod, x):
+    """Eval-mode BatchNorm from the module's own running stats — the
+    torch ``freeze_bn_stats`` analogue: stats neither used from the batch
+    nor updated, while the rest of the net stays in train mode."""
+    mean = mod.get_variable("batch_stats", "mean")
+    var = mod.get_variable("batch_stats", "var")
+    y = (x - mean) * jax.lax.rsqrt(var + mod.epsilon)
+    if mod.use_scale:
+        y = y * mod.get_variable("params", "scale")
+    if mod.use_bias:
+        y = y + mod.get_variable("params", "bias")
+    return y.astype(x.dtype)
+
+
 def quantized_apply(
     module,
     variables,
@@ -186,6 +205,7 @@ def quantized_apply(
     update_observers: bool = True,
     apply_act_fake_quant: bool = True,
     exclude=(),
+    freeze_bn: bool = False,
     **apply_kwargs,
 ):
     """Forward with activation observation (+ optional fake-quant) at every
@@ -193,11 +213,19 @@ def quantized_apply(
 
     ``update_observers=False`` compiles the frozen-observer variant
     (reference `train_quantization.py:120-122`); ``apply_act_fake_quant=
-    False`` is PTQ calibration (observe only, torch prepare())."""
+    False`` is PTQ calibration (observe only, torch prepare());
+    ``freeze_bn`` swaps every BatchNorm for its running-stats eval form
+    while dropout/stochastic-depth keep their train behavior (torch
+    ``freeze_bn_stats``, `:123-125`)."""
     new_obs: Dict[str, ObserverState] = {}
 
     def ic(next_fn, args, kwargs, context):
         mod = context.module
+        if (
+            freeze_bn and isinstance(mod, nn.BatchNorm)
+            and context.method_name == "__call__"
+        ):
+            return _frozen_batchnorm(mod, args[0])
         if not _is_site(mod, context):
             return next_fn(*args, **kwargs)
         path = "/".join(mod.path)
@@ -299,7 +327,10 @@ def make_qat_train_step(
         images, labels = batch
         qparams = fake_quant_weights(apply_masks(params, masks), exclude)
         variables = {"params": qparams}
-        kwargs = dict(train=not bn_frozen, rngs={"dropout": rng}, need_attn=False)
+        # bn_frozen freezes ONLY BatchNorm (running-stats forward, no stat
+        # updates) — dropout/stochastic depth keep training, matching torch
+        # freeze_bn_stats rather than a model-wide eval() switch.
+        kwargs = dict(train=True, rngs={"dropout": rng}, need_attn=False)
         mutable_bs = batch_stats is not None and not bn_frozen
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
@@ -307,7 +338,8 @@ def make_qat_train_step(
                 kwargs["mutable"] = ["batch_stats"]
         out, new_obs = quantized_apply(
             module, variables, images, observers,
-            update_observers=observer_update, exclude=exclude, **kwargs,
+            update_observers=observer_update, exclude=exclude,
+            freeze_bn=bn_frozen, **kwargs,
         )
         if mutable_bs:
             (logits, _aux), new_vars = out
@@ -424,7 +456,8 @@ def run_quantize(args) -> int:
     if s.state.batch_stats is not None:
         probe_vars["batch_stats"] = s.state.batch_stats
     sites = observer_sites(
-        module, probe_vars, jnp.zeros((1, h, w, 3)), train=False, need_attn=False
+        module, probe_vars, jnp.zeros((1, h, w, 3)), exclude=exclude,
+        train=False, need_attn=False,
     )
     observers = init_observers(sites)
     print(f"{len(sites)} quantizable activation sites")
