@@ -240,3 +240,57 @@ def test_distributed_init_two_process_rendezvous(tmp_path):
         out, err = p.communicate(timeout=300)
         assert p.returncode == 0, f"rank {rank} failed:\n{err[-3000:]}"
         assert f"rank {rank} ok" in out
+
+
+@pytest.mark.slow
+def test_eval_sweep_voc_branch(tmp_path):
+    """--eval-dataset voc evaluates checkpoints on a VOC detection root
+    (no ImageFolder required) and writes the dilation-txt contract."""
+    from PIL import Image
+
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.registry import build_model
+    from vipers.train.evaluate_models import run_sweep
+
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        h, w = 64, 80
+        arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+        name = f"im{i:03d}"
+        names.append(name)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{name}.jpg")
+        (root / "Annotations" / f"{name}.xml").write_text(
+            f"""<annotation><filename>{name}.jpg</filename>
+<size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+<object><name>dog</name><truncated>0</truncated><difficult>0</difficult>
+<bndbox><xmin>5</xmin><ymin>5</ymin><xmax>40</xmax><ymax>40</ymax></bndbox>
+</object></annotation>""")
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
+
+    # one checkpoint matching the sweep glob
+    out_dir = tmp_path / "out"
+    out_dir.mkdir()
+    spec = build_model("resnet18", num_classes=20)
+    variables = spec.module.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 3)), train=False)
+    save_checkpoint(
+        str(out_dir / "resnet18_epoch_0_pruning_iteration_00"),
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+    )
+
+    cfg = _cfg(str(root), tmp_path, model="resnet18", num_classes=20,
+               eval_dataset="voc", resnet_dilate=1,
+               output_dir=str(out_dir), val_resize_size=48, val_crop_size=32)
+    rows = run_sweep(cfg)
+    assert len(rows) == 1
+    acc1, sparsity = rows[0]
+    assert 0.0 <= acc1 <= 100.0
+    txt = out_dir / "resnet18_dilation_1.txt"
+    assert txt.exists()
+    assert "voc/acc1" in txt.read_text()

@@ -44,16 +44,26 @@ class DinoAttention(nn.Module):
         qkv = qkv_out.reshape(n, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = hd ** -0.5
-        logits = jnp.einsum(
-            "nhqd,nhkd->nhqk", q * scale, k, preferred_element_type=jnp.float32
-        )
-        if token_mask is not None:
-            logits = jnp.where(token_mask[:, None, None, :], logits, -1e9)
-        attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-        out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+        if not need_attn and t >= 512:
+            # same blockwise gate as models/vit.py: the tuned flash kernel
+            # wins from mid sequence lengths and skips the (T, T) softmax
+            from vipers.ops.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, valid=token_mask, scale=scale)
+            attn = None
+        else:
+            logits = jnp.einsum(
+                "nhqd,nhkd->nhqk", q * scale, k,
+                preferred_element_type=jnp.float32,
+            )
+            if token_mask is not None:
+                logits = jnp.where(token_mask[:, None, None, :], logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+            out = jnp.einsum("nhqk,nhkd->nhqd", attn, v)
+            attn = attn if need_attn else None
         out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
         out = nn.Dense(d, name="proj")(out)
-        return out, (attn if need_attn else None), qkv_out
+        return out, attn, qkv_out
 
 
 class DinoBlock(nn.Module):
