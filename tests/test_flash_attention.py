@@ -116,6 +116,68 @@ def test_flash_custom_vjp_backward_matches_autodiff():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ad), atol=2e-5)
 
 
+_TPU_GRAD_SCRIPT = r"""
+import jax, jax.numpy as jnp, numpy as np
+if jax.devices()[0].platform != "tpu":
+    print("NO_TPU"); raise SystemExit(0)
+from vipers.ops.flash_attention import attention_reference, flash_attention_official
+
+rng = np.random.default_rng(7)
+b, h, t, hd = 2, 6, 769, 64  # ViT-S/16 LOST shape (pads to 896)
+mk = lambda: jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.bfloat16)
+q, k, v = mk(), mk(), mk()
+valid = np.ones((b, t), bool)
+valid[0, 700:] = False  # in-bucket pad tokens, as the bucketed LOST path makes
+valid = jnp.asarray(valid)
+cot = jnp.asarray(rng.normal(size=(b, h, t, hd)), jnp.float32)
+# zero cotangents on pad-query rows — the real-consumer contract
+cot = cot * valid[:, None, :, None]
+
+def loss_official(q, k, v):
+    out = flash_attention_official(q, k, v, valid=valid)
+    return jnp.sum(out.astype(jnp.float32) * cot)
+
+def loss_ref(q, k, v):
+    out, _ = attention_reference(q.astype(jnp.float32), k.astype(jnp.float32),
+                                 v.astype(jnp.float32),
+                                 mask=valid[:, None, None, :])
+    return jnp.sum(out * cot)
+
+go = jax.jit(jax.grad(loss_official, argnums=(0, 1, 2)))(q, k, v)
+gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2)))(q, k, v)
+for name, a, b_ in zip("qkv", go, gr):
+    a = np.asarray(a, np.float32); b_ = np.asarray(b_, np.float32)
+    rel = np.linalg.norm(a - b_) / max(np.linalg.norm(b_), 1e-12)
+    print(f"d{name} rel {rel:.5f}")
+    assert rel < 2e-2, (name, rel)
+print("GRADS_OK")
+"""
+
+
+@pytest.mark.slow
+def test_official_kernel_grads_tpu():
+    """Hardware verification of the library-kernel gradient contract
+    documented in flash_attention_official: with zero cotangents on
+    pad-query rows, dq/dk/dv match f32 autodiff of the masked einsum to
+    bf16 precision. Runs on the real TPU (driver env); skips elsewhere."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("JAX_PLATFORM_NAME", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_GRAD_SCRIPT], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU attached")
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "GRADS_OK" in proc.stdout, proc.stdout
+
+
 def test_valid_to_segment_ids_matches_masked_reference():
     """The segment-id lowering of our (B, T) validity mask must reproduce
     the -1e9 key-mask semantics — checked against the library's own pure

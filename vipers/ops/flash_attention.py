@@ -166,27 +166,12 @@ def valid_to_segment_ids(valid):
     return SegmentIds(q=seg, kv=seg)
 
 
-def flash_attention_official(q, k, v, valid=None, scale: Optional[float] = None):
-    """Blockwise attention via the tuned library kernel
-    (jax.experimental.pallas.ops.tpu.flash_attention), with our (B, T)
-    validity mask lowered to segment ids. TPU only; measured ~15% faster
-    than the XLA einsum+softmax at ViT-S LOST shapes (T=769 -> pad 896)
-    and O(T) memory. Its custom VJP serves the training path."""
+def _official_kernel_call(q, k, v, valid, scale):
+    """Raw library-kernel dispatch on already 128-multiple-padded inputs."""
     from jax.experimental.pallas.ops.tpu import flash_attention as ofa
 
-    b, h, t, hd = q.shape
-    scale = (hd ** -0.5) if scale is None else scale
-    pad_t = _round_up(t, 128)
-    if valid is None and pad_t == t:
-        segment_ids = None
-    else:
-        if valid is None:
-            valid = jnp.ones((b, t), bool)
-        valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
-        segment_ids = valid_to_segment_ids(valid)
-    if pad_t != t:
-        padder = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
-        q, k, v = padder(q), padder(k), padder(v)
+    b, h, pad_t, hd = q.shape
+    segment_ids = None if valid is None else valid_to_segment_ids(valid)
     bq, bk = _official_blocks(pad_t)
     bs = ofa.BlockSizes(
         block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
@@ -194,9 +179,41 @@ def flash_attention_official(q, k, v, valid=None, scale: Optional[float] = None)
         block_q_dkv=bq, block_k_dkv=bk,
         block_q_dq=bq, block_k_dq=bk, block_k_major_dq=bk,
     )
-    out = ofa.flash_attention(
+    return ofa.flash_attention(
         q, k, v, segment_ids=segment_ids, sm_scale=scale, block_sizes=bs
     )
+
+
+def flash_attention_official(q, k, v, valid=None, scale: Optional[float] = None):
+    """Blockwise attention via the tuned library kernel
+    (jax.experimental.pallas.ops.tpu.flash_attention), with our (B, T)
+    validity mask lowered to segment ids. TPU only; measured ~15% faster
+    than the XLA einsum+softmax at ViT-S LOST shapes (T=769 -> pad 896)
+    and O(T) memory in both directions (the library ships fused Pallas
+    dq/dkv backward kernels).
+
+    Gradient contract (hardware-verified on v5e, see
+    tests/test_flash_attention.py::test_official_kernel_grads_tpu): with
+    zero cotangents on pad-query rows — true for every real consumer,
+    because pad rows are garbage by the segment-id design and are sliced
+    or masked downstream — dq/dk/dv match f32 autodiff of the masked
+    einsum to bf16 precision (rel ~2e-3). Cotangents ON pad rows are
+    meaningless for both this kernel and the einsum path (the two paths
+    intentionally differ on pad-query rows: segment ids make pad queries
+    attend pad keys, -1e9 key masking makes them attend valid keys)."""
+    b, h, t, hd = q.shape
+    scale = (hd ** -0.5) if scale is None else scale
+    pad_t = _round_up(t, 128)
+    if valid is None and pad_t == t:
+        padded_valid = None
+    else:
+        if valid is None:
+            valid = jnp.ones((b, t), bool)
+        padded_valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
+    if pad_t != t:
+        padder = lambda z: jnp.pad(z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
+        q, k, v = padder(q), padder(k), padder(v)
+    out = _official_kernel_call(q, k, v, padded_valid, scale)
     return out[:, :, :t, :]
 
 
