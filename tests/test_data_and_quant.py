@@ -327,6 +327,115 @@ def test_int8_dense_matches_qdq_within_tolerance():
                            atol=0.1)
 
 
+def test_int8_conv_exact_integer_math():
+    """The real-int8 conv path (explicit zero-point-valued padding +
+    uniform per-channel correction) must reproduce the affine-quant
+    reference conv(DQ(x), DQ(w)) EXACTLY (integer arithmetic; only f32
+    dequant rounding differs) — incl. stride, dilation and asymmetric
+    explicit pads."""
+    from vipers.train.quantize import (
+        ACT_QMAX, ACT_QMIN, ObserverState, int8_conv,
+        per_channel_weight_scale,
+    )
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 13, 11, 3)) * 2 + 0.7, jnp.float32)
+    w = jnp.asarray(rng.normal(size=(3, 3, 3, 8)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+    ws = per_channel_weight_scale(w)
+    w_q = jnp.clip(jnp.round(w / ws), -128, 127).astype(jnp.int8)
+    obs = ObserverState.init().update(x)
+    s, zp = obs.qparams()
+
+    pads, strides, dil = ((2, 1), (1, 2)), (2, 1), (1, 2)
+    got = int8_conv(x, w_q, ws.reshape(-1), s, zp, bias, pads, strides, dil)
+
+    xq = jnp.clip(jnp.round(x / s + zp), ACT_QMIN, ACT_QMAX)
+    x_dq = (xq - zp) * s
+    w_dq = w_q.astype(jnp.float32) * ws
+    want = jax.lax.conv_general_dilated(
+        x_dq, w_dq, window_strides=strides,
+        padding=pads, rhs_dilation=dil,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-5)
+
+
+def test_int8_apply_cnn_stack_matches_qdq():
+    """int8_apply executes convs (explicit pads, SAME default, depthwise
+    groups) AND dense in integer arithmetic; end-to-end must track QDQ
+    inference within ~2%."""
+    import flax.linen as nn
+
+    from vipers.train.quantize import (
+        dequantize_params, init_observers, int8_apply, observer_sites,
+        ptq_calibrate, quantize_params_int8,
+    )
+
+    class TinyCNN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, need_attn=False):
+            h = nn.Conv(8, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)], name="c1")(x)
+            h = nn.relu(h)
+            h = nn.Conv(8, (3, 3), feature_group_count=8, name="dw")(h)  # SAME
+            h = nn.relu(h)
+            h = jnp.mean(h, axis=(1, 2))
+            return nn.Dense(4, name="fc")(h), {}
+
+    m = TinyCNN()
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(4, 16, 16, 3)), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    obs = init_observers(observer_sites(m, v, x))
+    obs = ptq_calibrate(
+        m, v, obs,
+        [(jnp.asarray(rng.normal(size=(4, 16, 16, 3)), jnp.float32), None)
+         for _ in range(4)],
+        num_batches=4,
+    )
+    q, scales = quantize_params_int8(v["params"])
+    assert ("c1", "kernel") in q and ("dw", "kernel") in q
+    qdq, _ = m.apply({"params": dequantize_params(v["params"], q, scales)}, x)
+    got, _ = int8_apply(m, v, x, q, scales, obs)
+    ref_scale = float(np.abs(np.asarray(qdq)).max())
+    err = float(np.abs(np.asarray(got) - np.asarray(qdq)).max())
+    assert err <= 0.02 * ref_scale + 0.05, err
+
+
+def test_int8_dynamic_apply_matches_simulated_quant():
+    """Dynamic-int8 serving (no calibration): for one Dense the integer
+    path must EXACTLY equal the simulated computation
+    ``DQ_dyn(x) @ (w_q * s_w) + b`` with qparams from the live tensor."""
+    import flax.linen as nn
+
+    from vipers.train.quantize import (
+        ACT_QMAX, ACT_QMIN, dynamic_qparams, int8_dynamic_apply,
+        quantize_params_int8,
+    )
+
+    class One(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return nn.Dense(16, name="fc")(x)
+
+    m = One()
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(8, 24)) * 3 + 1, jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    q, scales = quantize_params_int8(v["params"])
+    got = int8_dynamic_apply(m, v, x, q, scales)
+
+    s, zp = dynamic_qparams(x)
+    xq = jnp.clip(jnp.round(x / s + zp), ACT_QMIN, ACT_QMAX)
+    x_dq = (xq - zp) * s
+    w_dq = q[("fc", "kernel")].astype(jnp.float32) * scales[("fc", "kernel")]
+    want = x_dq @ w_dq + v["params"]["fc"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-5)
+
+
 # ------------------------------------------------------------- native decode
 
 def test_native_decoder_matches_shapes_and_falls_back(tmp_path):

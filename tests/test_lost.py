@@ -374,6 +374,54 @@ def test_batched_pipeline_matches_per_image(synthetic_voc):
 
 
 @pytest.mark.slow
+def test_batched_pipeline_int8_matches_f32_boxes():
+    """--dtype int8 (dynamic-quantized integer dense/conv, rest bf16-free
+    on CPU) must produce boxes agreeing with the f32 pipeline — LOST's
+    thresholding is insensitive to quantization noise at box granularity."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.pruning import init_masks, magnitude_prune
+
+    spec = build_model("vit_s_16", num_classes=10, image_size=(96, 96))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 96, 96, 3)), train=False
+    )
+    masks = magnitude_prune(
+        variables["params"],
+        init_masks(variables["params"], exclude=spec.prune_exclude),
+        amount=0.5,
+    )
+    rng = np.random.default_rng(3)
+    imgs = []
+    for _ in range(2):
+        im = rng.normal(size=(96, 96, 3)).astype(np.float32) * 0.1
+        im[20:60, 30:80] += 2.0  # bright structured blob
+        imgs.append(im)
+
+    boxes = {}
+    for dt in (None, "int8"):
+        ex = LostFeatureExtractor(spec, variables, masks, arch="vit",
+                                  which_features="k", compute_dtype=dt)
+        pipe = ex.make_batched_pipeline(k_patches=30)
+        images, pos, tmask, vhw = ex.prepare_batch(imgs, 16)
+        bf, _seed, bg = jax.device_get(
+            pipe(ex.variables, images, pos, tmask, vhw)
+        )
+        assert not bg.any()
+        boxes[dt] = np.asarray(bf, np.float64)
+
+    for a, b in zip(boxes[None], boxes["int8"]):
+        ix = max(0.0, min(a[2], b[2]) - max(a[0], b[0]) + 1)
+        iy = max(0.0, min(a[3], b[3]) - max(a[1], b[1]) + 1)
+        inter = ix * iy
+        area = lambda z: (z[2] - z[0] + 1) * (z[3] - z[1] + 1)
+        iou = inter / (area(a) + area(b) - inter)
+        assert iou >= 0.5, (a, b, iou)
+
+
+@pytest.mark.slow
 def test_lost_swin_path(synthetic_voc, tmp_path):
     """swin feature path (`main_lost.py:501-566`): last block's window qkv,
     w_featmap = window side, true qkv split, scales = image/patch."""

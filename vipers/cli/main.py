@@ -49,10 +49,15 @@ def main(argv=None):
     lost.add_argument("--visualize", default=None, choices=[None, "fms", "seed_expansion", "pred"])
     lost.add_argument("--batch-size", type=int, default=8,
                       help="images per jitted LOST batch (per bucket shape)")
-    lost.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+    lost.add_argument("--workers", type=int, default=8,
+                      help="host decode/prefetch threads feeding the device")
+    lost.add_argument("--dtype", default="f32",
+                      choices=["f32", "bf16", "int8"],
                       help="compute dtype for the feature forward (bf16 is "
                            "the bench headline; LOST thresholds are "
-                           "parity-insensitive at box granularity)")
+                           "parity-insensitive at box granularity; int8 "
+                           "executes dense/conv as dynamic-quantized "
+                           "integer matmuls, rest bf16)")
     lost.add_argument("--data-parallel", action="store_true",
                       help="shard LOST batches over all devices of a "
                            "(data,) mesh")

@@ -54,6 +54,18 @@ class LostFeatureExtractor:
         params = variables["params"]
         if masks:
             params = apply_masks(params, masks)
+        # "int8" serving mode: per-channel int8 kernels executed as REAL
+        # integer matmuls/convs with dynamic activation qparams; the rest
+        # of the net (layernorm, attention softmax, GELU) runs bf16.
+        self.int8 = compute_dtype == "int8"
+        self._q = self._scales = None
+        if self.int8:
+            from vipers.train.quantize import quantize_params_int8
+
+            self._q, self._scales = quantize_params_int8(
+                params, exclude=spec.prune_exclude
+            )
+            compute_dtype = jnp.bfloat16
         if compute_dtype is not None:
             # bf16 inference: cast params once; LOST's affinity still
             # accumulates in f32 (preferred_element_type in lost_core).
@@ -65,10 +77,13 @@ class LostFeatureExtractor:
         self.compute_dtype = compute_dtype or jnp.float32
         self.variables = dict(variables, params=params)
         self._pos_cache = {}
+        self._module_apply = self._make_module_apply()
+
+        module_apply = self._module_apply
 
         @jax.jit
         def transformer_forward(variables, img, pos, token_mask):
-            _, aux = spec.module.apply(
+            _, aux = module_apply(
                 variables, img, train=False, override_pos_embedding=pos,
                 token_mask=token_mask, need_attn=need_attn,
             )
@@ -76,14 +91,14 @@ class LostFeatureExtractor:
 
         @jax.jit
         def swin_forward(variables, img):
-            _, aux = spec.module.apply(variables, img, train=False)
+            _, aux = module_apply(variables, img, train=False)
             return aux
 
         self._swin_forward = swin_forward
 
         @jax.jit
         def cnn_forward(variables, img):
-            feats, _aux = spec.module.apply(variables, img, train=False)
+            feats, _aux = module_apply(variables, img, train=False)
             n, h, w, d = feats.shape
             f = feats.reshape(n, h * w, d)
             # `main_lost.py:581-584`: LayerNorm over the whole (tokens, dim)
@@ -95,6 +110,23 @@ class LostFeatureExtractor:
         self._vit_forward = transformer_forward
         self._dino_forward = transformer_forward
         self._cnn_forward = cnn_forward
+
+    def _make_module_apply(self):
+        """module.apply, or its dynamic-int8 execution variant."""
+        spec = self.spec
+        if not self.int8:
+            return spec.module.apply
+        from vipers.train.quantize import int8_dynamic_apply
+
+        q, scales = self._q, self._scales
+
+        def apply_int8(variables, img, **kwargs):
+            return int8_dynamic_apply(
+                spec.module, variables, img, q, scales,
+                exclude=spec.prune_exclude, **kwargs,
+            )
+
+        return apply_int8
 
     def _pos_and_mask(self, gh: int, gw: int, GH: int, GW: int):
         """Pos-embeddings interpolated to the *valid* (gh, gw) grid —
@@ -208,6 +240,7 @@ class LostFeatureExtractor:
         nh = spec.extra["num_heads"]
         patch = spec.patch_size
         cdt = self.compute_dtype
+        module_apply = self._module_apply
 
         @jax.jit
         def run(variables, images, pos, token_mask, valid_hw):
@@ -217,7 +250,7 @@ class LostFeatureExtractor:
             # scatter all drop out of the compiled program.
             images = images.astype(cdt)
             pos = pos.astype(cdt)
-            _, aux = spec.module.apply(
+            _, aux = module_apply(
                 variables, images, train=False, override_pos_embedding=pos,
                 token_mask=token_mask, need_attn=False,
             )
@@ -313,6 +346,45 @@ class LostFeatureExtractor:
         )
 
 
+def _prefetch_decoded(dataset, patch: int, no_hard: bool, workers: int = 8):
+    """Decode + tier-1-pad images on a bounded thread pool, preserving
+    dataset order. The reference decodes synchronously inside its batch-1
+    loop (`main_lost.py:383-407`); here host decode overlaps device
+    compute so the jitted pipeline, not libjpeg, sets the pace.
+    Yields (path, im_name, padded_image, init_image_size, gt)."""
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    def load(item):
+        path, im_name = item
+        img = load_image_normalized(path)
+        init_image_size = (3, img.shape[0], img.shape[1])
+        gt, _cls = dataset.extract_gt(im_name)
+        ph = int(np.ceil(img.shape[0] / patch) * patch)
+        pw = int(np.ceil(img.shape[1] / patch) * patch)
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[: img.shape[0], : img.shape[1]] = img
+        return path, im_name, padded, init_image_size, gt
+
+    depth = max(2 * workers, 8)
+    with ThreadPoolExecutor(workers) as exe:
+        pending: deque = deque()
+        it = iter(dataset)
+        done = False
+        while pending or not done:
+            while not done and len(pending) < depth:
+                try:
+                    pending.append(exe.submit(load, next(it)))
+                except StopIteration:
+                    done = True
+            if not pending:
+                break
+            path, im_name, padded, init_size, gt = pending.popleft().result()
+            if gt is not None and len(gt) == 0 and no_hard:
+                continue
+            yield path, im_name, padded, init_size, gt
+
+
 def run_lost(args) -> int:
     t_start = time.time()
     dataset = DiscoveryDataset(
@@ -333,7 +405,7 @@ def run_lost(args) -> int:
     if args.checkpoint:
         variables, masks = load_lost_checkpoint(args.checkpoint, spec, variables)
 
-    dtype = {"f32": None, "bf16": jnp.bfloat16}[
+    dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": "int8"}[
         getattr(args, "dtype", None) or "f32"
     ]
     extractor = LostFeatureExtractor(
@@ -395,21 +467,16 @@ def run_lost(args) -> int:
             pred = box_feat_to_image(box_feat[i], [p, p], init_size)
             acc.add(im_name, pred, gt_i)
 
-    for path, im_name in dataset:
-        img = load_image_normalized(path)
-        init_image_size = (3, img.shape[0], img.shape[1])
-        gt, _cls = dataset.extract_gt(im_name)
-        if gt is not None and len(gt) == 0 and args.no_hard:
-            continue
-        # tier-1 padding (participates) — `main_lost.py:399-407`
-        ph = int(np.ceil(img.shape[0] / p) * p)
-        pw = int(np.ceil(img.shape[1] / p) * p)
-        padded = np.zeros((ph, pw, 3), np.float32)
-        padded[: img.shape[0], : img.shape[1]] = img
+    # tier-1 padding (participates) — `main_lost.py:399-407` — happens in
+    # the prefetch workers; host decode overlaps device compute.
+    for path, im_name, padded, init_image_size, gt in _prefetch_decoded(
+        dataset, p, args.no_hard, workers=int(getattr(args, "workers", 0) or 8)
+    ):
         n_imgs += 1
 
         if use_batched:
-            key = bucket_hw(ph, pw, p, extractor.bucket)
+            key = bucket_hw(padded.shape[0], padded.shape[1], p,
+                            extractor.bucket)
             buffers.setdefault(key, []).append(
                 (im_name, padded, init_image_size, gt)
             )

@@ -21,10 +21,10 @@ TPU-native design:
   * observer freeze = a static flag variant of the step (no observer
     updates compiled in); BN freeze = forward with running stats and no
     batch-stats mutation (torch ``freeze_bn_stats`` semantics),
-  * convert = bake int8 weights + scales; Dense layers then execute as a
-    REAL int8 ``lax.dot_general`` (uint8 activation x int8 weight, int32
-    accumulate on the MXU int8 path) with the zero-point folded into a
-    per-column correction; convs remain quantize-dequantize.
+  * convert = bake int8 weights + scales; Dense AND Conv layers then
+    execute as REAL int8 ``lax.dot_general`` / ``conv_general_dilated``
+    (int8 x int8, int32 accumulate on the MXU int8 path) with the
+    activation zero-point folded into a per-output-channel correction.
 """
 
 from __future__ import annotations
@@ -262,8 +262,14 @@ def int8_dense(x, w_q, w_scale, act_scale, act_zp, bias=None):
     is a true int8 x int8 -> int32 ``dot_general``; the zero-point term is
     a per-column rank-1 correction.
     """
-    xq = jnp.clip(jnp.round(x / act_scale + act_zp), ACT_QMIN, ACT_QMAX)
-    xs = (xq - 128.0).astype(jnp.int8)
+    # quantize in the activation's own dtype (bf16 nets: 8 mantissa bits
+    # cover the 256-level grid; avoids doubling elementwise bandwidth)
+    xq = jnp.clip(
+        jnp.round(x / act_scale.astype(x.dtype) + act_zp.astype(x.dtype)),
+        ACT_QMIN, ACT_QMAX,
+    )
+    # [-128, 127] integers are exact in bf16 (8 mantissa bits)
+    xs = (xq - jnp.asarray(128, x.dtype)).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xs, w_q,
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -277,24 +283,170 @@ def int8_dense(x, w_q, w_scale, act_scale, act_zp, bias=None):
     return y
 
 
+def _explicit_conv_pads(mod, x, w_q):
+    """Resolve a flax ``nn.Conv`` padding spec to explicit (lo, hi) pairs
+    for the spatial dims, given the static input/kernel shapes."""
+    pad = mod.padding
+    kh, kw = w_q.shape[0], w_q.shape[1]
+    strides = mod.strides or (1, 1)
+    if isinstance(strides, int):
+        strides = (strides, strides)
+    dil = mod.kernel_dilation or (1, 1)
+    if isinstance(dil, int):
+        dil = (dil, dil)
+    if pad == "VALID":
+        return ((0, 0), (0, 0)), strides, dil
+    if isinstance(pad, str):
+        if pad != "SAME":
+            return None  # CIRCULAR etc. — leave to the QDQ path
+        pairs = []
+        for size, k, s, d in zip(x.shape[1:3], (kh, kw), strides, dil):
+            eff_k = (k - 1) * d + 1
+            out = -(-size // s)
+            total = max((out - 1) * s + eff_k - size, 0)
+            pairs.append((total // 2, total - total // 2))
+        return tuple(pairs), strides, dil
+    if isinstance(pad, int):
+        return ((pad, pad), (pad, pad)), strides, dil
+    pairs = tuple(
+        (p, p) if isinstance(p, int) else tuple(p) for p in pad
+    )
+    return pairs, strides, dil
+
+
+def int8_conv(x, w_q, w_scale, act_scale, act_zp, bias, pads, strides, dil,
+              groups: int = 1):
+    """Conv executed in integer arithmetic (int8 x int8 -> int32 on the MXU
+    int8 path), mirroring ``int8_dense``.
+
+    The activation is quantized affine-uint8, shifted by 128 into int8
+    range, and the spatial padding is applied EXPLICITLY with the shifted
+    zero-point value (a real-zero input pixel quantizes to zp, so pad
+    pixels hold ``zp - 128`` like every other real zero). The 128-shift is
+    then uniform over all positions, so its correction is a single
+    per-output-channel term ``(128 - zp) * sum_hwi(w_q)`` — no second conv.
+    """
+    xq = jnp.clip(
+        jnp.round(x / act_scale.astype(x.dtype) + act_zp.astype(x.dtype)),
+        ACT_QMIN, ACT_QMAX,
+    )
+    xs = (xq - jnp.asarray(128, x.dtype)).astype(jnp.int8)
+    pad_val = (act_zp - 128.0).astype(jnp.int8)
+    xs = jax.lax.pad(
+        xs, pad_val,
+        ((0, 0, 0), (pads[0][0], pads[0][1], 0), (pads[1][0], pads[1][1], 0),
+         (0, 0, 0)),
+    )
+    acc = jax.lax.conv_general_dilated(
+        xs, w_q, window_strides=strides, padding="VALID",
+        rhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups, preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    ksum = jnp.sum(w_q.astype(jnp.int32), axis=(0, 1, 2)).astype(jnp.float32)
+    acc = acc + (128.0 - act_zp) * ksum
+    y = acc * (act_scale * w_scale.reshape(1, 1, 1, -1))
+    if bias is not None:
+        y = y + bias
+    return y
+
+
 def int8_apply(module, variables, x, q, scales, observers, **apply_kwargs):
-    """Inference with every quantized Dense executed via ``int8_dense``
-    (real integer matmul); conv kernels run QDQ. ``observers`` supplies the
-    per-site input qparams gathered by QAT/PTQ."""
+    """Inference with every quantized Dense AND Conv executed in real int8
+    (integer ``dot_general`` / ``conv_general_dilated`` with int32
+    accumulation). ``observers`` supplies the per-site input qparams
+    gathered by QAT/PTQ; sites without a baked kernel or observer (or with
+    an unsupported padding mode) fall back to QDQ."""
     qd = dequantize_params(variables["params"], q, scales)
 
     def ic(next_fn, args, kwargs, context):
         mod = context.module
-        if isinstance(mod, nn.Dense) and context.method_name == "__call__":
-            kpath = tuple(mod.path) + ("kernel",)
-            site = "/".join(mod.path) + ":in"
-            if kpath in q and site in observers:
-                s, zp = observers[site].qparams()
-                bias = (
-                    mod.get_variable("params", "bias")
-                    if mod.has_variable("params", "bias") else None
-                )
-                return int8_dense(args[0], q[kpath], scales[kpath], s, zp, bias)
+        if context.method_name != "__call__":
+            return next_fn(*args, **kwargs)
+        kpath = tuple(mod.path) + ("kernel",)
+        site = "/".join(mod.path) + ":in"
+        if kpath not in q or site not in observers:
+            return next_fn(*args, **kwargs)
+        bias = (
+            mod.get_variable("params", "bias")
+            if mod.has_variable("params", "bias") else None
+        )
+        s, zp = observers[site].qparams()
+        if isinstance(mod, nn.Dense):
+            return int8_dense(args[0], q[kpath], scales[kpath], s, zp, bias)
+        if isinstance(mod, nn.Conv) and q[kpath].ndim == 4:
+            if mod.input_dilation not in (None, 1, (1, 1)):
+                return next_fn(*args, **kwargs)
+            resolved = _explicit_conv_pads(mod, args[0], q[kpath])
+            if resolved is None:
+                return next_fn(*args, **kwargs)
+            pads, strides, dil = resolved
+            return int8_conv(args[0], q[kpath], scales[kpath], s, zp, bias,
+                             pads, strides, dil, mod.feature_group_count)
+        return next_fn(*args, **kwargs)
+
+    with nn.intercept_methods(ic):
+        return module.apply({**variables, "params": qd}, x, **apply_kwargs)
+
+
+def dynamic_qparams(x):
+    """Per-tensor affine uint8 qparams from the LIVE activation (dynamic
+    quantization, torch ``quantize_per_tensor_dynamic`` semantics): range
+    snapped to include 0 so real zeros stay exact."""
+    x32 = x.astype(jnp.float32)
+    mn = jnp.minimum(jnp.min(x32), 0.0)
+    mx = jnp.maximum(jnp.max(x32), 0.0)
+    scale = jnp.maximum((mx - mn) / (ACT_QMAX - ACT_QMIN), 1e-9)
+    zp = jnp.clip(jnp.round(ACT_QMIN - mn / scale), ACT_QMIN, ACT_QMAX)
+    return scale, zp
+
+
+def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
+                       **apply_kwargs):
+    """Inference with quantized Dense/Conv executed in real int8 using
+    DYNAMIC per-tensor activation qparams (no calibration pass needed) —
+    the serving mode for flows with no training data at hand (e.g. the
+    LOST pipeline over frozen/pruned backbones). Weight int8 + scales come
+    baked from ``quantize_params_int8``; every other op (layernorm,
+    softmax/flash attention, GELU) runs in the network's float dtype.
+
+    Measured on v5e at the ViT-S/16 LOST shape (B=32, T=769): ~854 img/s
+    vs ~970 bf16 — at this model scale the per-site min/max reductions and
+    QDQ elementwise traffic outweigh the int8 MXU gain, so int8 here is a
+    memory/serving option (4x smaller weights), not a throughput win; bf16
+    stays the speed headline."""
+    qd = dequantize_params(variables["params"], q, scales)
+    qd = jax.tree.map(
+        lambda a, b: a.astype(b.dtype),
+        qd, variables["params"],
+    )
+
+    def ic(next_fn, args, kwargs, context):
+        mod = context.module
+        if context.method_name != "__call__":
+            return next_fn(*args, **kwargs)
+        kpath = tuple(mod.path) + ("kernel",)
+        path = "/".join(mod.path)
+        if kpath not in q or any(e in path for e in exclude):
+            return next_fn(*args, **kwargs)
+        xin = args[0]
+        s, zp = dynamic_qparams(xin)
+        bias = (
+            mod.get_variable("params", "bias")
+            if mod.has_variable("params", "bias") else None
+        )
+        if isinstance(mod, nn.Dense):
+            out = int8_dense(xin, q[kpath], scales[kpath], s, zp, bias)
+            return out.astype(xin.dtype)
+        if isinstance(mod, nn.Conv) and q[kpath].ndim == 4:
+            if mod.input_dilation not in (None, 1, (1, 1)):
+                return next_fn(*args, **kwargs)
+            resolved = _explicit_conv_pads(mod, xin, q[kpath])
+            if resolved is None:
+                return next_fn(*args, **kwargs)
+            pads, strides, dil = resolved
+            out = int8_conv(xin, q[kpath], scales[kpath], s, zp, bias,
+                            pads, strides, dil, mod.feature_group_count)
+            return out.astype(xin.dtype)
         return next_fn(*args, **kwargs)
 
     with nn.intercept_methods(ic):
@@ -371,7 +523,7 @@ def make_qat_train_step(
 
 
 def make_int8_eval_step(module, q, scales, observers, num_classes: int):
-    """Eval step running Dense layers in real int8 — plugs into
+    """Eval step running Dense/Conv layers in real int8 — plugs into
     ``train.loop.evaluate`` (per-epoch converted-model eval,
     `train_quantization.py:129-135`)."""
     from vipers.train.steps import cross_entropy
@@ -478,7 +630,7 @@ def run_quantize(args) -> int:
         acc1_i, acc5_i, _ = evaluate(int8_step, s.state, _val_loader(s),
                                      normalize_fn=s.normalize)
         print(f"PTQ int8: acc1 {acc1_i:.3f} acc5 {acc5_i:.3f} "
-              f"(Dense layers executed in int8)")
+              f"(Dense/Conv layers executed in int8)")
         from vipers.core.checkpoint import save_checkpoint
 
         save_checkpoint(
