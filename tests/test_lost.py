@@ -224,6 +224,26 @@ def test_lost_end_to_end_corloc(synthetic_voc, tmp_path):
     assert corloc_txt == pytest.approx(corloc_re, abs=0.1)
 
 
+def test_prefetch_decoded_order_and_padding(synthetic_voc):
+    """The threaded decoder must preserve dataset order, apply exact tier-1
+    padding, and carry GT through."""
+    from vipers.data.detection import DiscoveryDataset, load_image_normalized
+    from vipers.discovery.driver import _prefetch_decoded
+
+    ds = DiscoveryDataset("VOC07", "trainval", synthetic_voc, no_hard=False)
+    seq = list(_prefetch_decoded(ds, 16, no_hard=False, workers=3))
+    assert [r[1] for r in seq] == [im for _p, im in ds]
+    for (path, _im), (p2, _name, padded, init_size, gt) in zip(ds, seq):
+        assert p2 == path
+        img = load_image_normalized(path)
+        assert init_size == (3, img.shape[0], img.shape[1])
+        assert padded.shape[0] % 16 == 0 and padded.shape[1] % 16 == 0
+        np.testing.assert_array_equal(padded[: img.shape[0], : img.shape[1]],
+                                      img)
+        assert np.all(padded[img.shape[0]:, :] == 0)
+        assert gt is not None and len(gt) == 1
+
+
 @pytest.mark.slow
 def test_lost_cnn_path(synthetic_voc, tmp_path):
     """resnet/vgg feature path: headless features + whole-slab LayerNorm

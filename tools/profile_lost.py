@@ -29,6 +29,23 @@ from vipers.pruning import init_masks, magnitude_prune
 
 H, W, PATCH = 512, 384, 16
 GH, GW = H // PATCH, W // PATCH
+V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak, FLOP/s
+
+
+def flops_per_image(spec) -> float:
+    """Analytic forward FLOPs per image for the LOST ViT pipeline (full
+    12-block forward before XLA dead-code-elims the unused tail; attention
+    at the flash-padded length). Used for the MFU (model FLOPs utilization)
+    readout — achieved FLOP/s over the chip's bf16 peak."""
+    d = spec.extra.get("hidden_dim", 384)
+    layers = spec.extra.get("num_layers", 12)
+    t = GH * GW + 1
+    t_pad = -(-t // 128) * 128  # flash kernel pads to a 128 multiple
+    mlp_ratio = 4
+    dense_macs = layers * t * (3 * d * d + d * d + 2 * mlp_ratio * d * d)
+    attn_macs = layers * 2 * t_pad * t_pad * d
+    patch_macs = t * (PATCH * PATCH * 3) * d
+    return 2.0 * (dense_macs + attn_macs + patch_macs)
 
 
 def bench(f, *args, iters=6):
@@ -92,10 +109,13 @@ def main():
             t_full = bench(pipe, ex.variables, *inputs)
             t_fwd = bench(fwd_only, ex.variables, inputs[0], inputs[1])
             t_feat = bench(fwd_feats, ex.variables, inputs[0], inputs[1])
+            tput = b / t_full * 1e3
+            mfu = flops_per_image(spec) * tput / V5E_BF16_PEAK
             print(
-                f"{tag} B={b}: full {t_full:.2f} ms ({b / t_full * 1e3:.1f} img/s)"
+                f"{tag} B={b}: full {t_full:.2f} ms ({tput:.1f} img/s)"
                 f" | fwd {t_fwd:.2f} ms | +scramble {t_feat:.2f} ms"
                 f" | lost_core {t_full - t_feat:.2f} ms"
+                f" | MFU {mfu * 100:.1f}% of v5e bf16 peak"
             )
             if args.profile_dir and tag == "bf16" and b == args.batches[-1]:
                 with jax.profiler.trace(args.profile_dir):

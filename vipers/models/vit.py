@@ -308,7 +308,8 @@ _PUBLISHED_ACC = {
 
 def _build(name, cfg: ViTConfig, image_size=(224, 224)):
     module = VisionTransformer(cfg=cfg, image_size=tuple(image_size))
-    extra = {"num_heads": cfg.num_heads, "hidden_dim": cfg.hidden_dim}
+    extra = {"num_heads": cfg.num_heads, "hidden_dim": cfg.hidden_dim,
+             "num_layers": cfg.num_layers}
     if name in _PUBLISHED_ACC:
         extra["published"] = _PUBLISHED_ACC[name]
     return ModelSpec(
