@@ -226,3 +226,47 @@ def test_swin_importer_roundtrips_pruned_checkpoint():
     assert key in masks
     got = params["stage3_block1"]["attn"]["proj"]["kernel"]
     np.testing.assert_allclose(got, (w * mask).numpy().T)
+
+
+def test_seq_pad_multiple_matches_unpadded():
+    """seq_pad_multiple (one-shot token padding for flash alignment) must
+    leave valid-token outputs equal to the unpadded run up to f32
+    reduction-order rounding: pad keys are -1e9-masked (exp underflows to
+    exact 0) and all other ops are per-token, but XLA's reduction trees
+    regroup at the padded length (~1e-5 rel drift over 12 blocks). Checked
+    for both ViT variants, with and without an outer bucket token_mask."""
+    import jax
+
+    from vipers.core.registry import build_model
+
+    rng = np.random.default_rng(0)
+    for name, kw in (("vit_s_16", {"num_classes": 10,
+                                   "image_size": (96, 96)}),
+                     ("dino_vit_tiny", {})):
+        spec = build_model(name, **kw)
+        x = jnp.asarray(rng.normal(size=(2, 96, 96, 3)), jnp.float32)
+        variables = spec.module.init(jax.random.PRNGKey(0), x, train=False)
+        # t = 37 -> pads to 128
+        for token_mask in (None,
+                           jnp.asarray(rng.random((2, 37)) > 0.2)):
+            base_logits, base_aux = spec.module.apply(
+                variables, x, train=False, token_mask=token_mask,
+                need_attn=False,
+            )
+            pad_logits, pad_aux = spec.module.apply(
+                variables, x, train=False, token_mask=token_mask,
+                need_attn=False, seq_pad_multiple=128,
+            )
+            np.testing.assert_allclose(np.asarray(base_logits),
+                                       np.asarray(pad_logits),
+                                       rtol=1e-4, atol=1e-5)
+            key = "qkv_input" if name == "vit_s_16" else "qkv"
+            assert pad_aux[key].shape == base_aux[key].shape
+            vm = (np.ones((2, 37), bool) if token_mask is None
+                  else np.asarray(token_mask))
+            for b in range(2):
+                np.testing.assert_allclose(
+                    np.asarray(base_aux[key])[b][vm[b]],
+                    np.asarray(pad_aux[key])[b][vm[b]],
+                    rtol=1e-4, atol=1e-5,
+                )

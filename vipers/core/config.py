@@ -34,6 +34,8 @@ class TrainConfig:
     optim: OptimConfig = dataclasses.field(default_factory=OptimConfig)
     # augmentation
     auto_augment: str = ""  # ra | ta_wide | augmix | imagenet
+    ra_magnitude: int = 9  # RandAugment magnitude (`train.py:753`)
+    augmix_severity: int = 3  # AugMix severity (`train.py:754`)
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
     random_erase: float = 0.0
@@ -61,6 +63,8 @@ class TrainConfig:
     print_freq: int = 100
     output_dir: str = "./output"
     resume: str = ""
+    # manual epoch override (`train.py:804` --start-epoch); -1 = from resume
+    start_epoch: int = -1
     test_only: bool = False
     # logging
     metrics_path: Optional[str] = None
@@ -81,7 +85,8 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--opt", default="sgd")
     p.add_argument("--lr", type=float, default=0.1)
     p.add_argument("--momentum", type=float, default=0.9)
-    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--weight-decay", "--wd", type=float, default=1e-4,
+                   dest="weight_decay")
     p.add_argument("--norm-weight-decay", type=float, default=None)
     p.add_argument("--bias-weight-decay", type=float, default=None)
     p.add_argument("--transformer-embedding-decay", type=float, default=None)
@@ -96,6 +101,10 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--lr-warmup-decay", type=float, default=0.01)
     p.add_argument("--auto-augment", default="",
                    help="ra | ta_wide | augmix | imagenet (presets.py:30-48)")
+    p.add_argument("--ra-magnitude", type=int, default=9,
+                   help="RandAugment magnitude (train.py:753)")
+    p.add_argument("--augmix-severity", type=int, default=3,
+                   help="AugMix severity (train.py:754)")
     p.add_argument("--mixup-alpha", type=float, default=0.0)
     p.add_argument("--cutmix-alpha", type=float, default=0.0)
     p.add_argument("--random-erase", type=float, default=0.0)
@@ -126,6 +135,9 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--print-freq", type=int, default=100)
     p.add_argument("--output-dir", default="./output")
     p.add_argument("--resume", default="")
+    p.add_argument("--start-epoch", type=int, default=-1,
+                   help="override the resume epoch (train.py:804); "
+                        "-1 = take it from the checkpoint")
     p.add_argument("--test-only", action="store_true")
     p.add_argument("--train-crop-size", type=int, default=224)
     p.add_argument("--val-resize-size", type=int, default=256)
@@ -155,6 +167,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         pruning_threshold=args.pruning_threshold,
         starting_pruning_iteration=args.starting_pruning_iteration,
         optim=optim, auto_augment=getattr(args, "auto_augment", ""),
+        ra_magnitude=getattr(args, "ra_magnitude", 9),
+        augmix_severity=getattr(args, "augmix_severity", 3),
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         random_erase=args.random_erase,
         ra_sampler=getattr(args, "ra_sampler", False),
@@ -169,5 +183,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         profile_dir=getattr(args, "profile_dir", ""),
         debug_nans=getattr(args, "debug_nans", False),
         print_freq=args.print_freq,
-        output_dir=args.output_dir, resume=args.resume, test_only=args.test_only,
+        output_dir=args.output_dir, resume=args.resume,
+        start_epoch=getattr(args, "start_epoch", -1),
+        test_only=args.test_only,
     )

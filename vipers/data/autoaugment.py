@@ -193,10 +193,20 @@ POLICIES: Dict[str, Callable] = {
 }
 
 
-def apply_policy(name: str, arr: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """uint8 (H, W, 3) -> augmented uint8, by policy name."""
+def apply_policy(name: str, arr: np.ndarray, rng: np.random.Generator,
+                 ra_magnitude: int = 9,
+                 augmix_severity: int = 3) -> np.ndarray:
+    """uint8 (H, W, 3) -> augmented uint8, by policy name.
+    ``ra_magnitude``/``augmix_severity`` mirror the reference's
+    --ra-magnitude / --augmix-severity knobs (`train.py:753-754`)."""
     if name not in POLICIES:
         raise ValueError(f"unknown auto-augment policy {name!r}; "
                          f"choose from {sorted(POLICIES)}")
     img = Image.fromarray(arr)
-    return np.asarray(POLICIES[name](img, rng), dtype=np.uint8)
+    if name == "ra":
+        out = rand_augment(img, rng, magnitude=ra_magnitude)
+    elif name == "augmix":
+        out = augmix(img, rng, severity=augmix_severity)
+    else:
+        out = POLICIES[name](img, rng)
+    return np.asarray(out, dtype=np.uint8)

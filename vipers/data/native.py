@@ -98,13 +98,15 @@ def decode_eval(path: str, resize: int = 256, crop: int = 224) -> np.ndarray:
 
 def decode_train(path: str, rng: np.random.Generator, crop_size: int = 224,
                  hflip_prob: float = 0.5, auto_augment: str = "",
-                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)) -> np.ndarray:
+                 scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3),
+                 ra_magnitude: int = 9, augmix_severity: int = 3) -> np.ndarray:
     """RandomResizedCrop + hflip fast path (box sampled here, pixels in C++)."""
     lib = _build_and_load()
     if lib is None or not path.lower().endswith((".jpg", ".jpeg")):
         from vipers.data.preprocess import train_decode
 
-        return train_decode(path, rng, crop_size, hflip_prob, auto_augment)
+        return train_decode(path, rng, crop_size, hflip_prob, auto_augment,
+                            ra_magnitude, augmix_severity)
     w, h = jpeg_dims(path)
     area = w * h
     box = None
@@ -139,9 +141,12 @@ def decode_train(path: str, rng: np.random.Generator, crop_size: int = 224,
     if rc != 0:
         from vipers.data.preprocess import train_decode
 
-        return train_decode(path, rng, crop_size, hflip_prob, auto_augment)
+        return train_decode(path, rng, crop_size, hflip_prob, auto_augment,
+                            ra_magnitude, augmix_severity)
     if auto_augment:
         from vipers.data.autoaugment import apply_policy
 
-        out = apply_policy(auto_augment, out, rng)
+        out = apply_policy(auto_augment, out, rng,
+                           ra_magnitude=ra_magnitude,
+                           augmix_severity=augmix_severity)
     return out

@@ -96,6 +96,7 @@ def random_resized_crop(
 def train_decode(
     path: str, rng: np.random.Generator, crop_size: int = 224,
     hflip_prob: float = 0.5, auto_augment: str = "",
+    ra_magnitude: int = 9, augmix_severity: int = 3,
 ) -> np.ndarray:
     img = load_image_rgb(path)
     arr = random_resized_crop(img, crop_size, rng)
@@ -104,7 +105,9 @@ def train_decode(
     if auto_augment:
         from vipers.data.autoaugment import apply_policy
 
-        arr = apply_policy(auto_augment, np.ascontiguousarray(arr), rng)
+        arr = apply_policy(auto_augment, np.ascontiguousarray(arr), rng,
+                           ra_magnitude=ra_magnitude,
+                           augmix_severity=augmix_severity)
     return np.ascontiguousarray(arr)
 
 

@@ -41,6 +41,14 @@ from vipers.models.vit import scrambled_qkv_gather, split_qkv_torchvision
 from vipers.pruning.masks import apply_masks
 
 
+def _seq_pad(img_shape, patch: int, need_attn: bool):
+    """128-multiple token padding for transformer forwards where the flash
+    kernel engages (t >= 512, no attention-probs output) — shapes are
+    static at trace time, so this is a compile-time decision."""
+    t = (img_shape[1] // patch) * (img_shape[2] // patch) + 1
+    return 128 if (t >= 512 and not need_attn) else None
+
+
 class LostFeatureExtractor:
     """Feature extraction with a bucketed compile cache."""
 
@@ -80,12 +88,14 @@ class LostFeatureExtractor:
         self._module_apply = self._make_module_apply()
 
         module_apply = self._module_apply
+        patch = spec.patch_size
 
         @jax.jit
         def transformer_forward(variables, img, pos, token_mask):
             _, aux = module_apply(
                 variables, img, train=False, override_pos_embedding=pos,
                 token_mask=token_mask, need_attn=need_attn,
+                seq_pad_multiple=_seq_pad(img.shape, patch, need_attn),
             )
             return aux
 
@@ -253,6 +263,7 @@ class LostFeatureExtractor:
             _, aux = module_apply(
                 variables, images, train=False, override_pos_embedding=pos,
                 token_mask=token_mask, need_attn=False,
+                seq_pad_multiple=_seq_pad(images.shape, patch, False),
             )
             bh, bw = images.shape[1], images.shape[2]
             GH, GW = bh // patch, bw // patch

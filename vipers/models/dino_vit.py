@@ -102,7 +102,11 @@ class DinoVisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None,
-                 override_pos_embedding=None, need_attn: bool = True):
+                 override_pos_embedding=None, need_attn: bool = True,
+                 seq_pad_multiple=None):
+        # seq_pad_multiple: same contract as models/vit.py — pad the token
+        # axis once (masked invalid) so the flash kernel needs no per-block
+        # pad/slice and dense matmuls run tile-aligned.
         c = self.cfg
         p = c.patch_size
         n, h, w, _ = x.shape
@@ -125,6 +129,16 @@ class DinoVisionTransformer(nn.Module):
         else:
             x = x + self._interp_pos(pos, gh, gw)
 
+        seq_len = gh * gw + 1
+        if seq_pad_multiple and seq_len % seq_pad_multiple:
+            t_pad = -(-seq_len // seq_pad_multiple) * seq_pad_multiple
+            x = jnp.pad(x, ((0, 0), (0, t_pad - seq_len), (0, 0)))
+            base = (
+                token_mask if token_mask is not None
+                else jnp.ones((n, seq_len), bool)
+            )
+            token_mask = jnp.pad(base, ((0, 0), (0, t_pad - seq_len)))
+
         attn = qkv_out = None
         for i in range(c.depth):
             x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(
@@ -132,6 +146,11 @@ class DinoVisionTransformer(nn.Module):
                 need_attn=need_attn and i == c.depth - 1)
             if i == c.depth - 1:
                 attn, qkv_out = attn_i, qkv_i
+        if x.shape[1] != seq_len:  # undo seq_pad_multiple: one slice
+            x = x[:, :seq_len]
+            qkv_out = qkv_out[:, :seq_len]
+            if attn is not None:
+                attn = attn[:, :, :seq_len, :seq_len]
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
         out = (

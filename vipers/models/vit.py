@@ -176,7 +176,18 @@ class VisionTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False, override_pos_embedding=None,
-                 token_mask=None, tap_delta=None, need_attn: bool = True):
+                 token_mask=None, tap_delta=None, need_attn: bool = True,
+                 seq_pad_multiple: Optional[int] = None):
+        """``seq_pad_multiple``: pad the token axis ONCE (zeros, masked
+        invalid) to this multiple before the encoder and slice once after.
+        The flash kernel then sees an already-aligned length, removing the
+        per-block pad+slice pairs XLA otherwise emits around every
+        attention call (profiled at ~23% of LOST pipeline device time at
+        T=769->896), and every dense matmul runs at a tile-aligned T.
+        Valid-token outputs equal the unpadded run up to f32
+        reduction-order rounding (pad keys are masked out of attention and
+        all other ops are per-token; XLA's reduction trees regroup at the
+        padded length — ~1e-5 rel, tested)."""
         c = self.cfg
         p = c.patch_size
         n, h, w, _ = x.shape
@@ -213,6 +224,15 @@ class VisionTransformer(nn.Module):
         x = x + pos
         x = nn.Dropout(c.dropout_rate, deterministic=not train)(x)
 
+        if seq_pad_multiple and seq_len % seq_pad_multiple:
+            t_pad = -(-seq_len // seq_pad_multiple) * seq_pad_multiple
+            x = jnp.pad(x, ((0, 0), (0, t_pad - seq_len), (0, 0)))
+            base = (
+                token_mask if token_mask is not None
+                else jnp.ones((n, seq_len), bool)
+            )
+            token_mask = jnp.pad(base, ((0, 0), (0, t_pad - seq_len)))
+
         qkv_input = attn = None
         for i in range(c.num_layers):
             x, ln1, attn_i = EncoderBlock(
@@ -229,6 +249,11 @@ class VisionTransformer(nn.Module):
                 # the last block's write survives for consumers
                 # (`main_lost.py:455-456`). We keep exactly that.
                 qkv_input, attn = ln1, attn_i
+        if x.shape[1] != seq_len:  # undo seq_pad_multiple: one slice
+            x = x[:, :seq_len]
+            qkv_input = qkv_input[:, :seq_len]
+            if attn is not None:
+                attn = attn[:, :, :seq_len, :seq_len]
         x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
 
         cls_feat = x[:, 0]

@@ -161,10 +161,14 @@ def _train_loader(s: Session, epoch: int):
         from vipers.data import native
 
         decode = partial(native.decode_train, crop_size=cfg.train_crop_size,
-                         auto_augment=cfg.auto_augment)
+                         auto_augment=cfg.auto_augment,
+                         ra_magnitude=cfg.ra_magnitude,
+                         augmix_severity=cfg.augmix_severity)
     else:
         decode = partial(train_decode, crop_size=cfg.train_crop_size,
-                         auto_augment=cfg.auto_augment)
+                         auto_augment=cfg.auto_augment,
+                         ra_magnitude=cfg.ra_magnitude,
+                         augmix_severity=cfg.augmix_severity)
     return ImageFolderLoader(
         s.train_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=True, seed=cfg.seed + epoch,
@@ -377,6 +381,8 @@ def run(cfg: TrainConfig):
     start_epoch = 0
     if cfg.resume:
         start_epoch = resume_session(s, cfg.resume)
+    if cfg.start_epoch >= 0:  # manual override (`train.py:804` --start-epoch)
+        start_epoch = cfg.start_epoch
     if cfg.test_only:
         return evaluate(s.eval_step, s.state, _val_loader(s), normalize_fn=s.normalize)
     if cfg.pruning_method == "snip":

@@ -694,5 +694,8 @@ def run_quantize(args) -> int:
                            for k, o in observers.items()}},
             use_async=True,
         )
+    from vipers.core.checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()  # flush async saves before interpreter teardown
     s.state = state
     return 0
