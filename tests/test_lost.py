@@ -224,6 +224,51 @@ def test_lost_end_to_end_corloc(synthetic_voc, tmp_path):
     assert corloc_txt == pytest.approx(corloc_re, abs=0.1)
 
 
+@pytest.mark.slow
+def test_lost_single_image_and_flag_modes(synthetic_voc, tmp_path):
+    """--image-path runs LOST on one image (forces no preds/eval,
+    `main_lost.py:297-311`); --no-evaluation keeps preds.pkl but writes no
+    results txt; --models-dir + --pruning-iteration resolves the
+    reference's templated checkpoint filename."""
+    import argparse
+
+    from vipers.discovery.driver import _templated_checkpoint, run_lost
+
+    img = os.path.join(synthetic_voc, "JPEGImages", "im000.jpg")
+    base = dict(
+        model="vit_s_16", arch="vit", dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, checkpoint="", patch_size=16,
+        which_features="k", k_patches=30, dinoseg=False, dinoseg_head=4,
+        no_hard=False, iteration=0, visualize=None, workers=2,
+    )
+    out1 = str(tmp_path / "one")
+    assert run_lost(argparse.Namespace(
+        **base, output_dir=out1, image_path=img)) == 0
+    assert not os.path.exists(os.path.join(out1, "preds.pkl"))
+    assert not os.path.exists(os.path.join(out1, "results_iteration_00.txt"))
+
+    out2 = str(tmp_path / "noeval")
+    assert run_lost(argparse.Namespace(
+        **base, output_dir=out2, no_evaluation=True)) == 0
+    assert os.path.exists(os.path.join(out2, "preds.pkl"))
+    assert not os.path.exists(os.path.join(out2, "results_iteration_00.txt"))
+
+    # checkpoint filename templates (`main_lost.py:344-356`)
+    mdir = tmp_path / "models"
+    (mdir / "resnet50").mkdir(parents=True)
+    (mdir / "resnet50" / "model_epoch_89_pruning_iteration_03.pth").touch()
+    (mdir / "vit_b_16").mkdir()
+    (mdir / "vit_b_16" / "vit_b_16_epoch_299_pruning_iteration_07.pth").touch()
+    assert _templated_checkpoint(str(mdir), "resnet50", "resnet", 3).endswith(
+        "resnet50/model_epoch_89_pruning_iteration_03.pth"
+    )
+    assert _templated_checkpoint(str(mdir), "vit_b_16", "vit", 7).endswith(
+        "vit_b_16/vit_b_16_epoch_299_pruning_iteration_07.pth"
+    )
+    with pytest.raises(FileNotFoundError):
+        _templated_checkpoint(str(mdir), "resnet50", "resnet", 9)
+
+
 def test_prefetch_decoded_order_and_padding(synthetic_voc):
     """The threaded decoder must preserve dataset order, apply exact tier-1
     padding, and carry GT through."""

@@ -51,6 +51,25 @@ def main(argv=None):
                       help="images per jitted LOST batch (per bucket shape)")
     lost.add_argument("--workers", type=int, default=8,
                       help="host decode/prefetch threads feeding the device")
+    lost.add_argument("--image-path", default=None,
+                      help="run LOST on ONE image instead of a dataset "
+                           "(forces --no-evaluation, no preds.pkl; "
+                           "main_lost.py:297-311)")
+    lost.add_argument("--no-evaluation", action="store_true",
+                      help="skip CorLoc scoring / results txt")
+    lost.add_argument("--save-predictions", default=True,
+                      type=lambda s: s.lower() not in ("false", "0", "no"),
+                      help="write preds.pkl (default true)")
+    lost.add_argument("--models-dir", default="",
+                      help="root of the reference checkpoint sweep; with "
+                           "--pruning-iteration, resolves the templated "
+                           "filename (main_lost.py:344-356)")
+    lost.add_argument("--pruning-iteration", type=int, default=None,
+                      help="sweep iteration: picks the checkpoint under "
+                           "--models-dir and stamps results_iteration_NN.txt")
+    lost.add_argument("--resnet-dilate", type=int, default=1,
+                      choices=[1, 2, 4],
+                      help="dilated resnet feature map for the CNN path")
     lost.add_argument("--dtype", default="f32",
                       choices=["f32", "bf16", "int8"],
                       help="compute dtype for the feature forward (bf16 is "

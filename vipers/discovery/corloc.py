@@ -44,16 +44,23 @@ class CorLocAccumulator:
     def corloc(self) -> float:
         return 100.0 * self.hits / max(self.count, 1)
 
-    def save(self, output_dir: str, iteration: int):
+    def save(self, output_dir: str, iteration: int, save_preds: bool = True,
+             save_results: bool = True):
         """preds.pkl + results_iteration_NN.txt contracts
-        (`main_lost.py:687-702`)."""
+        (`main_lost.py:687-702`); the two artifacts gate independently
+        like the reference's --save-predictions / --no-evaluation."""
         os.makedirs(output_dir, exist_ok=True)
-        with open(os.path.join(output_dir, "preds.pkl"), "wb") as f:
-            pickle.dump(self.preds, f)
-        txt = os.path.join(output_dir, f"results_iteration_{iteration:02d}.txt")
-        with open(txt, "w") as f:
-            f.write(f"corloc,{self.corloc:.1f},,\n")
-        print(f"corloc: {self.corloc:.2f} ({self.hits}/{self.count})")
+        if save_preds:
+            with open(os.path.join(output_dir, "preds.pkl"), "wb") as f:
+                pickle.dump(self.preds, f)
+        txt = None
+        if save_results:
+            txt = os.path.join(
+                output_dir, f"results_iteration_{iteration:02d}.txt"
+            )
+            with open(txt, "w") as f:
+                f.write(f"corloc,{self.corloc:.1f},,\n")
+            print(f"corloc: {self.corloc:.2f} ({self.hits}/{self.count})")
         return txt
 
 

@@ -396,18 +396,73 @@ def _prefetch_decoded(dataset, patch: int, no_hard: bool, workers: int = 8):
             yield path, im_name, padded, init_size, gt
 
 
+class _SingleImageDataset:
+    """`--image-path` mode (`main_lost.py:297-311`): LOST on one image at
+    native resolution, no GT, no evaluation."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.name = os.path.basename(path)
+
+    def __iter__(self):
+        yield self.path, self.name
+
+    def extract_gt(self, _im_name):
+        return None, None
+
+
+def _templated_checkpoint(models_dir: str, model: str, arch: str,
+                          iteration: int) -> str:
+    """The reference's checkpoint filename contracts
+    (`main_lost.py:344-356`): CNNs sweep `model_epoch_89_pruning_iteration
+    _{NN}.pth`, ViTs `{model}_epoch_299_pruning_iteration_{NN}.pth`, under
+    `{models_dir}/{model}/`."""
+    if arch in ("vit",):
+        fname = f"{model}_epoch_299_pruning_iteration_{iteration:02d}"
+    else:
+        fname = f"model_epoch_89_pruning_iteration_{iteration:02d}"
+    base = os.path.join(models_dir, model, fname)
+    for cand in (base + ".pth", base):  # .pth import or orbax dir
+        if os.path.exists(cand):
+            return cand
+    raise FileNotFoundError(
+        f"no checkpoint for iteration {iteration} under {models_dir}/{model} "
+        f"(tried {base}[.pth])"
+    )
+
+
 def run_lost(args) -> int:
     t_start = time.time()
-    dataset = DiscoveryDataset(
-        args.dataset, args.set, args.data_path, no_hard=args.no_hard,
-        coco_annotations=getattr(args, "coco_annotations", None),
-        coco20k_list=getattr(args, "coco20k_list", None),
-    )
+    image_path = getattr(args, "image_path", None)
+    no_evaluation = bool(getattr(args, "no_evaluation", False))
+    save_predictions = bool(getattr(args, "save_predictions", True))
+    if image_path:
+        # single-image mode forces both off (`main_lost.py:297-300`)
+        no_evaluation, save_predictions = True, False
+        dataset = _SingleImageDataset(image_path)
+    else:
+        dataset = DiscoveryDataset(
+            args.dataset, args.set, args.data_path, no_hard=args.no_hard,
+            coco_annotations=getattr(args, "coco_annotations", None),
+            coco20k_list=getattr(args, "coco20k_list", None),
+        )
     arch = args.arch
     model_kw = {}
     if arch == "dino":
         model_kw["patch_size"] = args.patch_size
+    if "resnet" in args.model and getattr(args, "resnet_dilate", 1) != 1:
+        model_kw["dilate"] = args.resnet_dilate  # `main_lost.py:231-238`
     spec = build_model(args.model, **model_kw)
+
+    pruning_iteration = getattr(args, "pruning_iteration", None)
+    if getattr(args, "models_dir", "") and pruning_iteration is not None:
+        args.checkpoint = _templated_checkpoint(
+            args.models_dir, args.model, arch, pruning_iteration
+        )
+        print(f"checkpoint: {args.checkpoint}")
+    iteration = (
+        pruning_iteration if pruning_iteration is not None else args.iteration
+    )
 
     rng = jax.random.PRNGKey(0)
     h0 = w0 = 224
@@ -525,7 +580,8 @@ def run_lost(args) -> int:
         flush(key)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    acc.save(args.output_dir, args.iteration)
+    acc.save(args.output_dir, iteration, save_preds=save_predictions,
+             save_results=not no_evaluation)
     dt = time.time() - t_start
     print(f"LOST: {n_imgs} images in {dt:.1f}s ({n_imgs / max(dt, 1e-9):.2f} img/s)")
     return 0
