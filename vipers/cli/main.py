@@ -21,7 +21,12 @@ def main(argv=None):
     from vipers.core.config import add_train_args
 
     add_train_args(sub.add_parser("train", help="prune + fine-tune a classifier"))
-    add_train_args(sub.add_parser("evaluate", help="sweep checkpoints, eval top-1/5"))
+    ev = sub.add_parser("evaluate", help="sweep checkpoints, eval top-1/5")
+    add_train_args(ev)
+    ev.add_argument("--models-path", default="",
+                    help="dir holding the checkpoint sweep to glob "
+                         "(evaluate_models.py --models-path); defaults to "
+                         "--output-dir")
 
     lost = sub.add_parser("lost", help="LOST object discovery + CorLoc")
     lost.add_argument("--model", default="vit_s_16")
@@ -82,7 +87,9 @@ def main(argv=None):
                            "(data,) mesh")
 
     corloc = sub.add_parser("corloc", help="re-score saved predictions vs GT")
-    corloc.add_argument("--preds", required=True, help="preds.pkl or detectron json")
+    corloc.add_argument("--preds", "--pred-file", dest="preds", required=True,
+                        help="preds.pkl or detectron json (auto-detected; "
+                             "reference --type-pred)")
     corloc.add_argument("--dataset", default="VOC07")
     corloc.add_argument("--set", default="trainval")
     corloc.add_argument("--data-path", default="/data")
@@ -118,7 +125,11 @@ def main(argv=None):
     from vipers.core.config import add_train_args as ata
     ata(quant)
     quant.add_argument("--mode", default="qat", choices=["qat", "ptq"])
-    quant.add_argument("--calibration-batches", type=int, default=32)
+    quant.add_argument("--post-training-quantize", action="store_const",
+                       const="ptq", dest="mode",
+                       help="alias for --mode ptq (train_quantization.py)")
+    quant.add_argument("--calibration-batches", "--num-calibration-batches",
+                       dest="calibration_batches", type=int, default=32)
     quant.add_argument("--num-observer-update-epochs", type=int, default=4,
                        help="epochs before freezing activation observers "
                             "(train_quantization.py:120-122)")
@@ -127,11 +138,21 @@ def main(argv=None):
                             "(train_quantization.py:123-125)")
 
     clus = sub.add_parser("cluster", help="k-means pseudo-labels for discovered boxes")
-    clus.add_argument("--preds", required=True)
+    clus.add_argument("--preds", "--pred-file", dest="preds", required=True)
     clus.add_argument("--nb-clusters", type=int, default=20)
     clus.add_argument("--data-path", default="/data")
     clus.add_argument("--dataset", default="VOC07")
     clus.add_argument("--set", default="trainval")
+    clus.add_argument("--no-hard", action="store_true")
+    clus.add_argument("--arch", default="dino_vit_small",
+                      help="embedding backbone registry name "
+                           "(cluster_for_OD.py --arch)")
+    clus.add_argument("--patch-size", type=int, default=16)
+    clus.add_argument("--random-seed", type=int, default=0,
+                      help="k-means init seed (cluster_for_OD.py)")
+    clus.add_argument("--feature-cache", default="",
+                      help="pkl path caching the crop embeddings "
+                           "(cluster_for_OD.py:120-140)")
     clus.add_argument("--checkpoint", default="",
                       help="pretrained DINO weights for crop embedding")
     clus.add_argument("--coco-annotations", default=None)
@@ -172,7 +193,8 @@ def main(argv=None):
         from vipers.core.config import config_from_args
         from vipers.train.evaluate_models import run_sweep
 
-        rows = run_sweep(config_from_args(args))
+        rows = run_sweep(config_from_args(args),
+                         models_path=getattr(args, "models_path", ""))
         for acc1, sparsity in rows:
             print(f"acc1 {acc1:.3f}\tsparsity {sparsity:.2f}")
         return 0  # rows land in the txt artifacts; a non-empty sweep is success

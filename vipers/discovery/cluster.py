@@ -44,6 +44,7 @@ def cluster_boxes(
     checkpoint: str = "",
     cache_path: str = "",
     seed: int = 0,
+    patch_size: int = 16,
 ) -> Dict[str, int]:
     """{image_name: pseudo_label} for every predicted box.
 
@@ -52,7 +53,7 @@ def cluster_boxes(
     (`cluster_for_OD.py:144-160`); random weights give meaningless
     pseudo-labels, so their absence is warned loudly.
     """
-    spec = build_model(model_name, patch_size=16)
+    spec = build_model(model_name, patch_size=patch_size)
     variables = spec.module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)), train=False
     )
@@ -102,11 +103,16 @@ def run_cluster_cli(args) -> int:
         preds = pickle.load(f)
     ds = DiscoveryDataset(
         args.dataset, args.set, args.data_path,
+        no_hard=getattr(args, "no_hard", False),
         coco_annotations=getattr(args, "coco_annotations", None),
         coco20k_list=getattr(args, "coco20k_list", None),
     )
     labels = cluster_boxes(preds, ds, nb_clusters=args.nb_clusters,
-                           checkpoint=getattr(args, "checkpoint", ""))
+                           model_name=getattr(args, "arch", "dino_vit_small"),
+                           checkpoint=getattr(args, "checkpoint", ""),
+                           cache_path=getattr(args, "feature_cache", ""),
+                           seed=getattr(args, "random_seed", 0),
+                           patch_size=getattr(args, "patch_size", 16))
     out = os.path.splitext(args.preds)[0] + f"_clusters_{args.nb_clusters}.pkl"
     with open(out, "wb") as f:
         pickle.dump(labels, f)

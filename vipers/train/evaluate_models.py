@@ -93,7 +93,7 @@ def _eval_only_session(cfg: TrainConfig):
     )
 
 
-def run_sweep(cfg: TrainConfig, dilation: int = None):
+def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = ""):
     from vipers.train.driver import _val_loader, build_session
     from vipers.discovery.driver import load_lost_checkpoint
 
@@ -102,8 +102,10 @@ def run_sweep(cfg: TrainConfig, dilation: int = None):
         _eval_only_session(cfg) if cfg.eval_dataset == "voc"
         else build_session(cfg)
     )
+    # sweep dir: --models-path (evaluate_models.py:230) or the output dir
+    sweep_dir = models_path or cfg.output_dir
     pattern = os.path.join(
-        cfg.output_dir, f"{cfg.model}_epoch_*_pruning_iteration_*"
+        sweep_dir, f"{cfg.model}_epoch_*_pruning_iteration_*"
     )
     ckpts = sorted(
         globlib.glob(pattern),
@@ -111,7 +113,7 @@ def run_sweep(cfg: TrainConfig, dilation: int = None):
     )
     if not ckpts:
         # fall back to any checkpoints of this model
-        ckpts = sorted(globlib.glob(os.path.join(cfg.output_dir, f"{cfg.model}_epoch_*")))
+        ckpts = sorted(globlib.glob(os.path.join(sweep_dir, f"{cfg.model}_epoch_*")))
     out_txt = os.path.join(cfg.output_dir, f"{cfg.model}_dilation_{dilation}.txt")
     voc = cfg.eval_dataset == "voc"
     split = "voc" if voc else "test"
