@@ -247,9 +247,17 @@ def test_lost_single_image_and_flag_modes(synthetic_voc, tmp_path):
     assert not os.path.exists(os.path.join(out1, "preds.pkl"))
     assert not os.path.exists(os.path.join(out1, "results_iteration_00.txt"))
 
+    # --no-evaluation must not touch annotations (`main_lost.py:425-427`):
+    # run on a dataset that HAS no Annotations dir at all
+    import shutil
+
+    bare = tmp_path / "bare_voc"
+    shutil.copytree(synthetic_voc, bare)
+    shutil.rmtree(bare / "Annotations")
     out2 = str(tmp_path / "noeval")
     assert run_lost(argparse.Namespace(
-        **base, output_dir=out2, no_evaluation=True)) == 0
+        **{**base, "data_path": str(bare)}, output_dir=out2,
+        no_evaluation=True)) == 0
     assert os.path.exists(os.path.join(out2, "preds.pkl"))
     assert not os.path.exists(os.path.join(out2, "results_iteration_00.txt"))
 
@@ -265,6 +273,13 @@ def test_lost_single_image_and_flag_modes(synthetic_voc, tmp_path):
     assert _templated_checkpoint(str(mdir), "vit_b_16", "vit", 7).endswith(
         "vit_b_16/vit_b_16_epoch_299_pruning_iteration_07.pth"
     )
+    # DINO archs are ViTs too (reference: `'vit' in args.arch`)
+    (mdir / "dino_vit_small").mkdir()
+    (mdir / "dino_vit_small" /
+     "dino_vit_small_epoch_299_pruning_iteration_01.pth").touch()
+    assert _templated_checkpoint(
+        str(mdir), "dino_vit_small", "dino", 1
+    ).endswith("dino_vit_small_epoch_299_pruning_iteration_01.pth")
     with pytest.raises(FileNotFoundError):
         _templated_checkpoint(str(mdir), "resnet50", "resnet", 9)
 

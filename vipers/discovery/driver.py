@@ -357,7 +357,8 @@ class LostFeatureExtractor:
         )
 
 
-def _prefetch_decoded(dataset, patch: int, no_hard: bool, workers: int = 8):
+def _prefetch_decoded(dataset, patch: int, no_hard: bool, workers: int = 8,
+                      need_gt: bool = True):
     """Decode + tier-1-pad images on a bounded thread pool, preserving
     dataset order. The reference decodes synchronously inside its batch-1
     loop (`main_lost.py:383-407`); here host decode overlaps device
@@ -370,7 +371,10 @@ def _prefetch_decoded(dataset, patch: int, no_hard: bool, workers: int = 8):
         path, im_name = item
         img = load_image_normalized(path)
         init_image_size = (3, img.shape[0], img.shape[1])
-        gt, _cls = dataset.extract_gt(im_name)
+        # --no-evaluation runs must not touch annotations at all — the
+        # reference guards extract_gt the same way (`main_lost.py:425-427`)
+        # so LOST works on un-annotated data.
+        gt = dataset.extract_gt(im_name)[0] if need_gt else None
         ph = int(np.ceil(img.shape[0] / patch) * patch)
         pw = int(np.ceil(img.shape[1] / patch) * patch)
         padded = np.zeros((ph, pw, 3), np.float32)
@@ -416,8 +420,10 @@ def _templated_checkpoint(models_dir: str, model: str, arch: str,
     """The reference's checkpoint filename contracts
     (`main_lost.py:344-356`): CNNs sweep `model_epoch_89_pruning_iteration
     _{NN}.pth`, ViTs `{model}_epoch_299_pruning_iteration_{NN}.pth`, under
-    `{models_dir}/{model}/`."""
-    if arch in ("vit",):
+    `{models_dir}/{model}/`. The reference branches on `'vit' in arch`,
+    which covers the DINO archs (vit_small/vit_base) too — match that via
+    the model name as well."""
+    if "vit" in arch or "vit" in model:
         fname = f"{model}_epoch_299_pruning_iteration_{iteration:02d}"
     else:
         fname = f"model_epoch_89_pruning_iteration_{iteration:02d}"
@@ -455,7 +461,9 @@ def run_lost(args) -> int:
     spec = build_model(args.model, **model_kw)
 
     pruning_iteration = getattr(args, "pruning_iteration", None)
-    if getattr(args, "models_dir", "") and pruning_iteration is not None:
+    if (getattr(args, "models_dir", "") and pruning_iteration is not None
+            and not args.checkpoint):
+        # an explicit --checkpoint wins over the filename template
         args.checkpoint = _templated_checkpoint(
             args.models_dir, args.model, arch, pruning_iteration
         )
@@ -536,7 +544,9 @@ def run_lost(args) -> int:
     # tier-1 padding (participates) — `main_lost.py:399-407` — happens in
     # the prefetch workers; host decode overlaps device compute.
     for path, im_name, padded, init_image_size, gt in _prefetch_decoded(
-        dataset, p, args.no_hard, workers=int(getattr(args, "workers", 0) or 8)
+        dataset, p, args.no_hard,
+        workers=int(getattr(args, "workers", 0) or 8),
+        need_gt=not no_evaluation,
     ):
         n_imgs += 1
 

@@ -130,14 +130,10 @@ class DinoVisionTransformer(nn.Module):
             x = x + self._interp_pos(pos, gh, gw)
 
         seq_len = gh * gw + 1
-        if seq_pad_multiple and seq_len % seq_pad_multiple:
-            t_pad = -(-seq_len // seq_pad_multiple) * seq_pad_multiple
-            x = jnp.pad(x, ((0, 0), (0, t_pad - seq_len), (0, 0)))
-            base = (
-                token_mask if token_mask is not None
-                else jnp.ones((n, seq_len), bool)
-            )
-            token_mask = jnp.pad(base, ((0, 0), (0, t_pad - seq_len)))
+        if seq_pad_multiple:
+            from vipers.ops.tokens import pad_tokens
+
+            x, token_mask = pad_tokens(x, token_mask, seq_len, seq_pad_multiple)
 
         attn = qkv_out = None
         for i in range(c.depth):
@@ -146,11 +142,10 @@ class DinoVisionTransformer(nn.Module):
                 need_attn=need_attn and i == c.depth - 1)
             if i == c.depth - 1:
                 attn, qkv_out = attn_i, qkv_i
-        if x.shape[1] != seq_len:  # undo seq_pad_multiple: one slice
-            x = x[:, :seq_len]
-            qkv_out = qkv_out[:, :seq_len]
-            if attn is not None:
-                attn = attn[:, :, :seq_len, :seq_len]
+        if seq_pad_multiple:
+            from vipers.ops.tokens import unpad_tokens
+
+            x, qkv_out, attn = unpad_tokens(x, qkv_out, attn, seq_len)
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
         out = (

@@ -224,14 +224,10 @@ class VisionTransformer(nn.Module):
         x = x + pos
         x = nn.Dropout(c.dropout_rate, deterministic=not train)(x)
 
-        if seq_pad_multiple and seq_len % seq_pad_multiple:
-            t_pad = -(-seq_len // seq_pad_multiple) * seq_pad_multiple
-            x = jnp.pad(x, ((0, 0), (0, t_pad - seq_len), (0, 0)))
-            base = (
-                token_mask if token_mask is not None
-                else jnp.ones((n, seq_len), bool)
-            )
-            token_mask = jnp.pad(base, ((0, 0), (0, t_pad - seq_len)))
+        if seq_pad_multiple:
+            from vipers.ops.tokens import pad_tokens
+
+            x, token_mask = pad_tokens(x, token_mask, seq_len, seq_pad_multiple)
 
         qkv_input = attn = None
         for i in range(c.num_layers):
@@ -249,11 +245,10 @@ class VisionTransformer(nn.Module):
                 # the last block's write survives for consumers
                 # (`main_lost.py:455-456`). We keep exactly that.
                 qkv_input, attn = ln1, attn_i
-        if x.shape[1] != seq_len:  # undo seq_pad_multiple: one slice
-            x = x[:, :seq_len]
-            qkv_input = qkv_input[:, :seq_len]
-            if attn is not None:
-                attn = attn[:, :, :seq_len, :seq_len]
+        if seq_pad_multiple:
+            from vipers.ops.tokens import unpad_tokens
+
+            x, qkv_input, attn = unpad_tokens(x, qkv_input, attn, seq_len)
         x = nn.LayerNorm(epsilon=1e-6, name="ln")(x)
 
         cls_feat = x[:, 0]
