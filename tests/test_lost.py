@@ -502,6 +502,33 @@ def test_batched_pipeline_int8_matches_f32_boxes():
 
 
 @pytest.mark.slow
+def test_cnn_extract_int8_close_to_f32():
+    """--dtype int8 on the CNN feature path (real int8 convs through the
+    headless resnet) must produce LayerNormed features close to f32."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+
+    spec = build_model("resnet50_bottom", input_size=(64, 64))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    img = np.random.default_rng(0).normal(size=(64, 64, 3)).astype(np.float32)
+    feats = {}
+    for dt in (None, "int8"):
+        ex = LostFeatureExtractor(spec, variables, arch="resnet",
+                                  which_features="k", compute_dtype=dt)
+        f, dims, vdims, scales, _ = ex.extract(img, 16)
+        feats[dt] = np.asarray(f, np.float32)
+    # LayerNormed features are O(1); int8 + bf16 noise stays small
+    err = np.abs(feats[None] - feats["int8"]).max()
+    assert err < 0.35, err
+    corr = np.corrcoef(feats[None].ravel(), feats["int8"].ravel())[0, 1]
+    assert corr > 0.99, corr
+
+
+@pytest.mark.slow
 def test_lost_swin_path(synthetic_voc, tmp_path):
     """swin feature path (`main_lost.py:501-566`): last block's window qkv,
     w_featmap = window side, true qkv split, scales = image/patch."""
