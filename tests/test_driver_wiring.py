@@ -294,3 +294,36 @@ def test_eval_sweep_voc_branch(tmp_path):
     txt = out_dir / "resnet18_dilation_1.txt"
     assert txt.exists()
     assert "voc/acc1" in txt.read_text()
+
+
+def test_new_train_flags_reach_config():
+    """--wd alias, --ra-magnitude/--augmix-severity, --start-epoch must
+    land in TrainConfig (reference train.py:753-754,804 parity)."""
+    from vipers.cli.main import main as _unused  # noqa: F401  (parser import)
+    import argparse
+
+    from vipers.core.config import add_train_args, config_from_args
+
+    p = add_train_args(argparse.ArgumentParser())
+    args = p.parse_args([
+        "--wd", "0.05", "--ra-magnitude", "7", "--augmix-severity", "5",
+        "--start-epoch", "12", "--auto-augment", "ra",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.optim.weight_decay == 0.05
+    assert cfg.ra_magnitude == 7
+    assert cfg.augmix_severity == 5
+    assert cfg.start_epoch == 12
+
+
+def test_apply_policy_magnitude_knobs(rng):
+    """ra_magnitude / augmix_severity change the augmentation output."""
+    import numpy as np
+
+    from vipers.data.autoaugment import apply_policy
+
+    arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+    a = apply_policy("ra", arr, np.random.default_rng(0), ra_magnitude=1)
+    b = apply_policy("ra", arr, np.random.default_rng(0), ra_magnitude=30)
+    assert a.shape == arr.shape and b.shape == arr.shape
+    assert not np.array_equal(a, b)
