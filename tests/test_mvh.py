@@ -135,3 +135,53 @@ def test_drawing_utils_parity_tail():
     batched = flow_to_image(np.stack([flow, flow]))
     assert batched.shape == (2, 3, 8, 8)
     np.testing.assert_array_equal(batched[0], rgb)
+
+
+def test_stimuli_eval_fn_16_category_decision(tmp_path, rng):
+    """Stimulus-set evaluation: ImageFolder of 16-category classes, logits
+    aggregated 1000->16 (exact category_map.json override), accuracy
+    against the folder label."""
+    import json
+
+    from PIL import Image
+
+    from vipers.train.mvh import (
+        SIXTEEN_CATEGORIES, imagenet_to_16_matrix, make_stimuli_eval_fn,
+    )
+
+    root = tmp_path / "stimuli"
+    d = root / "cue-conflict"
+    for cls in ("cat", "dog"):
+        (d / cls).mkdir(parents=True)
+        for i in range(3):
+            arr = (rng.random((40, 40, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(d / cls / f"{i}.jpg")
+    # exact mapping: imagenet class 7 -> cat, class 11 -> dog
+    (root / "category_map.json").write_text(
+        json.dumps({"cat": [7], "dog": [11]})
+    )
+    m = imagenet_to_16_matrix(str(root))
+    assert m[7, SIXTEEN_CATEGORIES.index("cat")] == 1.0
+    assert m[11, SIXTEEN_CATEGORIES.index("dog")] == 1.0
+    assert m.sum() == 2.0
+
+    calls = []
+
+    def logits_fn(x):
+        calls.append(np.asarray(x).shape)
+        # always vote imagenet class 7 => category "cat"
+        out = np.zeros((x.shape[0], 1000), np.float32)
+        out[:, 7] = 10.0
+        return out
+
+    ev = make_stimuli_eval_fn(logits_fn, batch_size=4, resize=40, crop=32,
+                              stimuli_root=str(root))
+    acc = ev(str(d))
+    assert acc == pytest.approx(50.0)  # 3/6 (all predicted cat)
+    assert calls and calls[0][1:] == (32, 32, 3)
+
+    # without the exact map, the name-seed approximation still maps
+    # tabby/golden retriever style names onto cat/dog
+    m2 = imagenet_to_16_matrix(None)
+    assert m2[:, SIXTEEN_CATEGORIES.index("cat")].sum() > 0
+    assert m2[:, SIXTEEN_CATEGORIES.index("dog")].sum() > 0

@@ -86,10 +86,15 @@ def main():
 
         @jax.jit
         def fwd_only(variables, images, pos):
+            from vipers.discovery.driver import _seq_pad
+
             _, aux = spec.module.apply(
                 variables, images.astype(cdt), train=False,
                 override_pos_embedding=pos.astype(cdt),
                 token_mask=None, need_attn=False,
+                # mirror the shipped pipeline's one-shot token padding so
+                # the fwd/scramble/lost_core split measures the same program
+                seq_pad_multiple=_seq_pad(images.shape, PATCH, False),
             )
             return aux["qkv_input"]
 

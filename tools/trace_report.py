@@ -75,7 +75,9 @@ def main():
     for cat, t in sorted(bycat.items(), key=lambda kv: -kv[1]):
         print(f"{cat:<32} {t / 1e3:9.2f} {t / total * 100:6.1f}")
     print(f"\ntop {args.top} ops by self-time:")
-    for t, cat, name, bound, gfs in sorted(rows, reverse=True)[: args.top]:
+    for t, cat, name, bound, gfs in sorted(
+        rows, key=lambda r: -r[0]
+    )[: args.top]:
         gfs_s = f"{float(gfs):,.0f}" if gfs not in (None, "") else "-"
         print(f"{t / 1e3:8.2f} ms  {cat:<24} {str(name)[:44]:<44} "
               f"bound={bound} GFLOP/s={gfs_s}")

@@ -217,7 +217,10 @@ class LostFeatureExtractor:
             # qkv split, no CLS, scales = image/patch_size.  The reference
             # path only functions when the last stage fits one window
             # (224^2 -> 7x7 <= 8); like it, we consume the first window.
-            aux = self._swin_forward(self.variables, jnp.asarray(img_hwc)[None])
+            aux = self._swin_forward(
+                self.variables,
+                jnp.asarray(img_hwc)[None].astype(self.compute_dtype),
+            )
             t_win = aux["attn"].shape[-2]
             ws = int(np.sqrt(t_win))
             nh = aux["attn"].shape[1]
@@ -228,7 +231,10 @@ class LostFeatureExtractor:
             return feats, (ws, ws), (ws, ws), scales, aux["attn"]
         # CNN path: exact shapes (conv receptive fields cross any extra
         # padding, so bucket-masking would not be exact).
-        feats, (fh, fw) = self._cnn_forward(self.variables, jnp.asarray(img_hwc)[None])
+        feats, (fh, fw) = self._cnn_forward(
+            self.variables,
+            jnp.asarray(img_hwc)[None].astype(self.compute_dtype),
+        )
         scales = [h / fh, w / fw]
         return feats, (fh, fw), (fh, fw), scales, None
 

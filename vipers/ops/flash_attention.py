@@ -150,7 +150,8 @@ def _official_blocks(pad_t: int):
     """Block sizes for the library kernel: kv blocks must be multiples of
     128 and divide pad_t (pad_t is a 128-multiple, so full-length kv is
     always legal); q blocks just divide pad_t — half-length q blocks
-    measured fastest at ViT scale (896 tokens: bq=448 beat 896 and 128)."""
+    measured fastest at ViT scale (896 tokens: bq=448 beat 896 and 128;
+    re-checked at B=32 in the full pipeline, 448 vs 896 within jitter)."""
     bq = pad_t // 2 if pad_t % 2 == 0 and pad_t > 256 else pad_t
     return bq, pad_t
 

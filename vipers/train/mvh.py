@@ -70,6 +70,7 @@ def eval_mvh(
     identity = {
         ("colour", 0), ("false-colour", 0), ("power-equalisation", 0),
         ("low-pass", 0), ("rotation", 0), ("uniform-noise", 0.0),
+        ("contrast", 1.0),  # 0.5 + (img - 0.5) * 1.0 == img
     }
     clean_acc: Dict[str, float] = {}
 
@@ -110,6 +111,150 @@ def eval_mvh(
                 accs.append(run_pass(fn, level))
         results[name] = accs
     return results
+
+
+# The modelvshuman 16 entry-level categories the stimulus sets are labeled
+# with (folder class names in cue-conflict/edge/silhouette/sketch/stylized).
+SIXTEEN_CATEGORIES = [
+    "airplane", "bear", "bicycle", "bird", "boat", "bottle", "car", "cat",
+    "chair", "clock", "dog", "elephant", "keyboard", "knife", "oven", "truck",
+]
+
+# Name-substring seeds used to approximate the toolbox's WordNet-derived
+# 1000->16 aggregation when no exact map is supplied. Deliberately broad:
+# matched on the comma-separated ImageNet class-name synonyms.
+_CATEGORY_NAME_SEEDS: Dict[str, List[str]] = {
+    "airplane": ["airliner", "warplane", "airship", "plane"],
+    "bear": ["bear", "panda"],
+    "bicycle": ["bicycle", "tricycle", "unicycle", "mountain bike"],
+    "bird": [
+        "cock", "hen", "finch", "jay", "magpie", "chickadee", "ouzel",
+        "kite", "eagle", "vulture", "owl", "peacock", "quail", "partridge",
+        "parrot", "macaw", "cockatoo", "lorikeet", "hummingbird", "toucan",
+        "drake", "merganser", "goose", "swan", "crane bird", "heron",
+        "bittern", "egret", "stork", "spoonbill", "flamingo", "pelican",
+        "penguin", "albatross", "grouse", "ptarmigan", "prairie chicken",
+        "ostrich", "bulbul", "robin", "warbler", "wren", "hornbill",
+        "jacamar", "bee eater", "kingfisher", "hoopoe", "woodpecker",
+        "gallinule", "coot", "bustard", "turnstone", "sandpiper",
+        "redshank", "dowitcher", "oystercatcher", "tern", "gull", "auk",
+        "loon", "grebe",
+    ],
+    "boat": ["canoe", "yawl", "catamaran", "trimaran", "gondola", "lifeboat",
+             "speedboat", "paddlewheel", "fireboat", "sailboat", "schooner"],
+    "bottle": ["bottle", "jug", "flask", "pitcher"],
+    "car": ["ambulance", "beach wagon", "cab", "convertible", "jeep",
+            "limousine", "minivan", "model t", "racer", "sports car"],
+    "cat": ["tabby", "tiger cat", "persian cat", "siamese cat",
+            "egyptian cat", "lynx", "leopard", "snow leopard", "jaguar",
+            "lion", "tiger", "cheetah", "cougar"],
+    "chair": ["chair", "throne", "park bench"],
+    "clock": ["clock", "sundial", "timer", "hourglass", "watch"],
+    "dog": ["dog", "terrier", "retriever", "spaniel", "hound", "setter",
+            "pointer", "sheepdog", "collie", "corgi", "poodle", "pug",
+            "chihuahua", "pekinese", "shih", "mastiff", "bulldog", "husky",
+            "malamute", "dalmatian", "pinscher", "schnauzer", "rottweiler",
+            "shepherd", "boxer", "newfoundland", "pyrenees", "samoyed",
+            "spitz", "keeshond", "griffon", "ridgeback", "beagle",
+            "bloodhound", "whippet", "borzoi", "deerhound", "weimaraner",
+            "dingo", "basenji", "affenpinscher", "papillon", "leonberg",
+            "kuvasz", "komondor", "briard", "kelpie", "malinois",
+            "greyhound", "saluki"],
+    "elephant": ["elephant"],
+    "keyboard": ["keyboard", "typewriter", "space bar"],
+    "knife": ["cleaver", "letter opener", "knife"],
+    "oven": ["oven", "stove", "rotisserie", "toaster", "waffle iron"],
+    "truck": ["truck", "trailer truck", "moving van", "fire engine",
+              "garbage truck", "pickup", "tow truck", "snowplow"],
+}
+
+
+def imagenet_to_16_matrix(stimuli_root: Optional[str] = None) -> np.ndarray:
+    """(1000, 16) float mask aggregating ImageNet logits into the 16
+    entry-level categories. If ``{stimuli_root}/category_map.json`` exists
+    (``{"category": [imagenet indices...]}`` — the toolbox's exact
+    WordNet-derived mapping), it is used verbatim; otherwise the mapping is
+    approximated by matching class-name synonyms (documented seeds above).
+    """
+    import json
+
+    m = np.zeros((1000, 16), np.float32)
+    map_path = (
+        os.path.join(stimuli_root, "category_map.json") if stimuli_root else ""
+    )
+    if map_path and os.path.exists(map_path):
+        with open(map_path) as f:
+            cat_map = json.load(f)
+        for ci, cat in enumerate(SIXTEEN_CATEGORIES):
+            for idx in cat_map.get(cat, []):
+                m[int(idx), ci] = 1.0
+        return m
+    from vipers.data.imagenet_meta import imagenet_categories
+
+    names = [n.lower() for n in imagenet_categories()]
+    for ci, cat in enumerate(SIXTEEN_CATEGORIES):
+        seeds = _CATEGORY_NAME_SEEDS[cat]
+        for ii, name in enumerate(names):
+            if any(s in name for s in seeds):
+                m[ii, ci] = 1.0
+    return m
+
+
+def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
+                         resize: int = 256, crop: int = 224,
+                         stimuli_root: Optional[str] = None):
+    """Evaluator for one stimulus-set directory (an ImageFolder whose class
+    names are the 16 categories): eval-preset decode, 1000-class logits ->
+    16-category decision via probability aggregation (toolbox
+    ``probabilities_to_decision`` semantics: max over the mapped classes),
+    accuracy against the folder label. ``logits_fn(images_f32_norm) ->
+    (B, 1000)``."""
+    from vipers.data.imagefolder import ImageFolder
+    from vipers.data.preprocess import eval_decode
+
+    agg = imagenet_to_16_matrix(stimuli_root)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+
+    def eval_dir(path: str) -> float:
+        ds = ImageFolder(path)
+        cat_of_class = []
+        for cname in ds.classes:
+            key = cname.lower()
+            cat_of_class.append(
+                SIXTEEN_CATEGORIES.index(key)
+                if key in SIXTEEN_CATEGORIES else -1
+            )
+        top1 = n = 0
+        batch, labels = [], []
+
+        def flush():
+            nonlocal top1, n, batch, labels
+            if not batch:
+                return
+            x = (np.stack(batch).astype(np.float32) / 255.0 - mean) / std
+            logits = np.asarray(logits_fn(jnp.asarray(x)), np.float32)
+            # softmax then aggregate: max prob over each category's classes
+            p = np.exp(logits - logits.max(-1, keepdims=True))
+            p /= p.sum(-1, keepdims=True)
+            cat_scores = np.where(agg.T[None] > 0, p[:, None, :], 0.0).max(-1)
+            pred = cat_scores.argmax(-1)
+            top1 += int((pred == np.asarray(labels)).sum())
+            n += len(labels)
+            batch, labels = [], []
+
+        for img_path, cls_idx in ds.samples:
+            cat = cat_of_class[cls_idx]
+            if cat < 0:
+                continue  # non-16-category folder (e.g. metadata dirs)
+            batch.append(eval_decode(img_path, resize, crop))
+            labels.append(cat)
+            if len(batch) == batch_size:
+                flush()
+        flush()
+        return 100.0 * top1 / max(n, 1)
+
+    return eval_dir
 
 
 def write_mvh_csv(results: Dict[str, Union[float, List[float]]],

@@ -350,6 +350,45 @@ def int8_conv(x, w_q, w_scale, act_scale, act_zp, bias, pads, strides, dil,
     return y
 
 
+def _int8_interceptor(q, scales, qparams_for):
+    """Shared Dense/Conv integer-execution interceptor. ``qparams_for(site,
+    x) -> (scale, zp) | None`` supplies the activation qparams (observer-
+    or dynamically-derived); None means run the site as plain QDQ."""
+
+    def ic(next_fn, args, kwargs, context):
+        mod = context.module
+        if context.method_name != "__call__":
+            return next_fn(*args, **kwargs)
+        kpath = tuple(mod.path) + ("kernel",)
+        if kpath not in q:
+            return next_fn(*args, **kwargs)
+        xin = args[0]
+        qp = qparams_for("/".join(mod.path), xin)
+        if qp is None:
+            return next_fn(*args, **kwargs)
+        s, zp = qp
+        bias = (
+            mod.get_variable("params", "bias")
+            if mod.has_variable("params", "bias") else None
+        )
+        if isinstance(mod, nn.Dense):
+            out = int8_dense(xin, q[kpath], scales[kpath], s, zp, bias)
+            return out.astype(xin.dtype)
+        if isinstance(mod, nn.Conv) and q[kpath].ndim == 4:
+            if mod.input_dilation not in (None, 1, (1, 1)):
+                return next_fn(*args, **kwargs)
+            resolved = _explicit_conv_pads(mod, xin, q[kpath])
+            if resolved is None:
+                return next_fn(*args, **kwargs)
+            pads, strides, dil = resolved
+            out = int8_conv(xin, q[kpath], scales[kpath], s, zp, bias,
+                            pads, strides, dil, mod.feature_group_count)
+            return out.astype(xin.dtype)
+        return next_fn(*args, **kwargs)
+
+    return ic
+
+
 def int8_apply(module, variables, x, q, scales, observers, **apply_kwargs):
     """Inference with every quantized Dense AND Conv executed in real int8
     (integer ``dot_general`` / ``conv_general_dilated`` with int32
@@ -358,33 +397,11 @@ def int8_apply(module, variables, x, q, scales, observers, **apply_kwargs):
     an unsupported padding mode) fall back to QDQ."""
     qd = dequantize_params(variables["params"], q, scales)
 
-    def ic(next_fn, args, kwargs, context):
-        mod = context.module
-        if context.method_name != "__call__":
-            return next_fn(*args, **kwargs)
-        kpath = tuple(mod.path) + ("kernel",)
-        site = "/".join(mod.path) + ":in"
-        if kpath not in q or site not in observers:
-            return next_fn(*args, **kwargs)
-        bias = (
-            mod.get_variable("params", "bias")
-            if mod.has_variable("params", "bias") else None
-        )
-        s, zp = observers[site].qparams()
-        if isinstance(mod, nn.Dense):
-            return int8_dense(args[0], q[kpath], scales[kpath], s, zp, bias)
-        if isinstance(mod, nn.Conv) and q[kpath].ndim == 4:
-            if mod.input_dilation not in (None, 1, (1, 1)):
-                return next_fn(*args, **kwargs)
-            resolved = _explicit_conv_pads(mod, args[0], q[kpath])
-            if resolved is None:
-                return next_fn(*args, **kwargs)
-            pads, strides, dil = resolved
-            return int8_conv(args[0], q[kpath], scales[kpath], s, zp, bias,
-                             pads, strides, dil, mod.feature_group_count)
-        return next_fn(*args, **kwargs)
+    def qparams_for(site, _x):
+        obs = observers.get(f"{site}:in")
+        return None if obs is None else obs.qparams()
 
-    with nn.intercept_methods(ic):
+    with nn.intercept_methods(_int8_interceptor(q, scales, qparams_for)):
         return module.apply({**variables, "params": qd}, x, **apply_kwargs)
 
 
@@ -420,36 +437,12 @@ def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
         qd, variables["params"],
     )
 
-    def ic(next_fn, args, kwargs, context):
-        mod = context.module
-        if context.method_name != "__call__":
-            return next_fn(*args, **kwargs)
-        kpath = tuple(mod.path) + ("kernel",)
-        path = "/".join(mod.path)
-        if kpath not in q or any(e in path for e in exclude):
-            return next_fn(*args, **kwargs)
-        xin = args[0]
-        s, zp = dynamic_qparams(xin)
-        bias = (
-            mod.get_variable("params", "bias")
-            if mod.has_variable("params", "bias") else None
-        )
-        if isinstance(mod, nn.Dense):
-            out = int8_dense(xin, q[kpath], scales[kpath], s, zp, bias)
-            return out.astype(xin.dtype)
-        if isinstance(mod, nn.Conv) and q[kpath].ndim == 4:
-            if mod.input_dilation not in (None, 1, (1, 1)):
-                return next_fn(*args, **kwargs)
-            resolved = _explicit_conv_pads(mod, xin, q[kpath])
-            if resolved is None:
-                return next_fn(*args, **kwargs)
-            pads, strides, dil = resolved
-            out = int8_conv(xin, q[kpath], scales[kpath], s, zp, bias,
-                            pads, strides, dil, mod.feature_group_count)
-            return out.astype(xin.dtype)
-        return next_fn(*args, **kwargs)
+    def qparams_for(site, xin):
+        if any(e in site for e in exclude):
+            return None
+        return dynamic_qparams(xin)
 
-    with nn.intercept_methods(ic):
+    with nn.intercept_methods(_int8_interceptor(q, scales, qparams_for)):
         return module.apply({**variables, "params": qd}, x, **apply_kwargs)
 
 
