@@ -285,3 +285,47 @@ def test_guided_gradcam_vit():
     mask = cam == 0
     if mask.any():
         assert np.allclose(ggc[:, mask], 0.0)
+
+
+@pytest.mark.slow
+def test_run_explain_sweep_mode(tmp_path):
+    """--pruning-iteration -1 + --models-path: explain every templated
+    sweep checkpoint into per-iteration subdirs (explain.py:117-150)."""
+    import argparse
+
+    from PIL import Image
+
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.registry import build_model
+    from vipers.explain.driver import run_explain
+
+    rng = np.random.default_rng(0)
+    for cls in ("a",):
+        d = tmp_path / "data" / "val" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(
+            rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+        ).save(d / "x.jpg")
+
+    spec = build_model("resnet18")
+    variables = spec.module.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 224, 224, 3)), train=False)
+    mdir = tmp_path / "models" / "resnet18"
+    mdir.mkdir(parents=True)
+    for i in range(2):
+        save_checkpoint(
+            str(mdir / f"model_epoch_89_pruning_iteration_{i:02d}"),
+            {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats")},
+        )
+
+    args = argparse.Namespace(
+        model="resnet18", checkpoint="", data_path=str(tmp_path / "data"),
+        methods=["gradcam"], num_classes_sample=1,
+        output_dir=str(tmp_path / "out"), untrained=False,
+        models_path=str(tmp_path / "models"), pruning_iteration=-1,
+    )
+    assert run_explain(args) == 0
+    for i in range(2):
+        d = tmp_path / "out" / f"pruning_iteration_{i:02d}" / "gradcam"
+        assert d.is_dir() and any(d.rglob("*_nparray.npy"))

@@ -111,6 +111,12 @@ def main(argv=None):
                            "(explain.py:108-116,167-189)")
     expl.add_argument("--seed", type=int, default=0,
                       help="init seed for --untrained; stamps the output dir")
+    expl.add_argument("--models-path", default="",
+                      help="sweep root for --pruning-iteration -1 "
+                           "(explain.py:117-150)")
+    expl.add_argument("--pruning-iteration", type=int, default=None,
+                      help="-1 with --models-path: explain every templated "
+                           "sweep checkpoint into per-iteration subdirs")
 
     ee = sub.add_parser("explain-eval", help="RMA/RRA scoring on VOC masks")
     ee.add_argument("--model", default="vit_b_32")

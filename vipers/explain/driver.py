@@ -136,14 +136,32 @@ def compute_heatmaps(
 
 def run_explain(args) -> int:
     """One val image per class for N classes, all methods, save jpg+npy
-    (`explain.py:99-165,248-397` contracts)."""
-    import matplotlib
+    (`explain.py:99-165,248-397` contracts).
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
+    Sweep mode (`explain.py:117-150`): ``--pruning-iteration -1`` with
+    ``--models-path`` explains EVERY templated sweep checkpoint under
+    ``{models_path}/{model}/model_epoch_89_pruning_iteration_*`` into
+    per-iteration output subdirectories."""
     untrained = getattr(args, "untrained", False)
     seed = getattr(args, "seed", 0)
+    models_path = getattr(args, "models_path", "")
+    if getattr(args, "pruning_iteration", None) == -1 and models_path:
+        pattern = os.path.join(
+            models_path, args.model, "model_epoch_*_pruning_iteration_*"
+        )
+        ckpts = sorted(globlib.glob(pattern))
+        if not ckpts:
+            raise FileNotFoundError(f"no sweep checkpoints match {pattern}")
+        for i, ckpt in enumerate(ckpts):
+            print(f"Model filename: {ckpt}")
+            spec, variables = _load_model(args.model, ckpt)
+            _explain_one(
+                spec, variables,
+                os.path.join(args.output_dir, f"pruning_iteration_{i:02d}"),
+                args,
+            )
+        return 0
+
     out_root = args.output_dir
     if untrained:
         # Untrained-seed baseline (`/root/reference/explain.py:108-116,
@@ -155,6 +173,15 @@ def run_explain(args) -> int:
         print(f"Using untrained vanilla model: {args.model} with seed: {seed}")
     else:
         spec, variables = _load_model(args.model, args.checkpoint)
+    return _explain_one(spec, variables, out_root, args)
+
+
+def _explain_one(spec, variables, out_root: str, args) -> int:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
     val_dir = os.path.join(args.data_path, "val")
     from vipers.data.imagefolder import ImageFolder
     from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD, eval_decode
