@@ -146,12 +146,17 @@ def run_explain(args) -> int:
     seed = getattr(args, "seed", 0)
     models_path = getattr(args, "models_path", "")
     if getattr(args, "pruning_iteration", None) == -1 and models_path:
-        pattern = os.path.join(
-            models_path, args.model, "model_epoch_*_pruning_iteration_*"
-        )
-        ckpts = sorted(globlib.glob(pattern))
+        # the reference's sweep glob covers the CNN template only
+        # (`explain.py:118`); also accept the ViT filename contract
+        patterns = [
+            os.path.join(models_path, args.model,
+                         "model_epoch_*_pruning_iteration_*"),
+            os.path.join(models_path, args.model,
+                         f"{args.model}_epoch_*_pruning_iteration_*"),
+        ]
+        ckpts = sorted(p for pat in patterns for p in globlib.glob(pat))
         if not ckpts:
-            raise FileNotFoundError(f"no sweep checkpoints match {pattern}")
+            raise FileNotFoundError(f"no sweep checkpoints match {patterns}")
         for i, ckpt in enumerate(ckpts):
             print(f"Model filename: {ckpt}")
             spec, variables = _load_model(args.model, ckpt)
