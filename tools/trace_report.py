@@ -48,7 +48,13 @@ def main():
     cols = [c["label"] if isinstance(c, dict) else c for c in obj["cols"]]
 
     def idx(label):
-        return next(i for i, c in enumerate(cols) if c == label)
+        try:
+            return next(i for i, c in enumerate(cols) if c == label)
+        except StopIteration:
+            raise SystemExit(
+                f"hlo_stats column {label!r} not found (xprof schema "
+                f"changed?); columns: {cols}"
+            )
 
     i_cat = idx("HLO op category")
     i_name = idx("HLO op name")
@@ -70,6 +76,11 @@ def main():
         rows.append((t, val(r, i_cat), val(r, i_name), val(r, i_bound),
                      val(r, i_gfs)))
 
+    if total <= 0:
+        raise SystemExit(
+            "trace contains no device op time (host-only trace, or the "
+            "profile window closed before the first dispatch)"
+        )
     print(f"total device self-time: {total / 1e3:.2f} ms\n")
     print(f"{'category':<32} {'ms':>9} {'%':>6}")
     for cat, t in sorted(bycat.items(), key=lambda kv: -kv[1]):

@@ -146,6 +146,8 @@ def run_explain(args) -> int:
     seed = getattr(args, "seed", 0)
     models_path = getattr(args, "models_path", "")
     if getattr(args, "pruning_iteration", None) == -1 and models_path:
+        import re
+
         # the reference's sweep glob covers the CNN template only
         # (`explain.py:118`); also accept the ViT filename contract
         patterns = [
@@ -154,15 +156,26 @@ def run_explain(args) -> int:
             os.path.join(models_path, args.model,
                          f"{args.model}_epoch_*_pruning_iteration_*"),
         ]
-        ckpts = sorted(p for pat in patterns for p in globlib.glob(pat))
-        if not ckpts:
+        # key output dirs by the iteration number PARSED from the filename
+        # (not the enumeration index): sweeps starting at iteration k, or
+        # unpadded numbers, keep their true labels for heatmap_report; a
+        # .pth and a same-stem converted orbax dir count once.
+        by_iter = {}
+        for pat in patterns:
+            for p in globlib.glob(pat):
+                mt = re.search(r"pruning_iteration_(\d+)", os.path.basename(p))
+                if mt is None:
+                    continue
+                by_iter.setdefault(int(mt.group(1)), p)
+        if not by_iter:
             raise FileNotFoundError(f"no sweep checkpoints match {patterns}")
-        for i, ckpt in enumerate(ckpts):
+        for it in sorted(by_iter):
+            ckpt = by_iter[it]
             print(f"Model filename: {ckpt}")
             spec, variables = _load_model(args.model, ckpt)
             _explain_one(
                 spec, variables,
-                os.path.join(args.output_dir, f"pruning_iteration_{i:02d}"),
+                os.path.join(args.output_dir, f"pruning_iteration_{it:02d}"),
                 args,
             )
         return 0

@@ -189,13 +189,23 @@ def imagenet_to_16_matrix(stimuli_root: Optional[str] = None) -> np.ndarray:
             for idx in cat_map.get(cat, []):
                 m[int(idx), ci] = 1.0
         return m
+    import re
+
     from vipers.data.imagenet_meta import imagenet_categories
 
+    # whole-word matching: 'hotdog' must not match the 'dog' seed,
+    # 'cocktail'/'cockroach' not 'cock', 'bearskin' not 'bear'
+    excludes = {"hen-of-the-woods"}  # hyphen still word-bounds 'hen'
     names = [n.lower() for n in imagenet_categories()]
+    compiled = {
+        cat: [re.compile(r"\b" + re.escape(s) + r"\b") for s in seeds]
+        for cat, seeds in _CATEGORY_NAME_SEEDS.items()
+    }
     for ci, cat in enumerate(SIXTEEN_CATEGORIES):
-        seeds = _CATEGORY_NAME_SEEDS[cat]
         for ii, name in enumerate(names):
-            if any(s in name for s in seeds):
+            if name in excludes:
+                continue
+            if any(p.search(name) for p in compiled[cat]):
                 m[ii, ci] = 1.0
     return m
 
@@ -204,15 +214,18 @@ def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
                          resize: int = 256, crop: int = 224,
                          stimuli_root: Optional[str] = None):
     """Evaluator for one stimulus-set directory (an ImageFolder whose class
-    names are the 16 categories): eval-preset decode, 1000-class logits ->
-    16-category decision via probability aggregation (toolbox
-    ``probabilities_to_decision`` semantics: max over the mapped classes),
-    accuracy against the folder label. ``logits_fn(images_f32_norm) ->
-    (B, 1000)``."""
+    names are the 16 categories): eval-preset decode (threaded), 1000-class
+    logits -> 16-category decision via probability aggregation (toolbox
+    ``probabilities_to_decision`` semantics: MEAN probability over each
+    category's mapped classes), accuracy against the folder label.
+    ``logits_fn(images_f32_norm) -> (B, 1000)``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from vipers.data.imagefolder import ImageFolder
     from vipers.data.preprocess import eval_decode
 
     agg = imagenet_to_16_matrix(stimuli_root)
+    agg_count = np.maximum(agg.sum(axis=0), 1.0)  # classes per category
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
 
@@ -225,33 +238,28 @@ def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
                 SIXTEEN_CATEGORIES.index(key)
                 if key in SIXTEEN_CATEGORIES else -1
             )
+        work = [
+            (img_path, cat_of_class[cls_idx])
+            for img_path, cls_idx in ds.samples
+            if cat_of_class[cls_idx] >= 0  # skip non-category dirs
+        ]
         top1 = n = 0
-        batch, labels = [], []
-
-        def flush():
-            nonlocal top1, n, batch, labels
-            if not batch:
-                return
-            x = (np.stack(batch).astype(np.float32) / 255.0 - mean) / std
-            logits = np.asarray(logits_fn(jnp.asarray(x)), np.float32)
-            # softmax then aggregate: max prob over each category's classes
-            p = np.exp(logits - logits.max(-1, keepdims=True))
-            p /= p.sum(-1, keepdims=True)
-            cat_scores = np.where(agg.T[None] > 0, p[:, None, :], 0.0).max(-1)
-            pred = cat_scores.argmax(-1)
-            top1 += int((pred == np.asarray(labels)).sum())
-            n += len(labels)
-            batch, labels = [], []
-
-        for img_path, cls_idx in ds.samples:
-            cat = cat_of_class[cls_idx]
-            if cat < 0:
-                continue  # non-16-category folder (e.g. metadata dirs)
-            batch.append(eval_decode(img_path, resize, crop))
-            labels.append(cat)
-            if len(batch) == batch_size:
-                flush()
-        flush()
+        with ThreadPoolExecutor(8) as exe:  # decode overlaps device compute
+            for start in range(0, len(work), batch_size):
+                chunk = work[start : start + batch_size]
+                imgs = list(exe.map(
+                    lambda w: eval_decode(w[0], resize, crop), chunk
+                ))
+                labels = np.asarray([c for _p, c in chunk])
+                x = (np.stack(imgs).astype(np.float32) / 255.0 - mean) / std
+                logits = np.asarray(logits_fn(jnp.asarray(x)), np.float32)
+                p = np.exp(logits - logits.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                # toolbox decision: MEAN prob over each category's classes
+                cat_scores = (p @ agg) / agg_count[None]
+                pred = cat_scores.argmax(-1)
+                top1 += int((pred == labels).sum())
+                n += len(labels)
         return 100.0 * top1 / max(n, 1)
 
     return eval_dir
