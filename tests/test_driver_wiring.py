@@ -327,3 +327,27 @@ def test_apply_policy_magnitude_knobs(rng):
     b = apply_policy("ra", arr, np.random.default_rng(0), ra_magnitude=30)
     assert a.shape == arr.shape and b.shape == arr.shape
     assert not np.array_equal(a, b)
+
+
+def test_interpolation_flag_changes_decode(tmp_path, rng):
+    """--interpolation selects the PIL resize mode in both presets
+    (reference train.py:807); modes must produce different pixels."""
+    import numpy as np
+    from PIL import Image
+
+    from vipers.data.preprocess import eval_decode, train_decode
+
+    p = tmp_path / "x.jpg"
+    Image.fromarray(
+        (rng.random((96, 128, 3)) * 255).astype(np.uint8)
+    ).save(p)
+    a = eval_decode(str(p), 64, 48, interpolation="bilinear")
+    b = eval_decode(str(p), 64, 48, interpolation="nearest")
+    assert a.shape == b.shape == (48, 48, 3)
+    assert not np.array_equal(a, b)
+    t = train_decode(str(p), np.random.default_rng(0), crop_size=32,
+                     hflip_prob=0.0, interpolation="bicubic")
+    t2 = train_decode(str(p), np.random.default_rng(0), crop_size=32,
+                      hflip_prob=0.0, interpolation="nearest")
+    assert t.shape == t2.shape == (32, 32, 3)
+    assert not np.array_equal(t, t2)

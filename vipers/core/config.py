@@ -36,6 +36,7 @@ class TrainConfig:
     auto_augment: str = ""  # ra | ta_wide | augmix | imagenet
     ra_magnitude: int = 9  # RandAugment magnitude (`train.py:753`)
     augmix_severity: int = 3  # AugMix severity (`train.py:754`)
+    interpolation: str = "bilinear"  # resize mode (`train.py:807`)
     mixup_alpha: float = 0.0
     cutmix_alpha: float = 0.0
     random_erase: float = 0.0
@@ -105,6 +106,12 @@ def add_train_args(p: argparse.ArgumentParser):
                    help="RandAugment magnitude (train.py:753)")
     p.add_argument("--augmix-severity", type=int, default=3,
                    help="AugMix severity (train.py:754)")
+    p.add_argument("--interpolation", default="bilinear",
+                   choices=["nearest", "bilinear", "bicubic", "lanczos",
+                            "hamming", "box"],
+                   help="PIL resize mode for train/eval presets; the C++ "
+                        "--native-decode fast path is bilinear-only and "
+                        "falls back to PIL for other modes")
     p.add_argument("--mixup-alpha", type=float, default=0.0)
     p.add_argument("--cutmix-alpha", type=float, default=0.0)
     p.add_argument("--random-erase", type=float, default=0.0)
@@ -169,6 +176,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         optim=optim, auto_augment=getattr(args, "auto_augment", ""),
         ra_magnitude=getattr(args, "ra_magnitude", 9),
         augmix_severity=getattr(args, "augmix_severity", 3),
+        interpolation=getattr(args, "interpolation", "bilinear"),
         mixup_alpha=args.mixup_alpha, cutmix_alpha=args.cutmix_alpha,
         random_erase=args.random_erase,
         ra_sampler=getattr(args, "ra_sampler", False),

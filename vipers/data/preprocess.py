@@ -34,13 +34,24 @@ def load_image_rgb(path: str) -> Image.Image:
     return img.convert("RGB")
 
 
-def resize_shorter(img: Image.Image, size: int) -> Image.Image:
+PIL_INTERP = {
+    "nearest": Image.NEAREST,
+    "bilinear": Image.BILINEAR,
+    "bicubic": Image.BICUBIC,
+    "lanczos": Image.LANCZOS,
+    "hamming": Image.HAMMING,
+    "box": Image.BOX,
+}  # the reference's --interpolation choices (InterpolationMode names)
+
+
+def resize_shorter(img: Image.Image, size: int,
+                   interpolation: str = "bilinear") -> Image.Image:
     w, h = img.size
     if w <= h:
         nw, nh = size, int(round(size * h / w))
     else:
         nw, nh = int(round(size * w / h)), size
-    return img.resize((nw, nh), Image.BILINEAR)
+    return img.resize((nw, nh), PIL_INTERP[interpolation])
 
 
 def center_crop(arr: np.ndarray, crop: int) -> np.ndarray:
@@ -50,9 +61,10 @@ def center_crop(arr: np.ndarray, crop: int) -> np.ndarray:
     return arr[top : top + crop, left : left + crop]
 
 
-def eval_decode(path: str, resize_size: int = 256, crop_size: int = 224) -> np.ndarray:
+def eval_decode(path: str, resize_size: int = 256, crop_size: int = 224,
+                interpolation: str = "bilinear") -> np.ndarray:
     """Host part of the eval preset: decode->resize->centercrop, uint8 HWC."""
-    img = resize_shorter(load_image_rgb(path), resize_size)
+    img = resize_shorter(load_image_rgb(path), resize_size, interpolation)
     arr = np.asarray(img, dtype=np.uint8)
     return center_crop(arr, crop_size)
 
@@ -63,9 +75,10 @@ def random_resized_crop(
     rng: np.random.Generator,
     scale=(0.08, 1.0),
     ratio=(3 / 4, 4 / 3),
+    interpolation: str = "bilinear",
 ) -> np.ndarray:
     """torchvision RandomResizedCrop semantics (10 tries then center-ish
-    fallback), PIL bilinear."""
+    fallback), PIL resize in the requested interpolation mode."""
     w, h = img.size
     area = w * h
     for _ in range(10):
@@ -78,7 +91,8 @@ def random_resized_crop(
             left = int(rng.integers(0, w - cw + 1))
             top = int(rng.integers(0, h - ch + 1))
             box = (left, top, left + cw, top + ch)
-            out = img.resize((crop_size, crop_size), Image.BILINEAR, box=box)
+            out = img.resize((crop_size, crop_size),
+                             PIL_INTERP[interpolation], box=box)
             return np.asarray(out, dtype=np.uint8)
     # fallback: center crop at clamped aspect
     in_ratio = w / h
@@ -89,7 +103,8 @@ def random_resized_crop(
     else:
         cw, ch = w, h
     left, top = (w - cw) // 2, (h - ch) // 2
-    out = img.resize((crop_size, crop_size), Image.BILINEAR, box=(left, top, left + cw, top + ch))
+    out = img.resize((crop_size, crop_size), PIL_INTERP[interpolation],
+                     box=(left, top, left + cw, top + ch))
     return np.asarray(out, dtype=np.uint8)
 
 
@@ -97,9 +112,10 @@ def train_decode(
     path: str, rng: np.random.Generator, crop_size: int = 224,
     hflip_prob: float = 0.5, auto_augment: str = "",
     ra_magnitude: int = 9, augmix_severity: int = 3,
+    interpolation: str = "bilinear",
 ) -> np.ndarray:
     img = load_image_rgb(path)
-    arr = random_resized_crop(img, crop_size, rng)
+    arr = random_resized_crop(img, crop_size, rng, interpolation=interpolation)
     if hflip_prob > 0 and rng.random() < hflip_prob:
         arr = arr[:, ::-1]
     if auto_augment:

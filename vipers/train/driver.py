@@ -157,7 +157,8 @@ def _train_loader(s: Session, epoch: int):
             len(s.train_ds), jax.process_count(), jax.process_index(),
             epoch, seed=cfg.seed,
         )
-    if cfg.native_decode:
+    # C++ decode is bilinear-only; other interpolation modes use PIL
+    if cfg.native_decode and cfg.interpolation == "bilinear":
         from vipers.data import native
 
         decode = partial(native.decode_train, crop_size=cfg.train_crop_size,
@@ -168,7 +169,8 @@ def _train_loader(s: Session, epoch: int):
         decode = partial(train_decode, crop_size=cfg.train_crop_size,
                          auto_augment=cfg.auto_augment,
                          ra_magnitude=cfg.ra_magnitude,
-                         augmix_severity=cfg.augmix_severity)
+                         augmix_severity=cfg.augmix_severity,
+                         interpolation=cfg.interpolation)
     return ImageFolderLoader(
         s.train_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=True, seed=cfg.seed + epoch,
@@ -181,14 +183,15 @@ def _val_loader(s: Session):
         len(s.val_ds), jax.process_count(), jax.process_index(), 0,
         seed=cfg.seed, shuffle=False,
     )
-    if cfg.native_decode:
+    if cfg.native_decode and cfg.interpolation == "bilinear":
         from vipers.data import native
 
         decode = lambda p, rng: native.decode_eval(
             p, cfg.val_resize_size, cfg.val_crop_size)
     else:
         decode = lambda p, rng: eval_decode(
-            p, cfg.val_resize_size, cfg.val_crop_size)
+            p, cfg.val_resize_size, cfg.val_crop_size,
+            interpolation=cfg.interpolation)
     return ImageFolderLoader(
         s.val_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=False,
