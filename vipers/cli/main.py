@@ -27,6 +27,11 @@ def main(argv=None):
                     help="dir holding the checkpoint sweep to glob "
                          "(evaluate_models.py --models-path); defaults to "
                          "--output-dir")
+    ev.add_argument("--dataset", default="VOC07",
+                    choices=["VOC07", "VOC12", "COCO20k"],
+                    help="detection dataset for --eval-dataset voc")
+    ev.add_argument("--set", default="trainval", dest="voc_set",
+                    help="detection split for --eval-dataset voc")
 
     lost = sub.add_parser("lost", help="LOST object discovery + CorLoc")
     lost.add_argument("--model", default="vit_s_16")
@@ -200,7 +205,9 @@ def main(argv=None):
         from vipers.train.evaluate_models import run_sweep
 
         rows = run_sweep(config_from_args(args),
-                         models_path=getattr(args, "models_path", ""))
+                         models_path=getattr(args, "models_path", ""),
+                         voc_dataset=getattr(args, "dataset", "VOC07"),
+                         voc_set=getattr(args, "voc_set", "trainval"))
         for acc1, sparsity in rows:
             print(f"acc1 {acc1:.3f}\tsparsity {sparsity:.2f}")
         return 0  # rows land in the txt artifacts; a non-empty sweep is success

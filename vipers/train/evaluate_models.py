@@ -41,13 +41,14 @@ VOC_CLASSES = (
 )
 
 
-def _voc_eval_batches(cfg: TrainConfig, normalize_fn):
+def _voc_eval_batches(cfg: TrainConfig, normalize_fn,
+                      dataset: str = "VOC07", split: str = "trainval"):
     """Yield (images, labels) batches from a VOC detection set, labels =
     first GT object's VOC class index (eval preset preprocessing)."""
     from vipers.data.detection import DiscoveryDataset
     from vipers.data.preprocess import eval_decode
 
-    ds = DiscoveryDataset("VOC07", "trainval", cfg.data_path, no_hard=False)
+    ds = DiscoveryDataset(dataset, split, cfg.data_path, no_hard=False)
     images, labels = [], []
     for path, im_name in ds:
         gt, cls = ds.extract_gt(im_name)
@@ -93,7 +94,8 @@ def _eval_only_session(cfg: TrainConfig):
     )
 
 
-def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = ""):
+def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
+              voc_dataset: str = "VOC07", voc_set: str = "trainval"):
     from vipers.train.driver import _val_loader, build_session
     from vipers.discovery.driver import load_lost_checkpoint
 
@@ -129,7 +131,8 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = ""):
             sparsity = compute_sparsity_global(state.params, state.masks)
             if voc:
                 acc1, acc5, loss = evaluate(
-                    s.eval_step, state, _voc_eval_batches(cfg, s.normalize)
+                    s.eval_step, state,
+                    _voc_eval_batches(cfg, s.normalize, voc_dataset, voc_set),
                 )
             else:
                 acc1, acc5, loss = evaluate(
