@@ -178,12 +178,20 @@ def main(argv=None):
                      help="dir with cue-conflict/edge/... stimulus ImageFolders")
     mvh.add_argument("--max-batches", type=int, default=0)
 
-    plot = sub.add_parser("plot", help="sparsity-vs-metric curves")
-    plot.add_argument("--kind", default="lost", choices=["lost", "mass_rank", "mvh"])
+    plot = sub.add_parser("plot", help="sparsity-vs-metric curves / heatmap reports")
+    plot.add_argument("--kind", default="lost",
+                      choices=["lost", "mass_rank", "mvh", "heatmaps"])
     plot.add_argument("--model", default="resnet50")
     plot.add_argument("--results-dir", default="./outputs")
     plot.add_argument("--performance-txt", default="performance.txt")
     plot.add_argument("--out", default="plot.png")
+    plot.add_argument("--method", default="gradcam",
+                      help="[heatmaps] attribution method subdir")
+    plot.add_argument("--cls", default="",
+                      help="[heatmaps] class subdir; empty = every class "
+                           "found (explainations_heatmaps_gif_and_plot.py)")
+    plot.add_argument("--gif", action="store_true",
+                      help="[heatmaps] also write animated GIFs")
 
     args = p.parse_args(argv)
 
