@@ -28,8 +28,10 @@ def main(argv=None):
                          "(evaluate_models.py --models-path); defaults to "
                          "--output-dir")
     ev.add_argument("--dataset", default="VOC07",
-                    choices=["VOC07", "VOC12", "COCO20k"],
-                    help="detection dataset for --eval-dataset voc")
+                    choices=["VOC07", "VOC12"],
+                    help="detection dataset for --eval-dataset voc (VOC "
+                         "only: classification labels come from the VOC "
+                         "class names; COCO GT carries bare category ids)")
     ev.add_argument("--set", default="trainval", dest="voc_set",
                     help="detection split for --eval-dataset voc")
 

@@ -54,7 +54,8 @@ def _voc_eval_batches(cfg: TrainConfig, normalize_fn,
         gt, cls = ds.extract_gt(im_name)
         if gt is None or len(gt) == 0:
             continue
-        images.append(eval_decode(path, cfg.val_resize_size, cfg.val_crop_size))
+        images.append(eval_decode(path, cfg.val_resize_size, cfg.val_crop_size,
+                                  interpolation=cfg.interpolation))
         labels.append(VOC_CLASSES.index(cls[0]) if cls[0] in VOC_CLASSES else 0)
         if len(images) == cfg.batch_size:
             yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)

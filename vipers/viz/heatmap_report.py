@@ -17,6 +17,22 @@ import numpy as np
 from PIL import Image
 
 
+def list_classes(root: str, method: str) -> List[str]:
+    """Class subdirectories present under the explain-driver layout
+    (``{root}/pruning_iteration_{NN}/{method}/{cls}/`` or the flat
+    single-iteration ``{root}/{method}/{cls}/``) — the single source of
+    truth for the directory contract ``collect_iteration_images`` reads."""
+    pats = [
+        os.path.join(root, "pruning_iteration_*", method, "*"),
+        os.path.join(root, method, "*"),
+    ]
+    return sorted({
+        os.path.basename(d)
+        for pat in pats for d in globlib.glob(pat)
+        if os.path.isdir(d)
+    })
+
+
 def collect_iteration_images(root: str, method: str, cls: str,
                              pattern: str = "heatmap_*") -> List[str]:
     """Find per-iteration heatmap files saved by the explain driver under

@@ -192,36 +192,34 @@ def run_plot_cli(args) -> int:
     elif args.kind == "heatmaps":
         # 5x6 grids (+ optional GIFs) of heatmaps across pruning iterations
         # (`explainations_heatmaps_gif_and_plot.py:16-122` flow)
-        import glob as globlib
-        import os
-
         from vipers.viz.heatmap_report import (
-            collect_iteration_images, heatmap_gif, heatmap_grid,
+            collect_iteration_images, heatmap_gif, heatmap_grid, list_classes,
         )
 
         method = getattr(args, "method", "gradcam")
-        if getattr(args, "cls", ""):
-            classes = [args.cls]
-        else:
-            pats = [os.path.join(args.results_dir, "pruning_iteration_*",
-                                 method, "*"),
-                    os.path.join(args.results_dir, method, "*")]
-            classes = sorted({
-                os.path.basename(d)
-                for pat in pats for d in globlib.glob(pat)
-                if os.path.isdir(d)
-            })
+        classes = (
+            [args.cls] if getattr(args, "cls", "")
+            else list_classes(args.results_dir, method)
+        )
         base, ext = os.path.splitext(args.out)
+        if ext.lower() in ("", ".gif"):  # grids go to matplotlib formats
+            ext = ".png"
         n_written = 0
         for cls in classes:
             imgs = collect_iteration_images(args.results_dir, method, cls)
             if not imgs:
                 continue
-            heatmap_grid(imgs, f"{base}_{method}_{cls}{ext or '.png'}")
+            heatmap_grid(imgs, f"{base}_{method}_{cls}{ext}")
             if getattr(args, "gif", False):
                 heatmap_gif(imgs, f"{base}_{method}_{cls}.gif")
             n_written += 1
         print(f"heatmap reports for {n_written} classes")
+        if n_written == 0:
+            raise SystemExit(
+                f"no heatmaps found under {args.results_dir} for "
+                f"method={method!r}"
+                + (f" cls={args.cls!r}" if getattr(args, "cls", "") else "")
+            )
         return 0
     print(f"wrote {args.out}")
     return 0
