@@ -185,3 +185,30 @@ def test_stimuli_eval_fn_16_category_decision(tmp_path, rng):
     m2 = imagenet_to_16_matrix(None)
     assert m2[:, SIXTEEN_CATEGORIES.index("cat")].sum() > 0
     assert m2[:, SIXTEEN_CATEGORIES.index("dog")].sum() > 0
+
+
+def test_plot_heatmaps_cli(tmp_path, rng):
+    """plot --kind heatmaps: per-class grid (+GIF) from the explain-driver
+    layout; .gif --out never collides with the grid; zero matches exits
+    nonzero."""
+    from PIL import Image
+
+    from vipers.cli.main import main
+
+    root = tmp_path / "expl"
+    for it in range(3):
+        d = root / f"pruning_iteration_{it:02d}" / "gradcam" / "cat"
+        d.mkdir(parents=True)
+        Image.fromarray(
+            (rng.random((24, 24, 3)) * 255).astype(np.uint8)
+        ).save(d / "heatmap_x.jpg")
+
+    out = tmp_path / "r.gif"
+    assert main(["plot", "--kind", "heatmaps", "--results-dir", str(root),
+                 "--out", str(out), "--gif"]) == 0
+    assert (tmp_path / "r_gradcam_cat.png").exists()  # grid stays raster
+    assert (tmp_path / "r_gradcam_cat.gif").exists()
+
+    with pytest.raises(SystemExit):
+        main(["plot", "--kind", "heatmaps", "--results-dir", str(root),
+              "--cls", "nope", "--out", str(tmp_path / "z.png")])
