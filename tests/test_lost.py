@@ -363,6 +363,54 @@ def test_dinoseg_path_vit(synthetic_voc, tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path / "dinoseg_out"), "preds.pkl"))
 
 
+@pytest.mark.slow
+def test_batched_lost_poisoned_image_robustness(synthetic_voc, tmp_path,
+                                                monkeypatch, capsys):
+    """One seed-in-background image must not discard the accumulated sweep:
+    default mode skips + reports it; --strict reproduces the reference's
+    uncaught raise (`object_discovery.py:110-112`)."""
+    import argparse
+
+    from vipers.discovery import driver as ddriver
+
+    orig = ddriver.LostFeatureExtractor.make_batched_pipeline
+
+    def poisoned(self, k_patches=100):
+        pipe = orig(self, k_patches=k_patches)
+
+        def wrapped(variables, images, pos, tmask, vhw):
+            box_feat, seeds, seed_bg = pipe(variables, images, pos, tmask, vhw)
+            bad = jnp.arange(seed_bg.shape[0]) == 0
+            return box_feat, seeds, jnp.logical_or(seed_bg, bad)
+
+        return wrapped
+
+    monkeypatch.setattr(ddriver.LostFeatureExtractor,
+                        "make_batched_pipeline", poisoned)
+
+    def args(out, strict):
+        return argparse.Namespace(
+            model="vit_s_16", arch="vit", dataset="VOC07", set="trainval",
+            data_path=synthetic_voc, checkpoint="", patch_size=16,
+            which_features="k", k_patches=30, dinoseg=False, dinoseg_head=4,
+            no_hard=False, output_dir=out, iteration=0, visualize=None,
+            workers=1, strict=strict,
+        )
+
+    out = str(tmp_path / "robust")
+    assert ddriver.run_lost(args(out, strict=False)) == 0
+    assert "seed in background component for 1 image(s)" in capsys.readouterr().out
+    # the 2 healthy images still produced predictions + results
+    import pickle
+
+    preds = pickle.load(open(os.path.join(out, "preds.pkl"), "rb"))
+    assert len(preds) == 2
+    assert os.path.exists(os.path.join(out, "results_iteration_00.txt"))
+
+    with pytest.raises(ValueError, match="background component"):
+        ddriver.run_lost(args(str(tmp_path / "strict"), strict=True))
+
+
 # ------------------------------------------------- batched product pipeline
 
 @pytest.mark.slow

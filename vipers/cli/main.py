@@ -82,6 +82,10 @@ def main(argv=None):
     lost.add_argument("--resnet-dilate", type=int, default=1,
                       choices=[1, 2, 4],
                       help="dilated resnet feature map for the CNN path")
+    lost.add_argument("--strict", action="store_true",
+                      help="crash on seed-in-background images like the "
+                           "reference (`object_discovery.py:110-112`) instead "
+                           "of collecting and reporting them at the end")
     lost.add_argument("--dtype", default="f32",
                       choices=["f32", "bf16", "int8"],
                       help="compute dtype for the feature forward (bf16 is "
@@ -133,6 +137,27 @@ def main(argv=None):
     ee.add_argument("--pooling", default="sum,abs")
     ee.add_argument("--iteration", type=int, default=0)
     ee.add_argument("--output-dir", default="./explanations_eval")
+
+    eeb = sub.add_parser(
+        "explain-eval-batch",
+        help="directory-batch heatmap evaluation: all six poolings with "
+             "summary-statistic tables + JSON "
+             "(explainations_evaluation_metrics.py:307-373)",
+    )
+    eeb.add_argument("--heatmap-dir", required=True,
+                     help="directory of <idx>.npy pooled/raw heatmaps")
+    eeb.add_argument("--ground-truth-dir", required=True,
+                     help="directory of <idx>.npy ground-truth masks")
+    eeb.add_argument("--output-dir", default="./explanations_eval")
+    eeb.add_argument("--output-name", default="",
+                     help="prefix for the _ORDERED/_FIXED txt and "
+                          "_datapoint/_statistic JSON artifacts")
+    eeb.add_argument("--metric", default="rank", choices=["rank", "mass"])
+    eeb.add_argument("--indices", nargs="*", default=None,
+                     help="explicit datapoint indices (default: every "
+                          "numeric .npy in --heatmap-dir)")
+    eeb.add_argument("--num-images", type=int, default=0,
+                     help="cap on auto-discovered indices (0 = all)")
 
     quant = sub.add_parser("quantize", help="int8 QAT / PTQ")
     from vipers.core.config import add_train_args as ata
@@ -237,6 +262,10 @@ def main(argv=None):
         from vipers.explain.driver import run_explain_eval
 
         return run_explain_eval(args)
+    if args.cmd == "explain-eval-batch":
+        from vipers.explain.driver import run_explain_eval_batch
+
+        return run_explain_eval_batch(args)
     if args.cmd == "quantize":
         from vipers.train.quantize import run_quantize
 

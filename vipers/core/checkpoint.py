@@ -55,12 +55,31 @@ def wait_for_checkpoints():
         _ASYNC.wait_until_finished()
 
 
-def restore_checkpoint(path: str, target=None):
+def restore_checkpoint(path: str, target=None, shardings=None):
+    """Restore a pytree checkpoint.
+
+    Default: leaves come back as HOST numpy arrays — no device/sharding
+    commitment at restore time (placement happens at the first jitted use,
+    which carries the step's own shardings), and orbax's per-leaf
+    "Sharding info not provided" warning never fires. For multi-host
+    topologies where the full tree must not materialize on one host, pass
+    ``shardings`` (a pytree of ``jax.sharding.Sharding`` matching the
+    checkpoint structure) to restore each leaf directly to its devices.
+    """
     path = os.path.abspath(path)
     ckptr = ocp.PyTreeCheckpointer()
+    if shardings is not None:
+        restore_args = jax.tree.map(
+            lambda s: ocp.ArrayRestoreArgs(sharding=s), shardings
+        )
+        return ckptr.restore(path, item=target, restore_args=restore_args)
+    structure = target if target is not None else ckptr.metadata(path).item_metadata
+    restore_args = jax.tree.map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), structure
+    )
     if target is None:
-        return ckptr.restore(path)
-    return ckptr.restore(path, item=target)
+        return ckptr.restore(path, restore_args=restore_args)
+    return ckptr.restore(path, item=target, restore_args=restore_args)
 
 
 def restore_like(template, restored):
@@ -261,6 +280,54 @@ def import_vit_torchvision(sd: Dict[str, np.ndarray], num_layers: int):
         p[("pre_logits", "kernel")] = _lin_w(sd["heads.pre_logits.weight"])
         p[("pre_logits", "bias")] = sd["heads.pre_logits.bias"]
     return traverse_util.unflatten_dict(p), masks
+
+
+def export_vit_torchvision(params, masks=None) -> Dict[str, np.ndarray]:
+    """Inverse of ``import_vit_torchvision``: our VisionTransformer params
+    -> a torchvision-keyed state dict (`/root/reference/
+    vision_transformer.py` structure, the checkpoint layout the reference's
+    `main_lost.py:130-137` loads). Arrays stay numpy (``torch.tensor`` them
+    at the load site); HWIO->OIHW / (in,out)->(out,in) transposes reverse
+    the importer's. ``masks`` (our {path_tuple: bool array}) are baked by
+    multiplication — the reference makes pruning permanent the same way
+    (`prune.remove`, `main_lost.py:63-68`)."""
+    import jax
+
+    p = traverse_util.flatten_dict(
+        jax.tree.map(lambda a: np.asarray(a, np.float32), params)
+    )
+    if masks:
+        for path, m in masks.items():
+            if path in p:
+                p[path] = p[path] * np.asarray(m, np.float32)
+    sd: Dict[str, np.ndarray] = {}
+    sd["conv_proj.weight"] = np.transpose(p[("conv_proj", "kernel")], (3, 2, 0, 1))
+    sd["conv_proj.bias"] = p[("conv_proj", "bias")]
+    sd["class_token"] = p[("class_token",)]
+    sd["encoder.pos_embedding"] = p[("pos_embedding",)]
+    n_layers = len({k[0] for k in p if k[0].startswith("encoder_layer_")})
+    for i in range(n_layers):
+        o = (f"encoder_layer_{i}",)
+        t = f"encoder.layers.encoder_layer_{i}"
+        sd[f"{t}.ln_1.weight"] = p[o + ("ln_1", "scale")]
+        sd[f"{t}.ln_1.bias"] = p[o + ("ln_1", "bias")]
+        sd[f"{t}.self_attention.in_proj_weight"] = _lin_w(
+            p[o + ("attention", "qkv", "kernel")])
+        sd[f"{t}.self_attention.in_proj_bias"] = p[o + ("attention", "qkv", "bias")]
+        sd[f"{t}.self_attention.out_proj.weight"] = _lin_w(
+            p[o + ("attention", "out", "kernel")])
+        sd[f"{t}.self_attention.out_proj.bias"] = p[o + ("attention", "out", "bias")]
+        sd[f"{t}.ln_2.weight"] = p[o + ("ln_2", "scale")]
+        sd[f"{t}.ln_2.bias"] = p[o + ("ln_2", "bias")]
+        for ok, tk in (("fc1", f"{t}.mlp.0"), ("fc2", f"{t}.mlp.3")):
+            sd[f"{tk}.weight"] = _lin_w(p[o + ("mlp", ok, "kernel")])
+            sd[f"{tk}.bias"] = p[o + ("mlp", ok, "bias")]
+    sd["encoder.ln.weight"] = p[("ln", "scale")]
+    sd["encoder.ln.bias"] = p[("ln", "bias")]
+    if ("head", "kernel") in p:
+        sd["heads.head.weight"] = _lin_w(p[("head", "kernel")])
+        sd["heads.head.bias"] = p[("head", "bias")]
+    return sd
 
 
 def import_dino_vit(sd: Dict[str, np.ndarray], depth: int):

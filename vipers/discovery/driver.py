@@ -131,9 +131,23 @@ class LostFeatureExtractor:
         q, scales = self._q, self._scales
 
         def apply_int8(variables, img, **kwargs):
+            # exclude bucket-/seq-pad token rows from each site's dynamic
+            # min/max: garbage pad activations would otherwise widen the
+            # quant range for the valid tokens
+            tm = kwargs.get("token_mask")
+            masks = None
+            if tm is not None:
+                masks = {tm.shape[1]: tm}
+                spm = kwargs.get("seq_pad_multiple")
+                if spm:
+                    t = tm.shape[1]
+                    tp = -(-t // spm) * spm
+                    if tp != t:
+                        masks[tp] = jnp.pad(tm, ((0, 0), (0, tp - t)))
             return int8_dynamic_apply(
                 spec.module, variables, img, q, scales,
-                exclude=spec.prune_exclude, **kwargs,
+                exclude=spec.prune_exclude, qparams_token_masks=masks,
+                **kwargs,
             )
 
         return apply_int8
@@ -522,6 +536,12 @@ def run_lost(args) -> int:
         batch_size = max(batch_size // n_dev, 1) * n_dev
         print(f"LOST data-parallel over {n_dev} devices, batch {batch_size}")
 
+    # `--strict` reproduces the reference's uncaught raise
+    # (`object_discovery.py:110-112`); default collects failures so one bad
+    # image can't discard a whole accumulated sweep.
+    strict = bool(getattr(args, "strict", False))
+    failed: list = []
+
     def flush(bucket_key):
         recs = buffers.pop(bucket_key)
         imgs = [r[1] for r in recs]
@@ -539,19 +559,24 @@ def run_lost(args) -> int:
         for i in range(n_real):
             im_name, _img, init_size, gt_i = recs[i]
             if bool(seed_bg[i]):
-                # reference behavior: detect_box raises, uncaught
-                # (`object_discovery.py:110-112`)
-                raise ValueError(
-                    f"The seed is in the background component ({im_name})."
-                )
+                if strict:
+                    raise ValueError(
+                        f"The seed is in the background component ({im_name})."
+                    )
+                failed.append(im_name)
+                continue
             pred = box_feat_to_image(box_feat[i], [p, p], init_size)
             acc.add(im_name, pred, gt_i)
 
     # tier-1 padding (participates) — `main_lost.py:399-407` — happens in
     # the prefetch workers; host decode overlaps device compute.
+    # --workers 0 means synchronous single-threaded decode (1 worker), not
+    # "use the default"; the default (8) applies only when the flag is absent
+    workers = getattr(args, "workers", None)
+    workers = 8 if workers is None else max(int(workers), 1)
     for path, im_name, padded, init_image_size, gt in _prefetch_decoded(
         dataset, p, args.no_hard,
-        workers=int(getattr(args, "workers", 0) or 8),
+        workers=workers,
         need_gt=not no_evaluation,
     ):
         n_imgs += 1
@@ -594,6 +619,13 @@ def run_lost(args) -> int:
 
     for key in sorted(buffers):
         flush(key)
+    if failed:
+        print(
+            f"WARNING: seed in background component for {len(failed)} "
+            f"image(s), skipped: {', '.join(failed[:10])}"
+            + (" ..." if len(failed) > 10 else "")
+            + " (rerun with --strict for reference-parity crashing)"
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     acc.save(args.output_dir, iteration, save_preds=save_predictions,

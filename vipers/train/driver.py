@@ -382,10 +382,12 @@ def run(cfg: TrainConfig):
     os.makedirs(cfg.output_dir, exist_ok=True)
     s = build_session(cfg)
     start_epoch = 0
+    # reference precedence (torchvision train.py): --start-epoch seeds the
+    # epoch counter, but a --resume checkpoint's epoch OVERWRITES it
+    if cfg.start_epoch >= 0:
+        start_epoch = cfg.start_epoch
     if cfg.resume:
         start_epoch = resume_session(s, cfg.resume)
-    if cfg.start_epoch >= 0:  # manual override (`train.py:804` --start-epoch)
-        start_epoch = cfg.start_epoch
     if cfg.test_only:
         return evaluate(s.eval_step, s.state, _val_loader(s), normalize_fn=s.normalize)
     if cfg.pruning_method == "snip":

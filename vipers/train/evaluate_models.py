@@ -95,28 +95,65 @@ def _eval_only_session(cfg: TrainConfig):
     )
 
 
+def sweep_checkpoints(sweep_dir: str, model: str) -> list:
+    """Find a pruning sweep's checkpoints under ``sweep_dir``, covering both
+    the reference's layout and ours (shared contract with
+    ``discovery/driver._templated_checkpoint``):
+
+    - reference CNNs: ``{sweep_dir}/{model}/model_epoch_89_pruning_iteration_
+      {NN}.pth`` — literal ``model`` stem, ``{model}`` subdirectory
+      (`/root/reference/evaluate_models.py:230`)
+    - reference ViTs: ``{sweep_dir}/{model}/{model}_epoch_299_pruning_
+      iteration_{NN}.pth`` (`main_lost.py:344-356`)
+    - native flat layout: ``{sweep_dir}/{model}_epoch_*_pruning_iteration_*``
+      orbax dirs written by our train driver
+
+    Sorted by pruning iteration; falls back to any ``*_epoch_*`` checkpoints
+    of the model when no iteration-templated ones exist."""
+    patterns = [
+        os.path.join(sweep_dir, model, "model_epoch_*_pruning_iteration_*"),
+        os.path.join(sweep_dir, model, f"{model}_epoch_*_pruning_iteration_*"),
+        os.path.join(sweep_dir, f"{model}_epoch_*_pruning_iteration_*"),
+    ]
+    found = []
+    for pat in patterns:
+        found.extend(globlib.glob(pat))
+    # orbax checkpoints are directories; .pth are files — keep both, but
+    # drop orbax-internal subpaths that the subdir pattern may have caught
+    ckpts = sorted(
+        {p for p in found if re.search(r"pruning_iteration_(\d+)(\.pth|\.pt)?$", p)},
+        key=lambda p: int(re.search(r"pruning_iteration_(\d+)", p).group(1)),
+    )
+    if not ckpts:
+        ckpts = sorted(
+            set(globlib.glob(os.path.join(sweep_dir, f"{model}_epoch_*")))
+            | set(globlib.glob(os.path.join(sweep_dir, model, "*_epoch_*")))
+        )
+    return ckpts
+
+
 def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
               voc_dataset: str = "VOC07", voc_set: str = "trainval"):
     from vipers.train.driver import _val_loader, build_session
     from vipers.discovery.driver import load_lost_checkpoint
 
     dilation = cfg.resnet_dilate if dilation is None else dilation
+    if cfg.eval_dataset == "voc" and cfg.num_classes != len(VOC_CLASSES):
+        # the VOC branch scores argmax logits against VOC indices 0-19 —
+        # meaningless for any other head width (the reference's own branch
+        # crashes outright, `evaluate_models.py:207-228`)
+        raise ValueError(
+            f"--eval-dataset voc requires num_classes == {len(VOC_CLASSES)} "
+            f"(got {cfg.num_classes}): the classifier head must emit VOC "
+            "class logits for the accuracy rows to mean anything"
+        )
     s = (
         _eval_only_session(cfg) if cfg.eval_dataset == "voc"
         else build_session(cfg)
     )
     # sweep dir: --models-path (evaluate_models.py:230) or the output dir
     sweep_dir = models_path or cfg.output_dir
-    pattern = os.path.join(
-        sweep_dir, f"{cfg.model}_epoch_*_pruning_iteration_*"
-    )
-    ckpts = sorted(
-        globlib.glob(pattern),
-        key=lambda p: int(re.search(r"pruning_iteration_(\d+)", p).group(1)),
-    )
-    if not ckpts:
-        # fall back to any checkpoints of this model
-        ckpts = sorted(globlib.glob(os.path.join(sweep_dir, f"{cfg.model}_epoch_*")))
+    ckpts = sweep_checkpoints(sweep_dir, cfg.model)
     out_txt = os.path.join(cfg.output_dir, f"{cfg.model}_dilation_{dilation}.txt")
     voc = cfg.eval_dataset == "voc"
     split = "voc" if voc else "test"

@@ -262,14 +262,14 @@ def int8_dense(x, w_q, w_scale, act_scale, act_zp, bias=None):
     is a true int8 x int8 -> int32 ``dot_general``; the zero-point term is
     a per-column rank-1 correction.
     """
-    # quantize in the activation's own dtype (bf16 nets: 8 mantissa bits
-    # cover the 256-level grid; avoids doubling elementwise bandwidth)
+    # quantize the index in f32: in bf16 the intermediate x/scale + zp near
+    # the top of the uint8 range has ulp 1.0, which could shift the rounded
+    # bin by a full step — the f32 cast is elementwise-cheap vs the matmul
     xq = jnp.clip(
-        jnp.round(x / act_scale.astype(x.dtype) + act_zp.astype(x.dtype)),
+        jnp.round(x.astype(jnp.float32) / act_scale + act_zp),
         ACT_QMIN, ACT_QMAX,
     )
-    # [-128, 127] integers are exact in bf16 (8 mantissa bits)
-    xs = (xq - jnp.asarray(128, x.dtype)).astype(jnp.int8)
+    xs = (xq - 128.0).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xs, w_q,
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -326,11 +326,12 @@ def int8_conv(x, w_q, w_scale, act_scale, act_zp, bias, pads, strides, dil,
     then uniform over all positions, so its correction is a single
     per-output-channel term ``(128 - zp) * sum_hwi(w_q)`` — no second conv.
     """
+    # f32 index arithmetic for the same ulp reason as int8_dense
     xq = jnp.clip(
-        jnp.round(x / act_scale.astype(x.dtype) + act_zp.astype(x.dtype)),
+        jnp.round(x.astype(jnp.float32) / act_scale + act_zp),
         ACT_QMIN, ACT_QMAX,
     )
-    xs = (xq - jnp.asarray(128, x.dtype)).astype(jnp.int8)
+    xs = (xq - 128.0).astype(jnp.int8)
     pad_val = (act_zp - 128.0).astype(jnp.int8)
     xs = jax.lax.pad(
         xs, pad_val,
@@ -405,19 +406,28 @@ def int8_apply(module, variables, x, q, scales, observers, **apply_kwargs):
         return module.apply({**variables, "params": qd}, x, **apply_kwargs)
 
 
-def dynamic_qparams(x):
+def dynamic_qparams(x, token_mask=None):
     """Per-tensor affine uint8 qparams from the LIVE activation (dynamic
     quantization, torch ``quantize_per_tensor_dynamic`` semantics): range
-    snapped to include 0 so real zeros stay exact."""
+    snapped to include 0 so real zeros stay exact. ``token_mask`` (B, T)
+    excludes bucket-/seq-pad token rows of a (B, T, C) activation from the
+    min/max so garbage pad values can't widen the range."""
     x32 = x.astype(jnp.float32)
-    mn = jnp.minimum(jnp.min(x32), 0.0)
-    mx = jnp.maximum(jnp.max(x32), 0.0)
+    if token_mask is not None:
+        valid = token_mask[..., None].astype(bool)
+        big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+        mn = jnp.minimum(jnp.min(jnp.where(valid, x32, big)), 0.0)
+        mx = jnp.maximum(jnp.max(jnp.where(valid, x32, -big)), 0.0)
+    else:
+        mn = jnp.minimum(jnp.min(x32), 0.0)
+        mx = jnp.maximum(jnp.max(x32), 0.0)
     scale = jnp.maximum((mx - mn) / (ACT_QMAX - ACT_QMIN), 1e-9)
     zp = jnp.clip(jnp.round(ACT_QMIN - mn / scale), ACT_QMIN, ACT_QMAX)
     return scale, zp
 
 
 def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
+                       qparams_token_masks=None,
                        **apply_kwargs):
     """Inference with quantized Dense/Conv executed in real int8 using
     DYNAMIC per-tensor activation qparams (no calibration pass needed) —
@@ -425,6 +435,10 @@ def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
     LOST pipeline over frozen/pruned backbones). Weight int8 + scales come
     baked from ``quantize_params_int8``; every other op (layernorm,
     softmax/flash attention, GELU) runs in the network's float dtype.
+    ``qparams_token_masks`` maps token-count T -> (B, T) validity mask;
+    (B, T, C) activations whose T matches get pad rows excluded from the
+    dynamic range (supply both the raw and seq-padded T when the model
+    pads internally).
 
     Measured on v5e at the ViT-S/16 LOST shape (B=32, T=769): ~854 img/s
     vs ~970 bf16 — at this model scale the per-site min/max reductions and
@@ -440,7 +454,12 @@ def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
     def qparams_for(site, xin):
         if any(e in site for e in exclude):
             return None
-        return dynamic_qparams(xin)
+        m = None
+        if qparams_token_masks and xin.ndim == 3:
+            m = qparams_token_masks.get(xin.shape[1])
+            if m is not None and m.shape[0] != xin.shape[0]:
+                m = None
+        return dynamic_qparams(xin, m)
 
     with nn.intercept_methods(_int8_interceptor(q, scales, qparams_for)):
         return module.apply({**variables, "params": qd}, x, **apply_kwargs)
@@ -515,36 +534,51 @@ def make_qat_train_step(
     return jax.jit(step)
 
 
+# One jitted program per (module, num_classes); q/scales/observers are
+# TRACED arguments so the per-epoch convert->eval loop
+# (`train_quantization.py:129-135`) reuses the compiled program every epoch
+# instead of re-tracing (~20-40 s/compile on TPU) on each fresh closure.
+_INT8_EVAL_STEP_CACHE: dict = {}
+
+
 def make_int8_eval_step(module, q, scales, observers, num_classes: int):
     """Eval step running Dense/Conv layers in real int8 — plugs into
     ``train.loop.evaluate`` (per-epoch converted-model eval,
-    `train_quantization.py:129-135`)."""
+    `train_quantization.py:129-135`). Successive calls with the same module
+    return wrappers over one cached jitted program."""
     from vipers.train.steps import cross_entropy
     from vipers.pruning.masks import apply_masks
 
-    @jax.jit
-    def step(state, batch):
-        images, labels = batch
-        variables = {"params": apply_masks(state.params, state.masks)}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-        logits, _aux = int8_apply(
-            module, variables, images, q, scales, observers,
-            train=False, need_attn=False,
-        )
-        loss = cross_entropy(logits, labels, num_classes)
-        if labels.ndim == 2:
-            labels = jnp.argmax(labels, axis=1)
-        _, pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))
-        correct = pred == labels[:, None]
-        return {
-            "loss_sum": loss * labels.shape[0],
-            "top1": jnp.sum(correct[:, :1]),
-            "top5": jnp.sum(correct),
-            "n": jnp.asarray(labels.shape[0], jnp.int32),
-        }
+    key = (id(module), num_classes)
+    cached = _INT8_EVAL_STEP_CACHE.get(key)
+    if cached is None or cached[0] is not module:
 
-    return step
+        @jax.jit
+        def step(state, batch, q, scales, observers):
+            images, labels = batch
+            variables = {"params": apply_masks(state.params, state.masks)}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+            logits, _aux = int8_apply(
+                module, variables, images, q, scales, observers,
+                train=False, need_attn=False,
+            )
+            loss = cross_entropy(logits, labels, num_classes)
+            if labels.ndim == 2:
+                labels = jnp.argmax(labels, axis=1)
+            _, pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))
+            correct = pred == labels[:, None]
+            return {
+                "loss_sum": loss * labels.shape[0],
+                "top1": jnp.sum(correct[:, :1]),
+                "top5": jnp.sum(correct),
+                "n": jnp.asarray(labels.shape[0], jnp.int32),
+            }
+
+        _INT8_EVAL_STEP_CACHE[key] = cached = (module, step)
+
+    _module, step = cached
+    return lambda state, batch: step(state, batch, q, scales, observers)
 
 
 def ptq_calibrate(module, variables, observers, batches, num_batches: int = 32,
