@@ -1,0 +1,174 @@
+"""Import machinery for running `/root/reference`'s OWN code in-loop.
+
+The parity tests in ``test_reference_parity.py`` do not re-implement oracle
+logic — they ``sys.path``-import the reference's modules
+(`object_discovery.py`, `vision_transformer.py`, `train.py`, `datasets.py`)
+and execute them on the same inputs vipers sees. This module provides:
+
+  * import shims for libraries absent in this environment (torchvision,
+    skimage, tqdm, wandb). The shims satisfy ``import`` statements ONLY —
+    every function under test executes the reference's real code on real
+    torch. No reference logic is stubbed.
+  * a ``redirect_scratch_saves`` context: the reference's vendored ViT
+    hard-codes ``torch.save(..., '/scratch/qkv_vit.pt')`` inside every
+    EncoderBlock forward (`/root/reference/vision_transformer.py:113-115`);
+    we rewrite those paths into a sandbox directory.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import enum
+import os
+import sys
+import types
+
+REFERENCE = "/root/reference"
+
+
+class _InterpolationMode(enum.Enum):
+    NEAREST = "nearest"
+    NEAREST_EXACT = "nearest-exact"
+    BILINEAR = "bilinear"
+    BICUBIC = "bicubic"
+    BOX = "box"
+    HAMMING = "hamming"
+    LANCZOS = "lanczos"
+
+
+def _stub(name: str, **attrs) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    return mod
+
+
+def install_shims() -> None:
+    """Register import shims for torchvision / skimage / tqdm / wandb so the
+    reference modules import; idempotent."""
+    try:
+        import torchvision  # noqa: F401  (real one present: nothing to do)
+        return
+    except ImportError:
+        pass
+    class _AnyTransform:
+        """Constructible stand-in for any transform class referenced at
+        module import time (e.g. `datasets.py:37` builds a preprocessing
+        pipeline on import); never applied by the parity tests."""
+
+        def __init__(self, *a, **kw):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    def _any_transform_getattr(name):
+        if name.startswith("__"):
+            raise AttributeError(name)
+        return _AnyTransform
+
+    tv = _stub("torchvision")
+    tvt = _stub("torchvision.transforms",
+                InterpolationMode=_InterpolationMode,
+                __getattr__=_any_transform_getattr)
+    tvf = _stub("torchvision.transforms.functional",
+                InterpolationMode=_InterpolationMode)
+    v2 = _stub("torchvision.transforms.v2",
+               __getattr__=_any_transform_getattr)
+    tvd = _stub("torchvision.datasets")
+    tvm = _stub("torchvision.models")
+    tv.transforms = tvt
+    tv.datasets = tvd
+    tv.models = tvm
+    tvt.functional = tvf
+    tvt.v2 = v2
+    sk = _stub("skimage")
+    sk.io = _stub("skimage.io")
+    # captum / pytorch_grad_cam: class names imported at module top in
+    # `explainations_evaluation_metrics.py:31-43`; only the numpy metric
+    # code paths are under test, the attribution classes never run
+    cap = _stub("captum")
+    cap.attr = _stub("captum.attr", __getattr__=_any_transform_getattr)
+    _stub("captum.attr._utils")
+    _stub("captum.attr._utils.lrp_rules",
+          __getattr__=_any_transform_getattr)
+    pgc = _stub("pytorch_grad_cam", __getattr__=_any_transform_getattr)
+    pgc.utils = _stub("pytorch_grad_cam.utils")
+    _stub("pytorch_grad_cam.utils.model_targets",
+          __getattr__=_any_transform_getattr)
+    _stub("pytorch_grad_cam.utils.image",
+          __getattr__=_any_transform_getattr)
+    _stub("tqdm", tqdm=lambda it=None, **kw: it)
+    _stub("wandb",
+          init=lambda *a, **kw: None,
+          log=lambda *a, **kw: None,
+          finish=lambda *a, **kw: None,
+          run=None)
+
+
+def load_reference_module(name: str):
+    """Import a module from /root/reference by name (with shims installed).
+
+    Reference module names (utils, transforms, datasets, ...) are generic;
+    to avoid shadowing anything in the test process they are registered
+    under a ``ref_`` prefix in sys.modules, while intra-reference imports
+    still resolve by their plain names via the sys.path entry."""
+    install_shims()
+    if REFERENCE not in sys.path:
+        sys.path.insert(0, REFERENCE)
+    import importlib
+
+    return importlib.import_module(name)
+
+
+@contextlib.contextmanager
+def numpy1_percentile_compat():
+    """numpy 2 removed the ``interpolation=`` kwarg the reference passes to
+    ``np.percentile`` (`explainations_evaluation_metrics.py:344-346`);
+    'linear' IS numpy's default method, so accepting-and-translating the
+    kwarg preserves the reference's exact semantics on this numpy."""
+    import numpy as np
+
+    real = np.percentile
+
+    def percentile(a, q, *args, interpolation=None, **kw):
+        if interpolation is not None:
+            kw["method"] = interpolation
+        return real(a, q, *args, **kw)
+
+    np.percentile = percentile
+    try:
+        yield
+    finally:
+        np.percentile = real
+
+
+@contextlib.contextmanager
+def redirect_scratch_saves(target_dir: str):
+    """Rewrite '/scratch/...' paths in torch.save/torch.load to
+    ``target_dir`` for the duration of the context (the sandbox forbids
+    writing outside the repo/tmp)."""
+    import torch
+
+    os.makedirs(target_dir, exist_ok=True)
+    real_save, real_load = torch.save, torch.load
+
+    def _map(path):
+        if isinstance(path, str) and path.startswith("/scratch/"):
+            return os.path.join(target_dir, os.path.basename(path))
+        return path
+
+    def save(obj, f, *a, **kw):
+        return real_save(obj, _map(f), *a, **kw)
+
+    def load(f, *a, **kw):
+        return real_load(_map(f), *a, **kw)
+
+    torch.save, torch.load = save, load
+    try:
+        yield
+    finally:
+        torch.save, torch.load = real_save, real_load

@@ -40,9 +40,14 @@ def snip_saliency(loss_fn: Callable, params, batch, masks=None):
         grads = jax.grad(loss_fn)(params, batch)
         flat_p = M._flat(params)
         flat_g = M._flat(grads)
+        # at least f32 accumulation; f64 params (x64 parity harnesses)
+        # keep their full precision
+        def acc_t(path):
+            return jnp.promote_types(flat_p[path].dtype, jnp.float32)
+
         return {
-            path: jnp.abs(flat_p[path].astype(jnp.float32))
-            * jnp.abs(flat_g[path].astype(jnp.float32))
+            path: jnp.abs(flat_p[path].astype(acc_t(path)))
+            * jnp.abs(flat_g[path].astype(acc_t(path)))
             for path in keys
         }
 
@@ -55,9 +60,9 @@ def snip_threshold(saliencies: dict, target_sparsity: float):
     n = vec.size
     k = int(n * float(target_sparsity))
     if k >= n:
-        return jnp.asarray(jnp.inf, jnp.float32)
+        return jnp.asarray(jnp.inf, vec.dtype)
     if k <= 0:
-        return jnp.asarray(-1.0, jnp.float32)
+        return jnp.asarray(-1.0, vec.dtype)
     sorted_scores = jnp.sort(vec)
     return sorted_scores[k - 1]
 
