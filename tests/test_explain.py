@@ -264,6 +264,75 @@ def test_run_explain_untrained_seed_baseline(tmp_path):
     assert any(seed_dir.rglob("*_nparray.npy"))
 
 
+def test_figure_title_and_performance_bits(tmp_path):
+    """Figure titles carry acc/sparsity parsed from performance.txt row
+    iteration+1 (`explain.py:268-288`, acc1\\tsparsity), N/A for untrained."""
+    import argparse
+
+    from vipers.explain.driver import _figure_title, _performance_title_bits
+
+    mdir = tmp_path / "models" / "resnet18"
+    mdir.mkdir(parents=True)
+    (mdir / "performance.txt").write_text(
+        "acc1\tsparsity\n70.1\t0.0\n65.2\t20.0\n60.3\t36.0\n")
+    args = argparse.Namespace(model="resnet18",
+                              models_path=str(tmp_path / "models"),
+                              pruning_iteration=None)
+
+    it, sp, acc = _performance_title_bits(args, "/out/pruning_iteration_02")
+    assert (it, sp, acc) == (2, "36.0", "60.3")
+    title = _figure_title(args, "gradcam", "tabby", "tiger", it, sp, acc,
+                          "/out/pruning_iteration_02")
+    assert "Target Class: tabby" in title
+    assert "Predicted Class: tiger" in title
+    assert "pruning iteration 2" in title
+    assert "Sparsity: 36.0 - Acc1: 60.3" in title
+
+    it, sp, acc = _performance_title_bits(args, "/out/untrained_model_seed_7")
+    assert (it, sp, acc) == (None, "N/A", "N/A")
+    title = _figure_title(args, "ig", "a", "b", it, sp, acc,
+                          "/out/untrained_model_seed_7")
+    assert "Untrained" in title and "Seed: 7" in title
+
+    # missing performance.txt -> N/A, no crash
+    args2 = argparse.Namespace(model="nope", models_path=str(tmp_path),
+                               pruning_iteration=4)
+    assert _performance_title_bits(args2, "/out")[1:] == ("N/A", "N/A")
+
+
+@pytest.mark.slow
+def test_explain_figure_artifacts(tmp_path):
+    """The reference's figure contract (`explain.py:308-397`): 2D methods
+    save blended_heatmap_* (image overlay) AND heatmap_* plus the npy; CHW
+    methods save the stripped-axes heatmap_* plus npy."""
+    import argparse
+
+    from PIL import Image
+
+    from vipers.explain.driver import run_explain
+
+    rng = np.random.default_rng(0)
+    d = tmp_path / "data" / "val" / "a"
+    d.mkdir(parents=True)
+    Image.fromarray(
+        rng.integers(0, 255, size=(64, 64, 3), dtype=np.uint8)
+    ).save(d / "x.jpg")
+
+    args = argparse.Namespace(
+        model="resnet18", checkpoint="", data_path=str(tmp_path / "data"),
+        methods=["gradcam", "ig"], num_classes_sample=1,
+        output_dir=str(tmp_path / "out"), untrained=False,
+    )
+    assert run_explain(args) == 0
+    gdir = tmp_path / "out" / "gradcam" / "a"
+    assert (gdir / "blended_heatmap_x.jpg").exists()
+    assert (gdir / "heatmap_x.jpg").exists()
+    assert (gdir / "x.jpg_nparray.npy").exists()
+    idir = tmp_path / "out" / "ig" / "a"
+    assert (idir / "heatmap_x.jpg").exists()
+    assert (idir / "x.jpg_nparray.npy").exists()
+
+
 @pytest.mark.slow
 def test_guided_gradcam_vit():
     """GGC on a ViT (the reference's own ViT branch is broken code):

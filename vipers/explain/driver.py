@@ -194,17 +194,151 @@ def run_explain(args) -> int:
     return _explain_one(spec, variables, out_root, args)
 
 
-def _explain_one(spec, variables, out_root: str, args) -> int:
+def _performance_title_bits(args, out_root: str):
+    """(iteration, sparsity, acc1) for the figure titles — the reference
+    reads ``{models_path}/{model}/performance.txt`` row ``iteration+1`` as
+    ``acc1\\tsparsity`` (`explain.py:268-288`); untrained baselines get
+    N/A (`explain.py:287-289`)."""
+    import re
+
+    if "untrained_model" in out_root:
+        return None, "N/A", "N/A"
+    it = None
+    mt = re.search(r"pruning_iteration_(\d+)", out_root)
+    if mt:
+        it = int(mt.group(1))
+    elif getattr(args, "pruning_iteration", None) not in (None, -1):
+        it = int(args.pruning_iteration)
+    models_path = getattr(args, "models_path", "")
+    if models_path and it is not None:
+        path = os.path.join(models_path, args.model, "performance.txt")
+        try:
+            values = open(path).readlines()
+            acc1, sparsity = values[it + 1].split("\t")[:2]
+            return it, sparsity.strip(), acc1.strip()
+        except (OSError, IndexError, ValueError):
+            pass
+    return it, "N/A", "N/A"
+
+
+def _figure_title(args, method, target_name, pred_name, it, sparsity, acc1,
+                  out_root):
+    """The reference's multi-line title (`explain.py:316` et al.)."""
+    import re
+
+    stage = ("Untrained" if "untrained_model" in out_root
+             else f"pruning iteration {it if it is not None else 0}")
+    seed_info = ""
+    mt = re.search(r"seed_(\d+)", out_root)
+    if "untrained_model" in out_root and mt:
+        seed_info = f" - Seed: {mt.group(1)}"
+    return (f"Target Class: {target_name} \n - Predicted Class: {pred_name} "
+            f"\n - Model: {args.model} \n - {stage}{seed_info} - "
+            f"Method: {method} \n Sparsity: {sparsity} - Acc1: {acc1}")
+
+
+def _save_method_figures(d: str, base: str, method: str, hm, image01, title):
+    """The reference's per-method figure artifacts (`explain.py:308-397`):
+
+    * 2D maps (gradcam/ggc): ``blended_heatmap_{f}`` — jet attribution
+      (alpha .95, bottom colorbar) over the denormalized image (alpha .75)
+      — plus the bare ``heatmap_{f}`` jet figure;
+    * ``attention``: Reds RGBA with gamma-0.5 alpha
+      (``attention_heatmap_{f}.png``) plus the blended overlay figure;
+    * CHW attributions (ig/lrp): positive-sign jet heat_map at 1%
+      outlier clipping, no ticks/spines/colorbar (the captum
+      ``visualize_image_attr(method='heat_map', sign='positive',
+      outlier_perc=1)`` rendering, `explain.py:376-390`).
+
+    The reference denormalizes with hard-coded CIFAR statistics
+    (`explain.py:291-298`) — a bug that tints every figure; we overlay the
+    actual pre-normalization image.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+
+    H, W = image01.shape[:2]
+    extent = (0.0, float(W), float(H), 0.0)
+    if hm.ndim == 2:
+        if method == "attention":
+            from PIL import Image
+
+            metric = np.asarray(hm, np.float64)
+            rng = max(metric.max() - metric.min(), 1e-12)
+            norm = (metric - metric.min()) / rng
+            reds = plt.cm.Reds(norm)
+            rgba = np.zeros(norm.shape + (4,))
+            rgba[..., :3] = reds[..., :3]
+            rgba[..., 3] = np.power(norm, 0.5)  # gamma-enhanced alpha
+            Image.fromarray((rgba * 255).astype(np.uint8)).save(
+                os.path.join(d, f"attention_heatmap_{base}.png"))
+            fig = plt.figure(figsize=(11, 11))
+            plt.imshow(image01, alpha=0.75, extent=extent)
+            attr = plt.imshow(rgba, alpha=0.95, extent=extent)
+            plt.colorbar(attr, location="bottom")
+            plt.title(title)
+            plt.tight_layout()
+            plt.savefig(os.path.join(d, f"blended_heatmap_{base}.png"))
+            plt.close(fig)
+            return
+        fig = plt.figure(figsize=(11, 11))
+        attr = plt.imshow(hm, alpha=0.95, cmap="jet", extent=extent)
+        plt.colorbar(attr, location="bottom")
+        plt.imshow(image01, alpha=0.75, extent=extent)
+        plt.title(title)
+        plt.tight_layout()
+        plt.savefig(os.path.join(d, f"blended_heatmap_{base}"))
+        plt.close(fig)
+        fig = plt.figure(figsize=(11, 11))
+        attr = plt.imshow(hm, cmap="jet")
+        plt.colorbar(attr, location="bottom")
+        plt.title(title)
+        plt.tight_layout()
+        plt.savefig(os.path.join(d, f"heatmap_{base}"))
+        plt.close(fig)
+        return
+    # CHW: positive sign, 1% outlier clip, jet, stripped axes
+    pos = np.maximum(np.asarray(hm, np.float64).sum(0), 0.0)
+    scale = np.percentile(pos, 99) or 1.0
+    disp = np.clip(pos / scale, 0.0, 1.0)
+    fig, axis = plt.subplots(figsize=(11, 11))
+    axis.imshow(disp, cmap="jet", vmin=0.0, vmax=1.0)
+    axis.set_xticks([])
+    axis.set_yticks([])
+    for side in ("top", "right", "bottom", "left"):
+        axis.spines[side].set_visible(False)
+    plt.tight_layout()
+    plt.savefig(os.path.join(d, f"heatmap_{base}"))
+    plt.close(fig)
+
+
+def _explain_one(spec, variables, out_root: str, args) -> int:
+    import json
 
     val_dir = os.path.join(args.data_path, "val")
     from vipers.data.imagefolder import ImageFolder
     from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD, eval_decode
 
     ds = ImageFolder(val_dir)
+    # human-readable class names for titles (`explain.py:316` uses the
+    # IMAGENET2012_CLASSES values); fall back to the directory names
+    names = None
+    if len(ds.classes) == 1000:
+        meta = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "meta", "imagenet.json")
+        try:
+            names = json.load(open(meta))["categories"]
+        except (OSError, KeyError):
+            names = None
+
+    def class_name(idx):
+        if names is not None and 0 <= idx < len(names):
+            return names[idx]
+        return ds.classes[idx] if 0 <= idx < len(ds.classes) else str(idx)
+
+    it, sparsity, acc1 = _performance_title_bits(args, out_root)
     seen = set()
     n_done = 0
     for path, label in ds.samples:
@@ -217,21 +351,121 @@ def _explain_one(spec, variables, out_root: str, args) -> int:
         img = (arr - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
         maps = compute_heatmaps(spec, variables, img.astype(np.float32), args.methods)
         cls = ds.classes[label]
+        pred_idx = int(np.argmax(maps["prediction"]))
+        base = os.path.basename(path)
         for method, hm in maps.items():
             if method == "prediction":
                 continue
             d = os.path.join(out_root, method, cls)
             os.makedirs(d, exist_ok=True)
-            np.save(os.path.join(d, f"{os.path.basename(path)}_nparray.npy"), hm)
-            disp = hm if hm.ndim == 2 else np.abs(hm).sum(0)
-            plt.figure(figsize=(6, 6))
-            plt.imshow(disp, cmap="jet")
-            plt.title(f"{method} pred={int(np.argmax(maps['prediction']))}")
-            plt.tight_layout()
-            plt.savefig(os.path.join(d, f"heatmap_{os.path.basename(path)}"))
-            plt.close()
+            np.save(os.path.join(d, f"{base}_nparray.npy"), hm)
+            title = _figure_title(args, method, class_name(label),
+                                  class_name(pred_idx), it, sparsity, acc1,
+                                  out_root)
+            _save_method_figures(d, base, method, np.asarray(hm), arr, title)
         n_done += 1
     print(f"explained {n_done} classes -> {out_root}")
+    return 0
+
+
+def evaluate_heatmap_dirs(heatmap_dir: str, ground_truth_dir: str,
+                          output_dir: str, idx_list, output_name: str = "",
+                          evaluation_metric: str = "rank"):
+    """Directory-batch heatmap evaluation — the reference's ``evaluate``
+    (`explainations_evaluation_metrics.py:307-373`): per-datapoint
+    ``{idx}.npy`` heatmap/GT pairs scored under ALL six poolings, summary
+    statistics (mean/std/min/max/median/perc-80/perc-20), two
+    table-formatted txt files (mean-ordered and fixed-order) and two JSON
+    dumps (per-datapoint + statistics).
+
+    Note: the reference's ``evaluate`` crashes as written — its
+    ``evaluate_single`` returns a ``(scores, ground_truth)`` tuple (`:305`)
+    that ``evaluate`` indexes with the metric string (`:328`). This
+    implements the evident intent; byte-identical artifacts verified
+    against the reference's own statistics/formatting code in
+    ``tests/test_explain_eval_batch.py``."""
+    import json
+
+    from vipers.explain.metrics import ALL_POOLINGS, evaluate_heatmap_all_poolings
+
+    accuracy = {}
+    for idx in idx_list:
+        heatmap = np.load(os.path.join(heatmap_dir, f"{idx}.npy"))
+        gt = np.load(os.path.join(ground_truth_dir, f"{idx}.npy"))
+        per_pool = evaluate_heatmap_all_poolings(heatmap, gt)
+        accuracy[str(idx)] = {
+            p: float(per_pool[p][evaluation_metric]) for p in ALL_POOLINGS
+        }
+
+    stats = {}
+    for p in ALL_POOLINGS:
+        values = np.asarray([accuracy[str(i)][p] for i in idx_list])
+        stats[p] = {
+            "mean": float(np.mean(values)),
+            "std": float(np.std(values)),
+            "min": float(np.amin(values)),
+            "max": float(np.amax(values)),
+            "median": float(np.percentile(values, q=50)),
+            "perc-80": float(np.percentile(values, q=80)),
+            "perc-20": float(np.percentile(values, q=20)),
+        }
+
+    os.makedirs(output_dir, exist_ok=True)
+    col = 17
+    footer = (
+        "\n\nRelevance accuracy metric:            " + evaluation_metric
+        + "\n\nStatistics computed over data points: " + str(len(idx_list))
+    )
+    # mean-ordered table (`:349-358`)
+    ordered = sorted(stats, key=lambda k: stats[k]["mean"], reverse=True)
+    with open(os.path.join(output_dir, output_name + "_ORDERED.txt"), "w") as f:
+        titles = ["pooling_type", "mean", "std", "min", "max", "median",
+                  "perc-80", "perc-20"]
+        f.write("".join(t.ljust(col) for t in titles) + "\n")
+        for k in ordered:
+            row = [k] + ["{:4.2f}".format(stats[k][s]) for s in titles[1:]]
+            f.write("".join(v.ljust(col) for v in row) + "\n")
+        f.write(footer)
+    # fixed-order table, std in parentheses (`:361-370`)
+    with open(os.path.join(output_dir, output_name + "_FIXED.txt"), "w") as f:
+        titles = ["pooling_type", "mean", "std", "median"]
+        f.write("".join(t.ljust(col) for t in titles) + "\n")
+        for k in ("max-norm", "l2-norm,sq", "l2-norm", "l1-norm",
+                  "sum,abs", "sum,pos"):
+            row = [k] + ["{:4.2f}".format(stats[k][s]) for s in titles[1:]]
+            row[2] = "(" + row[2] + ")"
+            f.write("".join(v.ljust(col) for v in row) + "\n")
+        f.write(footer)
+    json.dump(accuracy,
+              open(os.path.join(output_dir, output_name + "_datapoint"), "w"),
+              indent=4)
+    json.dump(stats,
+              open(os.path.join(output_dir, output_name + "_statistic"), "w"),
+              indent=4)
+    return stats
+
+
+def run_explain_eval_batch(args) -> int:
+    """`explain-eval-batch` CLI: score saved heatmap directories against
+    saved GT masks with per-pooling statistics."""
+    if getattr(args, "indices", None):
+        idx_list = [int(i) for i in args.indices]
+    else:
+        found = sorted(
+            int(os.path.splitext(os.path.basename(p))[0])
+            for p in globlib.glob(os.path.join(args.heatmap_dir, "*.npy"))
+            if os.path.splitext(os.path.basename(p))[0].isdigit()
+        )
+        idx_list = found[: args.num_images] if args.num_images else found
+    if not idx_list:
+        print(f"no <idx>.npy heatmaps under {args.heatmap_dir!r}")
+        return 1
+    evaluate_heatmap_dirs(
+        args.heatmap_dir, args.ground_truth_dir, args.output_dir, idx_list,
+        output_name=args.output_name, evaluation_metric=args.metric,
+    )
+    print(f"explain-eval-batch: {len(idx_list)} datapoints, metric "
+          f"{args.metric} -> {args.output_dir}")
     return 0
 
 
