@@ -28,6 +28,50 @@ def test_distortion_semantics(rng):
 
 
 @pytest.mark.slow
+def test_eidolon_partially_coherent_disarray(rng):
+    """Toolbox-structure invariants: the DOG decomposition is exact; at
+    coherence=1 every band shares ONE field, so the disarray equals a
+    single whole-image warp (warping is linear in the image); coherence=0
+    scrambles scales independently (must differ from any coherent warp);
+    reach=0 is the identity."""
+    from vipers.data.distortions import (
+        _dog_scale_space, _eidolon, _warp_bilinear, eidolonI, eidolonIII,
+    )
+
+    img = rng.random((48, 48, 3)).astype(np.float32)
+
+    bands, residual = _dog_scale_space(img[..., 0])
+    assert len(bands) >= 3
+    np.testing.assert_allclose(sum(bands) + residual, img[..., 0],
+                               atol=1e-5)
+
+    # reach=0: identity
+    out0 = _eidolon(img, np.random.default_rng(0), reach=0.0, coherence=0.5)
+    np.testing.assert_allclose(out0, np.clip(img, 0, 1), atol=1e-4)
+
+    # coherence=1 == whole-image warp with the shared field
+    r = np.random.default_rng(3)
+    out1 = _eidolon(img, r, reach=4.0, coherence=1.0)
+    from vipers.data.distortions import _displacement_field
+
+    r2 = np.random.default_rng(3)
+    h, w = img.shape[:2]
+    sx = _displacement_field(r2, h, w, 10.0)
+    sy = _displacement_field(r2, h, w, 10.0)
+    direct = np.stack(
+        [_warp_bilinear(img[..., c], 4.0 * sx, 4.0 * sy) for c in range(3)],
+        axis=-1,
+    )
+    np.testing.assert_allclose(out1, np.clip(direct, 0, 1), atol=1e-4)
+
+    # Geirhos naming: eidolonI is the coherent regime, eidolonIII the
+    # incoherent one — same seed, very different outputs
+    a = eidolonI(img, np.random.default_rng(5), level=6.0)
+    b = eidolonIII(img, np.random.default_rng(5), level=6.0)
+    assert np.abs(a - b).mean() > 1e-3
+    assert a.shape == img.shape and np.isfinite(a).all()
+
+
 def test_mvh_runner_and_csv(tmp_path):
     """17-benchmark runner with a trivial 'model': eval_step counts the
     label-0 predictions of a fixed classifier on distorted batches."""
@@ -180,11 +224,19 @@ def test_stimuli_eval_fn_16_category_decision(tmp_path, rng):
     assert acc == pytest.approx(50.0)  # 3/6 (all predicted cat)
     assert calls and calls[0][1:] == (32, 32, 3)
 
-    # without the exact map, the name-seed approximation still maps
-    # tabby/golden retriever style names onto cat/dog
+    # without a stimuli-root override, the PACKAGED WordNet-derived map
+    # (data/meta/category_map.json) is the default: the canonical
+    # 16-class-ImageNet lists, not the name-seed heuristic
     m2 = imagenet_to_16_matrix(None)
-    assert m2[:, SIXTEEN_CATEGORIES.index("cat")].sum() > 0
-    assert m2[:, SIXTEEN_CATEGORIES.index("dog")].sum() > 0
+    dog_col = m2[:, SIXTEEN_CATEGORIES.index("dog")]
+    assert dog_col.sum() == 118  # every dog breed, Chihuahua..Mexican hairless
+    assert dog_col[151] == 1.0 and dog_col[268] == 1.0
+    assert m2[:, SIXTEEN_CATEGORIES.index("airplane")].sum() == 2  # airliner+warplane
+    assert m2[404, SIXTEEN_CATEGORIES.index("airplane")] == 1.0
+    assert m2[895, SIXTEEN_CATEGORIES.index("airplane")] == 1.0
+    # the categories are disjoint (each class maps to at most one)
+    assert m2.sum(axis=1).max() == 1.0
+    assert m2.sum() == 236
 
 
 def test_plot_heatmaps_cli(tmp_path, rng):

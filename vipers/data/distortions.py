@@ -13,9 +13,10 @@ benchmarks split into:
     stylized) that are fixed external image sets — consumed from a
     directory when provided (see ``eval_mvh``), not synthesizable.
 
-Eidolon distortions here are a documented approximation (coherence-
-controlled Gaussian displacement fields at three reach levels) of the
-original eidolon-factory; the CSV/plot contracts match the reference's.
+Eidolon distortions implement the toolbox's partially-coherent disarray
+(DOG scale space, per-band displacement fields, variance-preserving
+coherence blend — see ``_eidolon``); the CSV/plot contracts match the
+reference's.
 """
 
 from __future__ import annotations
@@ -125,23 +126,101 @@ def power_equalisation(img, rng, level=1):
     return np.repeat(out[..., None], 3, axis=-1)
 
 
-def _eidolon(img, rng, reach: float, coherence: float):
-    """Approximate eidolon: displace pixels by a blurred Gaussian field;
-    coherence controls how spatially correlated the displacements are."""
+def _displacement_field(rng, h, w, grain: float):
+    """Unit-variance Gaussian random field low-passed at the ``grain``
+    scale (the eidolon factory's grain parameter; the benchmark fixes
+    grain=10.0)."""
+    f = _blur(rng.normal(0, 1, (h, w, 1)).astype(np.float32), grain)[..., 0]
+    return f / (f.std() + 1e-9)
+
+
+def _warp_bilinear(plane, dx, dy):
+    """Backward-warp a (H, W) plane by per-pixel displacements, bilinear,
+    clamped at the border."""
+    h, w = plane.shape
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    ys = np.clip(yy + dy, 0.0, h - 1.0)
+    xs = np.clip(xx + dx, 0.0, w - 1.0)
+    y0 = np.floor(ys).astype(int)
+    x0 = np.floor(xs).astype(int)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = ys - y0
+    fx = xs - x0
+    return (plane[y0, x0] * (1 - fy) * (1 - fx)
+            + plane[y0, x1] * (1 - fy) * fx
+            + plane[y1, x0] * fy * (1 - fx)
+            + plane[y1, x1] * fy * fx)
+
+
+def _dog_scale_space(g):
+    """Difference-of-Gaussians decomposition on a 2^(k/2) sigma ladder
+    (the eidolon factory's fiducial scale space): returns (bands, residual)
+    with ``sum(bands) + residual == g`` exactly."""
+    h, w = g.shape
+    sigmas = []
+    s = 2.0 ** -0.5  # MIN_SIGMA = 1/sqrt(2)
+    while s < min(h, w) / 4.0:
+        sigmas.append(s)
+        s *= np.sqrt(2.0)
+    blurred = [g] + [
+        _blur(g[..., None], sig)[..., 0] for sig in sigmas
+    ]
+    bands = [blurred[i] - blurred[i + 1] for i in range(len(blurred) - 1)]
+    return bands, blurred[-1]
+
+
+def _eidolon(img, rng, reach: float, coherence: float, grain: float = 10.0):
+    """Partially-coherent disarray — the Eidolon toolbox's algorithm
+    (Koenderink et al. 2017 eidolon factory; modelvshuman's
+    ``partially_coherent_disarray``):
+
+      * decompose the image into a DOG scale space,
+      * draw ONE shared displacement-field pair plus an independent pair
+        per scale band, every field grain(=10.0)-blurred unit-variance
+        Gaussian noise,
+      * per band, blend variance-preservingly:
+        ``d_i = reach * (c * shared + sqrt(1 - c^2) * own_i)``,
+      * warp each band with its own field and re-sum (+ warped residual).
+
+    ``coherence=1`` makes every band share one field — identical to a
+    single whole-image warp (warping is linear in the image); ``coherence=0``
+    scrambles scales independently (the "fog" regime). Structure matches
+    the toolbox; its exact per-scale magnitude ladder is not reproduced
+    bit-for-bit (the toolbox is unavailable in this environment), which is
+    the one documented deviation."""
     h, w = img.shape[:2]
-    sigma = max(coherence * 8.0, 0.5)
-    dx = _blur(rng.normal(0, 1, (h, w, 1)).astype(np.float32), sigma)[..., 0]
-    dy = _blur(rng.normal(0, 1, (h, w, 1)).astype(np.float32), sigma)[..., 0]
-    dx = dx / (np.abs(dx).max() + 1e-9) * reach
-    dy = dy / (np.abs(dy).max() + 1e-9) * reach
-    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    ys = np.clip((yy + dy).round().astype(int), 0, h - 1)
-    xs = np.clip((xx + dx).round().astype(int), 0, w - 1)
-    return img[ys, xs]
+    c = float(coherence)
+    mix = np.sqrt(max(1.0 - c * c, 0.0))
+    shared = (_displacement_field(rng, h, w, grain),
+              _displacement_field(rng, h, w, grain))
+    # number of bands is shape-determined; draw one independent field pair
+    # per band + residual, shared across channels (the toolbox disarrays
+    # one geometry; we apply it to each channel identically)
+    n_fields = len(_dog_scale_space(img[..., 0])[0]) + 1
+    displacements = []
+    for _ in range(n_fields):
+        own = (_displacement_field(rng, h, w, grain),
+               _displacement_field(rng, h, w, grain))
+        displacements.append((
+            reach * (c * shared[0] + mix * own[0]),
+            reach * (c * shared[1] + mix * own[1]),
+        ))
+    out = np.zeros_like(img)
+    for ch in range(img.shape[-1]):
+        bands, residual = _dog_scale_space(img[..., ch])
+        acc = np.zeros((h, w), np.float32)
+        for (dx, dy), band in zip(displacements, bands + [residual]):
+            acc += _warp_bilinear(band, dx, dy)
+        out[..., ch] = acc
+    return np.clip(out, 0.0, 1.0)
 
 
+# Geirhos et al. 2018 §3.5 naming: Eidolon I/II/III = coherence 1.0 / 0.3
+# / 0.0 at grain 10.0, reach swept per level.
 def eidolonI(img, rng, level=8.0):
-    return _eidolon(img, rng, reach=level, coherence=0.0)
+    return _eidolon(img, rng, reach=level, coherence=1.0)
 
 
 def eidolonII(img, rng, level=8.0):
@@ -149,7 +228,7 @@ def eidolonII(img, rng, level=8.0):
 
 
 def eidolonIII(img, rng, level=8.0):
-    return _eidolon(img, rng, reach=level, coherence=1.0)
+    return _eidolon(img, rng, reach=level, coherence=0.0)
 
 
 PARAMETRIC_DISTORTIONS: Dict[str, Callable] = {

@@ -120,9 +120,9 @@ SIXTEEN_CATEGORIES = [
     "chair", "clock", "dog", "elephant", "keyboard", "knife", "oven", "truck",
 ]
 
-# Name-substring seeds used to approximate the toolbox's WordNet-derived
-# 1000->16 aggregation when no exact map is supplied. Deliberately broad:
-# matched on the comma-separated ImageNet class-name synonyms.
+# Name-substring seeds — retained ONLY as a last-resort fallback should the
+# packaged category_map.json be unreadable; the shipped WordNet-derived map
+# is the default (see imagenet_to_16_matrix).
 _CATEGORY_NAME_SEEDS: Dict[str, List[str]] = {
     "airplane": ["airliner", "warplane", "airship", "plane"],
     "bear": ["bear", "panda"],
@@ -171,20 +171,35 @@ _CATEGORY_NAME_SEEDS: Dict[str, List[str]] = {
 
 def imagenet_to_16_matrix(stimuli_root: Optional[str] = None) -> np.ndarray:
     """(1000, 16) float mask aggregating ImageNet logits into the 16
-    entry-level categories. If ``{stimuli_root}/category_map.json`` exists
-    (``{"category": [imagenet indices...]}`` — the toolbox's exact
-    WordNet-derived mapping), it is used verbatim; otherwise the mapping is
-    approximated by matching class-name synonyms (documented seeds above).
+    entry-level categories.
+
+    Resolution order:
+      1. ``{stimuli_root}/category_map.json`` when present (explicit
+         per-dataset override, ``{"category": [imagenet indices...]}``),
+      2. the packaged ``data/meta/category_map.json`` — the public
+         WordNet-derived 16-class-ImageNet mapping (Geirhos et al.
+         ``human_categories``, the same aggregation modelvshuman's
+         ``probabilities_to_decision`` uses),
+      3. name-synonym matching (documented seeds above) as a last resort.
     """
     import json
 
     m = np.zeros((1000, 16), np.float32)
-    map_path = (
-        os.path.join(stimuli_root, "category_map.json") if stimuli_root else ""
-    )
-    if map_path and os.path.exists(map_path):
-        with open(map_path) as f:
-            cat_map = json.load(f)
+    candidates = []
+    if stimuli_root:
+        candidates.append(os.path.join(stimuli_root, "category_map.json"))
+    candidates.append(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data", "meta", "category_map.json",
+    ))
+    for map_path in candidates:
+        if not os.path.exists(map_path):
+            continue
+        try:
+            with open(map_path) as f:
+                cat_map = json.load(f)
+        except (OSError, ValueError):
+            continue
         for ci, cat in enumerate(SIXTEEN_CATEGORIES):
             for idx in cat_map.get(cat, []):
                 m[int(idx), ci] = 1.0
