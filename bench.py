@@ -36,8 +36,12 @@ def _enable_compilation_cache():
 
 H, W, PATCH = 512, 384, 16
 GH, GW = H // PATCH, W // PATCH
-BATCH = 32  # best measured throughput point (bf16: B=32 977 > B=16 913 > B=64 977- on v5e)
-N_BATCHES = 6
+# Best measured throughput point after the round-3 head-major einsum
+# projections: throughput now scales with batch (B=32 983 < B=64 1017 <
+# B=128 1068 ~ B=256 1074 img/s bf16 on v5e) — the fixed per-dispatch
+# overhead amortizes; 128 is the knee.
+BATCH = 128
+N_BATCHES = 4
 SPARSITY = 0.5
 K_PATCHES = 100
 

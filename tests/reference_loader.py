@@ -121,6 +121,26 @@ def load_reference_module(name: str):
         sys.path.insert(0, REFERENCE)
     import importlib
 
+    if name not in sys.modules:
+        # `vision_transformer.py` and `vision_transformer_no_save.py` are
+        # byte-identical copies that both register the same model names in
+        # `_api.BUILTIN_MODELS` at import time; the reference never imports
+        # both in one process, but the parity suite does (explanation
+        # metrics pull the no_save copy). Let the second import overwrite
+        # instead of raise — the builders are identical.
+        try:
+            api = importlib.import_module("_api")
+            if not getattr(api.register_model, "_vipers_tolerant", False):
+                def register_model(name=None, _api=api):
+                    def wrapper(fn):
+                        key = name if name is not None else fn.__name__
+                        _api.BUILTIN_MODELS[key] = fn
+                        return fn
+                    return wrapper
+                register_model._vipers_tolerant = True
+                api.register_model = register_model
+        except ImportError:
+            pass
     return importlib.import_module(name)
 
 

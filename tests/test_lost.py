@@ -411,6 +411,47 @@ def test_batched_lost_poisoned_image_robustness(synthetic_voc, tmp_path,
         ddriver.run_lost(args(str(tmp_path / "strict"), strict=True))
 
 
+@pytest.mark.slow
+def test_dinoseg_bucketed_equals_exact_shape():
+    """--dinoseg at bucket=4 must yield the same box as exact shapes: the
+    masked softmax gives bucket-pad keys exact-zero attention, so the
+    60%-mass threshold and component analysis are unaffected (kills the
+    per-image-shape recompile regime for dinoseg runs)."""
+    from vipers.core.registry import ModelSpec
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.discovery.lost import dino_seg
+    from vipers.models.vit import ViTConfig, VisionTransformer
+
+    import jax
+
+    cfg = ViTConfig(16, 2, 4, 64, 128, 10)
+    module = VisionTransformer(cfg=cfg, image_size=(96, 96))
+    variables = module.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 96, 96, 3)), train=False)
+    spec = ModelSpec(
+        name="tiny", module=module, input_size=(96, 96), num_classes=10,
+        prune_exclude=("qkv",), patch_size=16, family="vit",
+        extra={"num_heads": 4, "hidden_dim": 64, "num_layers": 2},
+    )
+    rng = np.random.default_rng(0)
+    # 80x112 -> grid 5x7: NOT a bucket multiple, so bucket=4 pads to 8x8
+    img = rng.normal(size=(80, 112, 3)).astype(np.float32)
+    img[16:56, 32:80] += 2.5
+
+    boxes = {}
+    for bucket in (1, 4):
+        ex = LostFeatureExtractor(spec, variables, arch="vit",
+                                  which_features="k", bucket=bucket,
+                                  need_attn=True)
+        _f, dims, valid_dims, _s, attn = ex.extract(img, 16)
+        if bucket == 1:
+            assert dims == (5, 7)
+        else:
+            assert dims == (8, 8) and valid_dims == (5, 7)
+        boxes[bucket] = dino_seg(attn, dims, 16, head=2)
+    assert boxes[1] == boxes[4]
+
+
 # ------------------------------------------------- batched product pipeline
 
 @pytest.mark.slow

@@ -504,9 +504,13 @@ def run_lost(args) -> int:
     ]
     extractor = LostFeatureExtractor(
         spec, variables, masks, arch=arch, which_features=args.which_features,
-        # dino_seg thresholds raw CLS-attention mass over all tokens; run it
-        # at exact shapes so bucket-pad tokens don't enter the mass.
-        bucket=1 if args.dinoseg else 4,
+        # dino_seg is bucket-safe: the masked softmax gives bucket-pad keys
+        # EXACT zero attention probability, so the 60%-mass threshold,
+        # component analysis, and box are unchanged (tested) — no
+        # per-image-shape recompile. Only --dinoseg-reference-bugs runs at
+        # exact shapes, since its bit-for-bit component-id contract is
+        # grid-layout-sensitive.
+        bucket=1 if getattr(args, "dinoseg_reference_bugs", False) else 4,
         # only dino_seg consumes the per-head attention probs
         need_attn=bool(args.dinoseg),
         compute_dtype=dtype,

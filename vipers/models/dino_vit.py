@@ -80,7 +80,9 @@ class DinoBlock(nn.Module):
         x = x + y
         z = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         z = nn.Dense(int(d * self.mlp_ratio), name="fc1")(z)
-        z = nn.gelu(z, approximate=False)
+        # tanh GELU in bf16 (sub-ulp vs erf, ~27% cheaper end-to-end; see
+        # models/vit.py MLPBlock note)
+        z = nn.gelu(z, approximate=z.dtype == jnp.bfloat16)
         z = nn.Dense(d, name="fc2")(z)
         return x + z, attn, qkv_out
 

@@ -218,7 +218,9 @@ class SwinBlockV2(nn.Module):
         x = x + self._drop_path(nn.LayerNorm(epsilon=1e-5, name="norm1")(y), train)
 
         z = nn.Dense(int(c * self.mlp_ratio), name="fc1")(x)
-        z = nn.gelu(z, approximate=False)
+        # tanh GELU in bf16 (sub-ulp vs erf, ~27% cheaper end-to-end; see
+        # models/vit.py MLPBlock note)
+        z = nn.gelu(z, approximate=z.dtype == jnp.bfloat16)
         z = nn.Dense(c, name="fc2")(z)
         x = x + self._drop_path(
             nn.LayerNorm(epsilon=1e-5, name="norm2")(z), train

@@ -36,6 +36,24 @@ import jax.numpy as jnp
 from vipers.core.registry import ModelSpec, register_model
 
 
+class _ProjParams(nn.Module):
+    """Dense-compatible parameter container (``kernel`` (in, features),
+    ``bias`` (features,), same initializers and param paths as
+    ``nn.Dense``) whose owner applies the kernel with a custom einsum so
+    the head transpose rides the matmul's output layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Self-attention matching torch ``nn.MultiheadAttention`` semantics.
 
@@ -54,26 +72,57 @@ class MultiHeadAttention(nn.Module):
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
-        qkv = nn.Dense(3 * d, name="qkv")(x)  # (N, T, 3D)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(z):
-            return z.reshape(n, t, h, hd).transpose(0, 2, 1, 3)  # (N, h, T, hd)
-
-        q, k, v = heads(q), heads(k), heads(v)
+        # Parameters stay Dense-shaped ((D, 3D) qkv kernel in q|k|v column
+        # order, (D, D) out kernel) so checkpoints, masks, and the torch
+        # importer are untouched; only the APPLICATION layout differs.
+        qkv_kernel, qkv_bias = _ProjParams(3 * d, name="qkv")(d)
+        out_kernel, out_bias = _ProjParams(d, name="out")(d)
         scale = float(hd) ** -0.5  # static python scalar: jit-safe
 
-        # Blockwise Pallas attention where it pays: the tuned library
-        # flash kernel beats XLA's einsum+softmax from ~mid sequence
-        # lengths (measured 1.57 vs 1.79 ms at the LOST bench shape
-        # T=769->pad 896, B=8, bf16) and is O(T) memory for long
-        # sequences (SURVEY §5). Below ~512 tokens the kernel dispatch
-        # overhead dominates — keep the einsum.
+        # Blockwise Pallas attention where it pays: beats XLA's
+        # einsum+softmax from ~mid sequence lengths and is O(T) memory for
+        # long sequences (SURVEY §5). Below ~512 tokens the kernel
+        # dispatch overhead dominates — keep the einsum.
         use_flash = (
             not need_attn
             and not (train and self.dropout_rate > 0)
             and t >= 512
         )
+        import os
+
+        from vipers.ops.flash_attention import packed_layout_supported
+
+        if (use_flash and packed_layout_supported(d, h)
+                and os.environ.get("VIPERS_PACKED_ATTENTION") == "1"):
+            # Experimental token-major packed path (docs/PERF.md round 3):
+            # ONE plain MXU matmul with head-pair-permuted weight columns
+            # feeds the packed Pallas kernel, which emits (N, T, D)
+            # h-major — the out-projection is again a plain matmul. No
+            # head transposes or two-contracting-dim einsums anywhere.
+            # MEASURED SLOWER than the library kernel at ViT-S (the
+            # in-repo kernel reaches ~17 TFLOP/s vs the library's ~55 —
+            # scheduling, not layout, dominates at hd=64), so it is
+            # opt-in until the kernel closes that gap.
+            from vipers.ops.flash_attention import (
+                flash_attention_packed, packed_qkv_permutation,
+            )
+
+            perm = packed_qkv_permutation(d, h)
+            qkv_p = x @ qkv_kernel[:, perm] + qkv_bias[perm]
+            y = flash_attention_packed(
+                qkv_p, valid=token_mask, num_heads=h, scale=scale
+            )
+            out = jnp.einsum("ntd,df->ntf", y, out_kernel) + out_bias
+            return out, None
+
+        # Head-major q/k/v straight out of the projection: the einsum
+        # contracts d and EMITS (N, h, T, hd), folding the head-split
+        # transpose into the matmul's output layout instead of three
+        # separate (N, T, h, hd)->(N, h, T, hd) copies.
+        w = qkv_kernel.reshape(d, 3, h, hd)
+        b = qkv_bias.reshape(3, h, hd)
+        qkv = jnp.einsum("ntd,dshe->snhte", x, w) + b[:, None, :, None, :]
+        q, k, v = qkv[0], qkv[1], qkv[2]
         if use_flash:
             from vipers.ops.flash_attention import flash_attention
 
@@ -96,8 +145,11 @@ class MultiHeadAttention(nn.Module):
             out = jnp.einsum("nhqk,nhkd->nhqd", attn_used, v)
             if not need_attn:
                 attn = None  # keep the contract: no attn output requested
-        out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
-        out = nn.Dense(d, name="out")(out)
+        # Output projection directly from the head-major layout — the
+        # back-transpose folds into this matmul the same way.
+        out = jnp.einsum(
+            "nhte,hef->ntf", out, out_kernel.reshape(h, hd, d)
+        ) + out_bias
         return out, attn
 
 
@@ -112,7 +164,12 @@ class MLPBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = nn.Dense(self.mlp_dim, name="fc1")(x)
-        y = nn.gelu(y, approximate=False)
+        # Exact erf GELU in f32 (torch-reference bit parity); tanh GELU in
+        # bf16 — the two differ by <= ~4.8e-4 absolute (sub-ulp at bf16
+        # activation magnitudes), and the erf transcendental costs ~27% of
+        # end-to-end bf16 LOST throughput on v5e (1062 -> 1344 img/s at
+        # B=128, docs/PERF.md round 3).
+        y = nn.gelu(y, approximate=y.dtype == jnp.bfloat16)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Dense(self.out_dim, name="fc2")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)

@@ -266,3 +266,225 @@ def flash_attention(
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ------------------------- packed token-major kernel -----------------------
+#
+# Motivation (docs/PERF.md round 3): with head-major (B, H, T, hd) attention
+# the surrounding projections need (T, H) layout changes; XLA either emits
+# explicit transposes (~14% "data formatting") or, given head-major einsums,
+# lowers the two-contracting-dim projections through its convolution emitter
+# ("EmitAllBatchInSublanes") at ~46 TFLOP/s — the transpose cost migrates
+# into the matmuls. This kernel removes the layout change entirely:
+#
+#   * qkv stays (B, T, 3D) straight from ONE plain MXU matmul whose weight
+#     COLUMNS are pre-permuted into per-head-pair stripes
+#     [p: q(128) | k(128) | v(128)], each stripe covering 128//hd heads,
+#   * the kernel grid is (B, n_pairs, q-blocks); q/k/v arrive as 128-lane
+#     column stripes of the SAME packed array via three BlockSpecs,
+#   * the output is written token-major (B, T, D) with heads collapsed
+#     h-major, so the out-projection is again one plain matmul.
+#
+# No transpose, reshape-copy, or conv-emitter lowering anywhere in the
+# attention block.
+
+def packed_qkv_permutation(d: int, num_heads: int) -> "jnp.ndarray":
+    """Column permutation taking a fused qkv kernel laid out
+    [q(D) | k(D) | v(D)] (torch ``in_proj_weight`` order) to the packed
+    stripe layout. Returns int32 (3D,) indices; ``W_packed = W[:, perm]``."""
+    hd = d // num_heads
+    pack = 128 // hd
+    assert hd * pack == 128 and num_heads % pack == 0, (d, num_heads)
+    cols = []
+    for p in range(num_heads // pack):
+        for s in range(3):  # q, k, v
+            for h in range(p * pack, (p + 1) * pack):
+                base = s * d + h * hd
+                cols.extend(range(base, base + hd))
+    return jnp.asarray(cols, jnp.int32)
+
+
+def packed_layout_supported(d: int, num_heads: int) -> bool:
+    hd = d // num_heads
+    return (
+        hd <= 128 and 128 % hd == 0
+        and num_heads % (128 // hd) == 0
+    )
+
+
+def _packed_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *,
+                       scale, hd):
+    """One (batch, head-pair, q-block) program: exact-softmax attention for
+    the ``128 // hd`` heads living in this 128-lane stripe, one big
+    (bq, t) score matrix per head (kv is VMEM-resident — ViT sequence
+    lengths are far below the VMEM limit, the long-sequence regime routes
+    to the streaming head-major kernel)."""
+    pack = 128 // hd
+    q_all = q_ref[0]  # (bq, 128) compute dtype
+    k_all = k_ref[0]  # (t, 128)
+    v_all = v_ref[0]
+    ok = valid_ref[0, 0, :]  # (t,)
+
+    for h in range(pack):  # static unroll: pack is 1 or 2 in practice
+        lo = h * hd
+        q = q_all[:, lo:lo + hd]
+        k = k_all[:, lo:lo + hd]
+        v = v_all[:, lo:lo + hd]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = jnp.where(ok[None, :], s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-20)
+        o = jnp.dot(
+            (p / l).astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, lo:lo + hd] = o.astype(o_ref.dtype)
+
+
+def _packed_fwd(qkv, valid, scale, num_heads, block_q, block_k,
+                interpret: bool = False):
+    del block_k  # kv is always full-length in this kernel
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    pack = 128 // hd
+    n_pairs = num_heads // pack
+    bq = min(block_q, t)
+    assert t % bq == 0, (t, bq)
+    validf = valid[:, None, :]  # (b, 1, t)
+
+    grid = (b, n_pairs, t // bq)
+    out = pl.pallas_call(
+        functools.partial(_packed_fwd_kernel, scale=scale, hd=hd),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda ib, ip, jq: (ib, jq, 3 * ip),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 128), lambda ib, ip, jq: (ib, 0, 3 * ip + 1),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t, 128), lambda ib, ip, jq: (ib, 0, 3 * ip + 2),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, t), lambda ib, ip, jq: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128), lambda ib, ip, jq: (ib, jq, ip),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, validf)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _packed_flash(qkv, valid, scale, num_heads, block_q, block_k,
+                  interpret=False):
+    return _packed_fwd(qkv, valid, scale, num_heads, block_q, block_k,
+                       interpret)
+
+
+def _unpack_bhtd(qkv, num_heads):
+    """(B, T, 3D) packed stripes -> (q, k, v) each (B, H, T, hd), for the
+    einsum-reference backward (layout changes are fine off the hot path)."""
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    pack = 128 // hd
+    n_pairs = num_heads // pack
+    z = qkv.reshape(b, t, n_pairs, 3, pack, hd)
+    z = z.transpose(3, 0, 2, 4, 1, 5)  # (3, b, n_pairs, pack, t, hd)
+    z = z.reshape(3, b, num_heads, t, hd)
+    return z[0], z[1], z[2]
+
+
+def _pack_bhtd(dq, dk, dv, num_heads):
+    """Inverse of `_unpack_bhtd` for the gradient."""
+    b, h, t, hd = dq.shape
+    pack = 128 // hd
+    n_pairs = h // pack
+    z = jnp.stack([dq, dk, dv])  # (3, b, h, t, hd)
+    z = z.reshape(3, b, n_pairs, pack, t, hd)
+    z = z.transpose(1, 4, 2, 0, 3, 5)  # (b, t, n_pairs, 3, pack, hd)
+    return z.reshape(b, t, 3 * h * hd)
+
+
+def _packed_vjp_fwd(qkv, valid, scale, num_heads, block_q, block_k,
+                    interpret=False):
+    out = _packed_fwd(qkv, valid, scale, num_heads, block_q, block_k,
+                      interpret)
+    return out, (qkv, valid, out)
+
+
+def _packed_vjp_bwd(scale, num_heads, block_q, block_k, interpret, res, g):
+    """Einsum-recompute backward (training/explain paths; the packed
+    kernel's purpose is inference throughput)."""
+    qkv, valid, out = res
+    q, k, v = _unpack_bhtd(qkv, num_heads)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32) * scale,
+                   k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    s = jnp.where(valid[:, None, None, :], s, NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    b, t, d = out.shape
+    hd = d // num_heads
+    pack = 128 // hd
+    g_bhtd = (
+        g.reshape(b, t, num_heads // pack, pack, hd)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, num_heads, t, hd)
+        .astype(jnp.float32)
+    )
+    o_bhtd = (
+        out.reshape(b, t, num_heads // pack, pack, hd)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, num_heads, t, hd)
+        .astype(jnp.float32)
+    )
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g_bhtd)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g_bhtd, v.astype(jnp.float32))
+    delta = jnp.sum(g_bhtd * o_bhtd, axis=-1)
+    ds = p * (dp - delta[..., None])
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    dqkv = _pack_bhtd(dq, dk, dv, num_heads).astype(qkv.dtype)
+    return dqkv, None
+
+
+_packed_flash.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
+
+
+def flash_attention_packed(qkv, valid=None, *, num_heads: int,
+                           scale: Optional[float] = None,
+                           block_q: int = 256, block_k: int = DEFAULT_BLOCK_K,
+                           interpret: bool = False):
+    """Token-major blockwise attention on a packed (B, T, 3D) qkv array
+    (columns permuted by ``packed_qkv_permutation``). Returns (B, T, D)
+    with heads collapsed h-major — ready for a plain out-projection matmul.
+    Falls back to the reference einsum off-TPU."""
+    b, t, three_d = qkv.shape
+    d = three_d // 3
+    hd = d // num_heads
+    scale = (hd ** -0.5) if scale is None else scale
+    if jax.devices()[0].platform != "tpu":
+        q, k, v = _unpack_bhtd(qkv, num_heads)
+        mask = valid[:, None, None, :] if valid is not None else None
+        out, _ = attention_reference(q, k, v, scale=scale, mask=mask)
+        pack = 128 // hd
+        out = (
+            out.reshape(b, num_heads // pack, pack, t, hd)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(b, t, d)
+        )
+        return out
+    if valid is None:
+        valid = jnp.ones((b, t), bool)
+    pad_t = _round_up(t, 128)
+    # library-kernel heuristic: half-length q blocks at ViT scale (two
+    # programs per (batch, stripe) keep the kv stripe VMEM-resident while
+    # overlapping q/o DMA with compute)
+    bq = pad_t // 2 if pad_t > 256 else pad_t
+    if pad_t != t:
+        qkv = jnp.pad(qkv, ((0, 0), (0, pad_t - t), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
+    out = _packed_flash(qkv, valid, scale, num_heads, bq, block_k, interpret)
+    return out[:, :t, :]

@@ -358,7 +358,12 @@ def _int8_interceptor(q, scales, qparams_for):
 
     def ic(next_fn, args, kwargs, context):
         mod = context.module
-        if context.method_name != "__call__":
+        # Dense/Conv only — notably NOT the attention projections, which
+        # live in a parameter-container module (`models/vit._ProjParams`)
+        # and are applied via custom einsums; they run float, exactly like
+        # torch ao, where MultiheadAttention's in_proj isn't an nn.Linear
+        # and out_proj is NonDynamicallyQuantizableLinear.
+        if not _is_site(mod, context):
             return next_fn(*args, **kwargs)
         kpath = tuple(mod.path) + ("kernel",)
         if kpath not in q:
