@@ -112,10 +112,13 @@ def install_shims() -> None:
 def load_reference_module(name: str):
     """Import a module from /root/reference by name (with shims installed).
 
-    Reference module names (utils, transforms, datasets, ...) are generic;
-    to avoid shadowing anything in the test process they are registered
-    under a ``ref_`` prefix in sys.modules, while intra-reference imports
-    still resolve by their plain names via the sys.path entry."""
+    The reference's modules use generic top-level names (utils, datasets,
+    transforms, ...) and import each other by those names, so they are
+    loaded under their plain names with /root/reference first on sys.path.
+    Caveat: if the test process had already imported a DIFFERENT module
+    under one of those names, sys.modules would shadow the reference —
+    nothing in this repo does (the vipers package is namespaced), but keep
+    parity-test dependencies namespaced too."""
     install_shims()
     if REFERENCE not in sys.path:
         sys.path.insert(0, REFERENCE)

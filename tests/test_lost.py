@@ -410,6 +410,31 @@ def test_batched_lost_poisoned_image_robustness(synthetic_voc, tmp_path,
     with pytest.raises(ValueError, match="background component"):
         ddriver.run_lost(args(str(tmp_path / "strict"), strict=True))
 
+    # per-image path (--visualize disables batching): same contract
+    calls = {"n": 0}
+    real_lost = ddriver.lost
+
+    def poisoned_lost(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ValueError("The seed is in the background component.")
+        return real_lost(*a, **kw)
+
+    monkeypatch.setattr(ddriver, "lost", poisoned_lost)
+    out2 = str(tmp_path / "robust_perimg")
+    a2 = args(out2, strict=False)
+    a2.visualize = "pred"
+    assert ddriver.run_lost(a2) == 0
+    assert "seed in background component for 1 image(s)" in capsys.readouterr().out
+    preds2 = pickle.load(open(os.path.join(out2, "preds.pkl"), "rb"))
+    assert len(preds2) == 2
+
+    calls["n"] = 0
+    a3 = args(str(tmp_path / "strict_perimg"), strict=True)
+    a3.visualize = "pred"
+    with pytest.raises(ValueError, match="background component"):
+        ddriver.run_lost(a3)
+
 
 @pytest.mark.slow
 def test_dinoseg_bucketed_equals_exact_shape():

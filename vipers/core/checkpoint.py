@@ -324,6 +324,9 @@ def export_vit_torchvision(params, masks=None) -> Dict[str, np.ndarray]:
             sd[f"{tk}.bias"] = p[o + ("mlp", ok, "bias")]
     sd["encoder.ln.weight"] = p[("ln", "scale")]
     sd["encoder.ln.bias"] = p[("ln", "bias")]
+    if ("pre_logits", "kernel") in p:
+        sd["heads.pre_logits.weight"] = _lin_w(p[("pre_logits", "kernel")])
+        sd["heads.pre_logits.bias"] = p[("pre_logits", "bias")]
     if ("head", "kernel") in p:
         sd["heads.head.weight"] = _lin_w(p[("head", "kernel")])
         sd["heads.head.bias"] = p[("head", "bias")]

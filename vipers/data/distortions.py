@@ -195,21 +195,29 @@ def _eidolon(img, rng, reach: float, coherence: float, grain: float = 10.0):
     mix = np.sqrt(max(1.0 - c * c, 0.0))
     shared = (_displacement_field(rng, h, w, grain),
               _displacement_field(rng, h, w, grain))
-    # number of bands is shape-determined; draw one independent field pair
-    # per band + residual, shared across channels (the toolbox disarrays
-    # one geometry; we apply it to each channel identically)
-    n_fields = len(_dog_scale_space(img[..., 0])[0]) + 1
+    # One independent field pair per band + residual, shared across
+    # channels (the toolbox disarrays one geometry; we apply it to each
+    # channel identically). Channel 0's decomposition doubles as the band
+    # count, and the fully coherent case (mix == 0) skips the dead
+    # independent-field draws entirely.
+    bands0, residual0 = _dog_scale_space(img[..., 0])
+    n_fields = len(bands0) + 1
     displacements = []
     for _ in range(n_fields):
-        own = (_displacement_field(rng, h, w, grain),
-               _displacement_field(rng, h, w, grain))
-        displacements.append((
-            reach * (c * shared[0] + mix * own[0]),
-            reach * (c * shared[1] + mix * own[1]),
-        ))
+        if mix > 0.0:
+            own = (_displacement_field(rng, h, w, grain),
+                   _displacement_field(rng, h, w, grain))
+            displacements.append((
+                reach * (c * shared[0] + mix * own[0]),
+                reach * (c * shared[1] + mix * own[1]),
+            ))
+        else:
+            displacements.append((reach * shared[0], reach * shared[1]))
     out = np.zeros_like(img)
     for ch in range(img.shape[-1]):
-        bands, residual = _dog_scale_space(img[..., ch])
+        bands, residual = (
+            (bands0, residual0) if ch == 0 else _dog_scale_space(img[..., ch])
+        )
         acc = np.zeros((h, w), np.float32)
         for (dx, dy), band in zip(displacements, bands + [residual]):
             acc += _warp_bilinear(band, dx, dy)

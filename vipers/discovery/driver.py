@@ -606,10 +606,18 @@ def run_lost(args) -> int:
                 dtype=np.float64,
             )
         else:
-            pred, _A, _scores, _seed = lost(
-                feats, dims, scales, init_image_size,
-                k_patches=args.k_patches, valid_dims=valid_dims,
-            )
+            try:
+                pred, _A, _scores, _seed = lost(
+                    feats, dims, scales, init_image_size,
+                    k_patches=args.k_patches, valid_dims=valid_dims,
+                )
+            except ValueError as e:
+                # seed in background — same collect-or-crash contract as
+                # the batched flush above (other ValueErrors still raise)
+                if strict or "background" not in str(e):
+                    raise
+                failed.append(im_name)
+                continue
         acc.add(im_name, pred, gt)
         if args.visualize:
             from vipers.viz.draw import save_lost_visualization

@@ -227,7 +227,7 @@ def _figure_title(args, method, target_name, pred_name, it, sparsity, acc1,
     import re
 
     stage = ("Untrained" if "untrained_model" in out_root
-             else f"pruning iteration {it if it is not None else 0}")
+             else f"pruning iteration {it if it is not None else 'n/a'}")
     seed_info = ""
     mt = re.search(r"seed_(\d+)", out_root)
     if "untrained_model" in out_root and mt:
@@ -276,7 +276,9 @@ def _save_method_figures(d: str, base: str, method: str, hm, image01, title):
                 os.path.join(d, f"attention_heatmap_{base}.png"))
             fig = plt.figure(figsize=(11, 11))
             plt.imshow(image01, alpha=0.75, extent=extent)
-            attr = plt.imshow(rgba, alpha=0.95, extent=extent)
+            # cmap is a no-op for RGBA pixels but sets the colorbar's
+            # colormap — the reference draws a jet bar (`explain.py:366`)
+            attr = plt.imshow(rgba, alpha=0.95, cmap="jet", extent=extent)
             plt.colorbar(attr, location="bottom")
             plt.title(title)
             plt.tight_layout()
@@ -299,9 +301,19 @@ def _save_method_figures(d: str, base: str, method: str, hm, image01, title):
         plt.savefig(os.path.join(d, f"heatmap_{base}"))
         plt.close(fig)
         return
-    # CHW: positive sign, 1% outlier clip, jet, stripped axes
+    # CHW: positive sign, 1% outlier clip, jet, stripped axes. The scale
+    # is captum's cumulative-sum threshold (the value where the sorted
+    # cumulative mass reaches 100-outlier_perc percent) — NOT a plain
+    # percentile, which for sparse attributions sits near zero and would
+    # saturate the whole figure.
     pos = np.maximum(np.asarray(hm, np.float64).sum(0), 0.0)
-    scale = np.percentile(pos, 99) or 1.0
+    sorted_vals = np.sort(pos.ravel())
+    cum = np.cumsum(sorted_vals)
+    if cum[-1] > 0:
+        idx = np.searchsorted(cum, 0.99 * cum[-1])
+        scale = sorted_vals[min(idx, sorted_vals.size - 1)] or 1.0
+    else:
+        scale = 1.0
     disp = np.clip(pos / scale, 0.0, 1.0)
     fig, axis = plt.subplots(figsize=(11, 11))
     axis.imshow(disp, cmap="jet", vmin=0.0, vmax=1.0)
@@ -315,8 +327,6 @@ def _save_method_figures(d: str, base: str, method: str, hm, image01, title):
 
 
 def _explain_one(spec, variables, out_root: str, args) -> int:
-    import json
-
     val_dir = os.path.join(args.data_path, "val")
     from vipers.data.imagefolder import ImageFolder
     from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD, eval_decode
@@ -326,11 +336,11 @@ def _explain_one(spec, variables, out_root: str, args) -> int:
     # IMAGENET2012_CLASSES values); fall back to the directory names
     names = None
     if len(ds.classes) == 1000:
-        meta = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "data", "meta", "imagenet.json")
         try:
-            names = json.load(open(meta))["categories"]
-        except (OSError, KeyError):
+            from vipers.data.imagenet_meta import imagenet_categories
+
+            names = imagenet_categories()
+        except (OSError, ValueError, KeyError):
             names = None
 
     def class_name(idx):
