@@ -239,6 +239,40 @@ def test_stimuli_eval_fn_16_category_decision(tmp_path, rng):
     assert m2.sum() == 236
 
 
+def test_plot_mvh_compare_cli(tmp_path):
+    """plot --kind mvh-compare reproduces the reference's comparison-script
+    family (mvh_triple_comparison / rn50_vs_rn18): one curve per
+    (model, benchmark) pair over pruning steps, missing steps warned and
+    skipped."""
+    import os
+
+    from vipers.cli.main import main
+
+    d = tmp_path / "csvs"
+    for model, steps in (("resnet18", 3), ("resnet50", 2)):
+        for s in range(steps):
+            results = {name: [0.1 * s + 0.05] for name in MVH_ORDER}
+            write_mvh_csv(results, model, s, str(d))
+    out = str(tmp_path / "cmp.png")
+    rc = main([
+        "plot", "--kind", "mvh-compare", "--results-dir", str(d),
+        "--models", "resnet18", "resnet50",
+        "--benchmarks", "rotation", "silhouette",
+        "--max-prune", "4", "--out", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+
+    # no CSVs at all -> raise (caller sees a hard failure, not an empty plot)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        main([
+            "plot", "--kind", "mvh-compare",
+            "--results-dir", str(tmp_path / "empty"),
+            "--models", "nope", "--out", str(tmp_path / "x.png"),
+        ])
+
+
 def test_plot_heatmaps_cli(tmp_path, rng):
     """plot --kind heatmaps: per-class grid (+GIF) from the explain-driver
     layout; .gif --out never collides with the grid; zero matches exits

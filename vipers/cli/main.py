@@ -207,8 +207,19 @@ def main(argv=None):
 
     plot = sub.add_parser("plot", help="sparsity-vs-metric curves / heatmap reports")
     plot.add_argument("--kind", default="lost",
-                      choices=["lost", "mass_rank", "mvh", "heatmaps"])
+                      choices=["lost", "mass_rank", "mvh", "mvh-compare",
+                               "heatmaps"])
     plot.add_argument("--model", default="resnet50")
+    plot.add_argument("--models", nargs="+", default=None,
+                      help="[mvh-compare] models to overlay (e.g. resnet18 "
+                           "resnet50 — mvh_performance_rn50_vs_rn18.py)")
+    plot.add_argument("--benchmarks", nargs="+", default=None,
+                      help="[mvh-compare] benchmark rows to overlay (e.g. "
+                           "silhouette colour false-colour — "
+                           "mvh_triple_comparison.py)")
+    plot.add_argument("--max-prune", type=int, default=26,
+                      help="[mvh-compare] pruning steps scanned "
+                           "(reference scripts' max_prune)")
     plot.add_argument("--results-dir", default="./outputs")
     plot.add_argument("--performance-txt", default="performance.txt")
     plot.add_argument("--out", default="plot.png")

@@ -180,6 +180,54 @@ def plot_mvh(results_dir: str, model: str, out_path: str,
     return out_path
 
 
+def plot_mvh_comparison(results_dir: str, models, benchmarks, out_path: str,
+                        max_prune: int = 26):
+    """Model/benchmark comparison curves over pruning steps — the
+    generalization of the reference's three fixed-combination scripts:
+    `mvh_triple_comparison.py` (one model, silhouette+colour+false-colour),
+    `mvh_performance_rn50_vs_rn18.py` (rotation, rn18 solid vs rn50
+    dashed), `mvh_performance_plot_2.py`. One curve per (model, benchmark)
+    pair from `{model}_pruning_step_{N}.csv`; missing steps warn and are
+    skipped like the reference's FileNotFoundError handler."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(12, 7))
+    linestyles = ["-", "--", "-.", ":"]
+    plotted = 0
+    for mi, model in enumerate(models):
+        for b in benchmarks:
+            ys = []
+            for step in range(max_prune):
+                path = os.path.join(results_dir,
+                                    f"{model}_pruning_step_{step}.csv")
+                if not os.path.exists(path):
+                    print(f"Warning: Could not find {model} data for "
+                          f"pruning step {step}")
+                    continue
+                ys.append(read_mvh_csv(path).get(b, np.nan))
+            if ys:
+                ax.plot(ys, label=f"{model} on {b}", linewidth=3,
+                        linestyle=linestyles[mi % len(linestyles)],
+                        marker="s", markersize=4)
+                plotted += 1
+    if not plotted:
+        raise FileNotFoundError(
+            f"no {models} pruning_step CSVs under {results_dir}"
+        )
+    ax.set_ylim(0, 1)
+    ax.set_xlabel("Pruning step")
+    ax.set_ylabel("Accuracy")
+    ax.grid(True, linestyle="-", alpha=0.1)
+    ax.legend(loc="upper right", frameon=True, edgecolor="black")
+    fig.tight_layout()
+    fig.savefig(out_path, bbox_inches="tight", dpi=120)
+    plt.close(fig)
+    return out_path
+
+
 def run_plot_cli(args) -> int:
     if args.kind == "lost":
         plot_lost_curves(args.results_dir, args.performance_txt, args.out)
@@ -189,6 +237,14 @@ def run_plot_cli(args) -> int:
     elif args.kind == "mvh":
         plot_mvh(args.results_dir, model=getattr(args, "model", "resnet50"),
                  out_path=args.out, performance_txt=args.performance_txt)
+    elif args.kind == "mvh-compare":
+        plot_mvh_comparison(
+            args.results_dir,
+            models=getattr(args, "models", None) or [args.model],
+            benchmarks=getattr(args, "benchmarks", None) or ["rotation"],
+            out_path=args.out,
+            max_prune=getattr(args, "max_prune", 26),
+        )
     elif args.kind == "heatmaps":
         # 5x6 grids (+ optional GIFs) of heatmaps across pruning iterations
         # (`explainations_heatmaps_gif_and_plot.py:16-122` flow)
