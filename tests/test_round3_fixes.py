@@ -217,6 +217,58 @@ def test_restore_checkpoint_numpy_and_warning_free(tmp_path):
     np.testing.assert_array_equal(out["params"]["w"], np.ones((3, 3)))
 
 
+def test_amp_train_step_runs_bf16_compute():
+    """--amp must run the forward on a bf16 PARAMS copy (real mixed
+    precision), keep f32 master params, and track the f32 step closely."""
+    import flax.linen as nn
+    import optax
+
+    from vipers.train.steps import TrainState, make_train_step
+
+    seen_dtypes = []
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, need_attn=False, rngs=None):
+            seen_dtypes.append(x.dtype)
+            h = nn.Dense(16)(x)
+            seen_dtypes.append(h.dtype)
+            return nn.Dense(4, name="head")(nn.relu(h)), {}
+
+    m = M()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (8, 12))
+    variables = m.init(rng, x)
+    tx = optax.sgd(0.1)
+    masks = {}
+
+    outs = {}
+    for tag, dt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
+        seen_dtypes.clear()
+        step = make_train_step(m.apply, tx, num_classes=4, compute_dtype=dt)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree.map(jnp.copy, variables["params"]),
+            batch_stats=None, masks=masks,
+            opt_state=tx.init(variables["params"]),
+        )
+        s2, metrics = step(state, (x, jnp.zeros((8,), jnp.int32)), rng)
+        if tag == "bf16":
+            # the FORWARD ran in bf16 (dense output dtype), not promoted f32
+            assert jnp.bfloat16 in seen_dtypes, seen_dtypes
+        # master params stay f32 either way
+        assert all(
+            a.dtype == jnp.float32 for a in jax.tree.leaves(s2.params)
+        )
+        outs[tag] = (jax.device_get(s2.params), float(metrics["loss"]))
+    f32_p, f32_loss = outs["f32"]
+    bf16_p, bf16_loss = outs["bf16"]
+    assert bf16_loss == pytest.approx(f32_loss, rel=0.05)
+    flat_a = np.concatenate([np.ravel(v) for v in jax.tree.leaves(f32_p)])
+    flat_b = np.concatenate([np.ravel(v) for v in jax.tree.leaves(bf16_p)])
+    np.testing.assert_allclose(flat_a, flat_b, atol=0.05)
+
+
 def test_lost_workers_zero_is_synchronous(monkeypatch, tmp_path):
     """--workers 0 must mean 1 decode worker, not silently 8."""
     import argparse

@@ -83,7 +83,20 @@ def make_train_step(
 
     def loss_fn(params, batch_stats, masks, batch, rng):
         images, labels = batch
-        variables = {"params": apply_masks(params, masks)}
+        masked = apply_masks(params, masks)
+        if compute_dtype != jnp.float32:
+            # REAL mixed precision: the forward/backward runs on a
+            # compute_dtype COPY of the params (f32 master params keep
+            # full-precision updates; autodiff through the cast returns
+            # f32 grads). Casting only the images would promote every
+            # matmul back to f32 against the f32 weights — measured
+            # indistinguishable from the f32 step.
+            masked = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                masked,
+            )
+        variables = {"params": masked}
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
             (logits, _aux), new_vars = apply_fn(
@@ -154,7 +167,16 @@ def make_eval_step(apply_fn, num_classes: int, label_smoothing: float = 0.0,
         images, labels = batch
         params = state.ema_params if use_ema else state.params
         bs = state.ema_batch_stats if use_ema else state.batch_stats
-        variables = {"params": apply_masks(params, state.masks)}
+        masked = apply_masks(params, state.masks)
+        if compute_dtype != jnp.float32:
+            # bf16 params copy, like the train step — image-only casting
+            # promotes everything back to f32 against f32 weights
+            masked = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                masked,
+            )
+        variables = {"params": masked}
         if bs is not None:
             variables["batch_stats"] = bs
         logits, _aux = apply_fn(variables, images.astype(compute_dtype), train=False,
