@@ -272,28 +272,33 @@ def test_eval_sweep_voc_branch(tmp_path):
 </object></annotation>""")
     (root / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
 
-    # one checkpoint matching the sweep glob
+    # checkpoints in the REFERENCE's sweep layout: the {model} subdirectory
+    # with the literal `model_epoch_89` stem (`evaluate_models.py:230`),
+    # two iterations out of order on disk
     out_dir = tmp_path / "out"
-    out_dir.mkdir()
+    models_dir = out_dir / "resnet18"
+    models_dir.mkdir(parents=True)
     spec = build_model("resnet18", num_classes=20)
     variables = spec.module.init(jax.random.PRNGKey(0),
                                  jnp.zeros((1, 32, 32, 3)), train=False)
-    save_checkpoint(
-        str(out_dir / "resnet18_epoch_0_pruning_iteration_00"),
-        {"params": variables["params"],
-         "batch_stats": variables["batch_stats"]},
-    )
+    for it in (1, 0):
+        save_checkpoint(
+            str(models_dir / f"model_epoch_89_pruning_iteration_{it:02d}"),
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+        )
 
     cfg = _cfg(str(root), tmp_path, model="resnet18", num_classes=20,
                eval_dataset="voc", resnet_dilate=1,
                output_dir=str(out_dir), val_resize_size=48, val_crop_size=32)
     rows = run_sweep(cfg)
-    assert len(rows) == 1
+    assert len(rows) == 2  # every reference-layout iteration found
     acc1, sparsity = rows[0]
     assert 0.0 <= acc1 <= 100.0
     txt = out_dir / "resnet18_dilation_1.txt"
     assert txt.exists()
-    assert "voc/acc1" in txt.read_text()
+    body = txt.read_text()
+    assert body.count("voc/acc1") == 2
 
 
 def test_new_train_flags_reach_config():
