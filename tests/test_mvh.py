@@ -271,6 +271,13 @@ def test_plot_mvh_compare_cli(tmp_path):
             "--results-dir", str(tmp_path / "empty"),
             "--models", "nope", "--out", str(tmp_path / "x.png"),
         ])
+    # typo'd benchmark name -> hard error, not a silent blank plot
+    with _pytest.raises(ValueError, match="unknown benchmark"):
+        main([
+            "plot", "--kind", "mvh-compare", "--results-dir", str(d),
+            "--models", "resnet18", "--benchmarks", "false_colour",
+            "--out", str(tmp_path / "y.png"),
+        ])
 
 
 def test_plot_heatmaps_cli(tmp_path, rng):

@@ -199,7 +199,10 @@ def _eidolon(img, rng, reach: float, coherence: float, grain: float = 10.0):
     # channels (the toolbox disarrays one geometry; we apply it to each
     # channel identically). Channel 0's decomposition doubles as the band
     # count, and the fully coherent case (mix == 0) skips the dead
-    # independent-field draws entirely.
+    # independent-field draws entirely — this consumes fewer RNG draws
+    # than the c<1 path, so eidolonI streams are not cross-comparable
+    # with the other coherences at the same seed (they never were:
+    # distinct field sets), only distribution-identical.
     bands0, residual0 = _dog_scale_space(img[..., 0])
     n_fields = len(bands0) + 1
     displacements = []

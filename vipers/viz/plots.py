@@ -194,28 +194,44 @@ def plot_mvh_comparison(results_dir: str, models, benchmarks, out_path: str,
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    unknown = [b for b in benchmarks if b not in MVH_BENCHMARKS]
+    if unknown:
+        raise ValueError(
+            f"unknown benchmark(s) {unknown}; valid names: {MVH_BENCHMARKS}"
+        )
+    # one read per (model, step); curves plotted at TRUE step numbers so
+    # models with different missing-step patterns stay x-aligned (the
+    # reference scripts skip-and-shift, but they never overlay models)
+    per_model = {}
+    for model in models:
+        rows = {}
+        for step in range(max_prune):
+            path = os.path.join(results_dir,
+                                f"{model}_pruning_step_{step}.csv")
+            if not os.path.exists(path):
+                print(f"Warning: Could not find {model} data for "
+                      f"pruning step {step}")
+                continue
+            rows[step] = read_mvh_csv(path)
+        per_model[model] = rows
+
     fig, ax = plt.subplots(figsize=(12, 7))
     linestyles = ["-", "--", "-.", ":"]
     plotted = 0
     for mi, model in enumerate(models):
+        rows = per_model[model]
         for b in benchmarks:
-            ys = []
-            for step in range(max_prune):
-                path = os.path.join(results_dir,
-                                    f"{model}_pruning_step_{step}.csv")
-                if not os.path.exists(path):
-                    print(f"Warning: Could not find {model} data for "
-                          f"pruning step {step}")
-                    continue
-                ys.append(read_mvh_csv(path).get(b, np.nan))
-            if ys:
-                ax.plot(ys, label=f"{model} on {b}", linewidth=3,
+            xs = sorted(rows)
+            ys = [rows[s].get(b, np.nan) for s in xs]
+            if ys and np.isfinite(ys).any():
+                ax.plot(xs, ys, label=f"{model} on {b}", linewidth=3,
                         linestyle=linestyles[mi % len(linestyles)],
                         marker="s", markersize=4)
                 plotted += 1
     if not plotted:
         raise FileNotFoundError(
-            f"no {models} pruning_step CSVs under {results_dir}"
+            f"no {models} pruning_step CSVs with {benchmarks} data under "
+            f"{results_dir}"
         )
     ax.set_ylim(0, 1)
     ax.set_xlabel("Pruning step")
