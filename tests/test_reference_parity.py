@@ -357,6 +357,36 @@ def test_main_lost_vit_flow_reference_in_loop(tiny_pair, synthetic_voc,
         jax.config.update("jax_default_matmul_precision", None)
 
 
+def test_dino_seg_reference_in_loop(tiny_pair, synthetic_voc):
+    """`object_discovery.dino_seg` run on the attention maps vipers
+    extracts must produce the same box as `vipers.discovery.lost.dino_seg
+    (reference_bugs=True)` — including the reference's component-id
+    off-by-ones."""
+    import torch
+
+    od = load_reference_module("object_discovery")
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.discovery.lost import dino_seg as vipers_dino_seg
+
+    spec, variables, _sd = tiny_pair
+    extractor = LostFeatureExtractor(spec, variables, arch="vit",
+                                     which_features="k", bucket=1,
+                                     need_attn=True)
+    compared = 0
+    for _im, padded, _init, _gt in _padded_voc_images(synthetic_voc):
+        _f, dims, _vd, _s, attn = extractor.extract(padded, PATCH)
+        t_attn = torch.tensor(np.asarray(attn, np.float32))
+        for head in range(TINY["num_heads"]):
+            ref_box = od.dino_seg(t_attn, dims, PATCH, head=head)
+            vip_box = vipers_dino_seg(attn, dims, PATCH, head=head,
+                                      reference_bugs=True)
+            assert [int(v) for v in ref_box] == [int(v) for v in vip_box], (
+                head, ref_box, vip_box
+            )
+            compared += 1
+    assert compared >= 4
+
+
 def test_snip_pruning_reference_in_loop(tiny_pair):
     """`train.snip_pruning` (`train.py:241-319`) on the exported torch
     model vs `vipers.pruning.snip_prune` on the same weights and batch:
