@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 from typing import Optional
 
 import jax
@@ -545,6 +546,27 @@ def run_lost(args) -> int:
     # image can't discard a whole accumulated sweep.
     strict = bool(getattr(args, "strict", False))
     failed: list = []
+    # Double buffering: pipeline dispatch is async, so flush() enqueues the
+    # device program and defers the blocking device_get until the NEXT
+    # flush — host decode + batch assembly of bucket N+1 overlap device
+    # compute of bucket N (the ~4-5 ms/batch dispatch+readback gap
+    # measured in docs/PERF.md round 3).
+    in_flight = deque()
+
+    def drain_one():
+        outs, recs, n_real = in_flight.popleft()
+        box_feat, _seeds, seed_bg = jax.device_get(outs)
+        for i in range(n_real):
+            im_name, _img, init_size, gt_i = recs[i]
+            if bool(seed_bg[i]):
+                if strict:
+                    raise ValueError(
+                        f"The seed is in the background component ({im_name})."
+                    )
+                failed.append(im_name)
+                continue
+            pred = box_feat_to_image(box_feat[i], [p, p], init_size)
+            acc.add(im_name, pred, gt_i)
 
     def flush(bucket_key):
         recs = buffers.pop(bucket_key)
@@ -557,20 +579,12 @@ def run_lost(args) -> int:
         if mesh is not None:
             batch_inputs = extractor.shard_for_mesh(mesh, batch_inputs)
         images, pos, tmask, vhw = batch_inputs
-        box_feat, _seeds, seed_bg = jax.device_get(
-            pipeline(extractor.variables, images, pos, tmask, vhw)
-        )
-        for i in range(n_real):
-            im_name, _img, init_size, gt_i = recs[i]
-            if bool(seed_bg[i]):
-                if strict:
-                    raise ValueError(
-                        f"The seed is in the background component ({im_name})."
-                    )
-                failed.append(im_name)
-                continue
-            pred = box_feat_to_image(box_feat[i], [p, p], init_size)
-            acc.add(im_name, pred, gt_i)
+        in_flight.append((
+            pipeline(extractor.variables, images, pos, tmask, vhw),
+            recs, n_real,
+        ))
+        while len(in_flight) > 1:
+            drain_one()
 
     # tier-1 padding (participates) — `main_lost.py:399-407` — happens in
     # the prefetch workers; host decode overlaps device compute.
@@ -631,6 +645,8 @@ def run_lost(args) -> int:
 
     for key in sorted(buffers):
         flush(key)
+    while in_flight:
+        drain_one()
     if failed:
         print(
             f"WARNING: seed in background component for {len(failed)} "
