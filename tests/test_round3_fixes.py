@@ -269,6 +269,64 @@ def test_amp_train_step_runs_bf16_compute():
     np.testing.assert_allclose(flat_a, flat_b, atol=0.05)
 
 
+def test_int8_dynamic_apply_static_qparams():
+    """Calibrated observer qparams (checkpoint "observers") must override
+    the dynamic per-tensor min/max at matching sites — torch
+    static-quantization semantics for the int8 serving path."""
+    import flax.linen as nn
+
+    from vipers.train.quantize import (
+        int8_dynamic_apply, quantize_params_int8,
+    )
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False, need_attn=False):
+            return nn.Dense(8, name="d")(x)
+
+    m = M()
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, 6)) * 2.0
+    variables = m.init(rng, x)
+    q, scales = quantize_params_int8(variables["params"], exclude=())
+
+    dyn = int8_dynamic_apply(m, variables, x, q, scales)
+    # static qparams for the same range -> close to dynamic
+    mn, mx = float(x.min()), float(x.max())
+    scale = max((max(mx, 0.0) - min(mn, 0.0)) / 255.0, 1e-9)
+    zp = float(np.clip(round(0 - min(mn, 0.0) / scale), 0, 255))
+    good = int8_dynamic_apply(
+        m, variables, x, q, scales,
+        static_qparams={"d": (jnp.asarray(scale), jnp.asarray(zp))},
+    )
+    np.testing.assert_allclose(np.asarray(good), np.asarray(dyn), atol=0.1)
+    # a deliberately wrong (10x too narrow) static range must CHANGE the
+    # result — proving the static path is actually taken
+    bad = int8_dynamic_apply(
+        m, variables, x, q, scales,
+        static_qparams={"d": (jnp.asarray(scale / 10), jnp.asarray(zp))},
+    )
+    assert float(np.abs(np.asarray(bad) - np.asarray(dyn)).max()) > 0.05
+
+
+def test_load_lost_checkpoint_returns_observers(tmp_path):
+    """Checkpoints written by `vipers quantize` carry observers; the LOST
+    loader must surface them for calibrated int8 serving."""
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.discovery.driver import load_lost_checkpoint
+
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {
+        "params": {"w": jnp.ones((2, 2))},
+        "observers": {"enc/d:in": {"min": np.float32(-1.5),
+                                   "max": np.float32(3.0)}},
+    })
+    variables, masks, obs = load_lost_checkpoint(path, None, None)
+    assert obs is not None and "enc/d:in" in obs
+    assert float(obs["enc/d:in"]["max"]) == 3.0
+    assert masks == {}
+
+
 def test_lost_workers_zero_is_synchronous(monkeypatch, tmp_path):
     """--workers 0 must mean 1 decode worker, not silently 8."""
     import argparse

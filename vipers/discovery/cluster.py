@@ -60,7 +60,7 @@ def cluster_boxes(
     if checkpoint:
         from vipers.discovery.driver import load_lost_checkpoint
 
-        variables, _masks = load_lost_checkpoint(checkpoint, spec, variables)
+        variables, _masks, _obs = load_lost_checkpoint(checkpoint, spec, variables)
     else:
         print("[vipers.cluster] WARNING: no --checkpoint given; embedding "
               "with RANDOM weights — pseudo-labels will be meaningless")

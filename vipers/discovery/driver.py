@@ -55,7 +55,8 @@ class LostFeatureExtractor:
 
     def __init__(self, spec, variables, masks=None, arch: str = "vit",
                  which_features: str = "k", bucket: int = 4,
-                 need_attn: bool = False, compute_dtype=None):
+                 need_attn: bool = False, compute_dtype=None,
+                 observers=None):
         self.spec = spec
         self.arch = arch
         self.which = which_features
@@ -64,9 +65,13 @@ class LostFeatureExtractor:
         if masks:
             params = apply_masks(params, masks)
         # "int8" serving mode: per-channel int8 kernels executed as REAL
-        # integer matmuls/convs with dynamic activation qparams; the rest
-        # of the net (layernorm, attention softmax, GELU) runs bf16.
+        # integer matmuls/convs; activation qparams come from the loaded
+        # checkpoint's PTQ/QAT observers when present (``observers``:
+        # {site: {"min", "max"}}, calibrated ranges, no per-batch
+        # reductions) and from dynamic per-tensor min/max otherwise; the
+        # rest of the net (layernorm, attention softmax, GELU) runs bf16.
         self.int8 = compute_dtype == "int8"
+        self.observers = observers if self.int8 else None
         self._q = self._scales = None
         if self.int8:
             from vipers.train.quantize import quantize_params_int8
@@ -130,6 +135,21 @@ class LostFeatureExtractor:
         from vipers.train.quantize import int8_dynamic_apply
 
         q, scales = self._q, self._scales
+        static_qparams = None
+        if self.observers:
+            from vipers.train.quantize import ObserverState
+
+            static_qparams = {}
+            for site, mm in self.observers.items():
+                site = site[:-3] if site.endswith(":in") else site
+                if site.endswith(":out"):
+                    continue
+                obs = ObserverState(
+                    jnp.asarray(mm["min"], jnp.float32),
+                    jnp.asarray(mm["max"], jnp.float32),
+                    jnp.ones((), bool),
+                )
+                static_qparams[site] = obs.qparams()
 
         def apply_int8(variables, img, **kwargs):
             # exclude bucket-/seq-pad token rows from each site's dynamic
@@ -148,6 +168,7 @@ class LostFeatureExtractor:
             return int8_dynamic_apply(
                 spec.module, variables, img, q, scales,
                 exclude=spec.prune_exclude, qparams_token_masks=masks,
+                static_qparams=static_qparams,
                 **kwargs,
             )
 
@@ -497,14 +518,17 @@ def run_lost(args) -> int:
     h0 = w0 = 224
     variables = spec.module.init(rng, jnp.zeros((1, h0, w0, 3)), train=False)
     masks = None
+    observers = None
     if args.checkpoint:
-        variables, masks = load_lost_checkpoint(args.checkpoint, spec, variables)
+        variables, masks, observers = load_lost_checkpoint(
+            args.checkpoint, spec, variables)
 
     dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": "int8"}[
         getattr(args, "dtype", None) or "f32"
     ]
     extractor = LostFeatureExtractor(
         spec, variables, masks, arch=arch, which_features=args.which_features,
+        observers=observers,
         # dino_seg is bucket-safe: the masked softmax gives bucket-pad keys
         # EXACT zero attention probability, so the 60%-mass threshold,
         # component analysis, and box are unchanged (tested) — no
@@ -665,7 +689,10 @@ def run_lost(args) -> int:
 
 def load_lost_checkpoint(path: str, spec, variables):
     """Load either an orbax checkpoint dir (ours) or a torch .pth
-    (imported); returns (variables, masks)."""
+    (imported); returns (variables, masks, observers) — observers is the
+    PTQ/QAT activation-range dict ({site: {"min", "max"}}) when the
+    checkpoint carries one (written by `vipers quantize`), else None; the
+    int8 serving path uses it for calibrated static qparams."""
     if path.endswith(".pth") or path.endswith(".pt"):
         from vipers.core.checkpoint import import_torch_checkpoint, to_jax
 
@@ -673,7 +700,8 @@ def load_lost_checkpoint(path: str, spec, variables):
         variables = {"params": to_jax(params)}
         if batch_stats is not None:
             variables["batch_stats"] = to_jax(batch_stats)
-        return variables, {k: jnp.asarray(v) for k, v in (masks or {}).items()}
+        return (variables,
+                {k: jnp.asarray(v) for k, v in (masks or {}).items()}, None)
     from vipers.core.checkpoint import restore_checkpoint
 
     tree = restore_checkpoint(path)
@@ -684,4 +712,4 @@ def load_lost_checkpoint(path: str, spec, variables):
         tuple(k.split("/")): jnp.asarray(v, bool)
         for k, v in (tree.get("masks") or {}).items()
     }
-    return variables, masks
+    return variables, masks, tree.get("observers")

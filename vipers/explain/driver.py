@@ -38,7 +38,7 @@ def _load_model(model_name: str, checkpoint: str = "", seed: int = 0):
     if checkpoint:
         from vipers.discovery.driver import load_lost_checkpoint
 
-        variables, masks = load_lost_checkpoint(checkpoint, spec, variables)
+        variables, masks, _obs = load_lost_checkpoint(checkpoint, spec, variables)
         if masks:
             variables = dict(variables, params=apply_masks(variables["params"], masks))
     return spec, variables

@@ -160,7 +160,7 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
     rows = []
     with open(out_txt, "a") as f:
         for ckpt in ckpts:
-            variables, masks = load_lost_checkpoint(ckpt, s.spec, None)
+            variables, masks, _obs = load_lost_checkpoint(ckpt, s.spec, None)
             state = s.state.replace(
                 params=variables["params"],
                 batch_stats=variables.get("batch_stats", s.state.batch_stats),

@@ -16,7 +16,7 @@ def run_mvh_cli(args) -> int:
     if args.checkpoint:
         from vipers.discovery.driver import load_lost_checkpoint
 
-        variables, masks = load_lost_checkpoint(args.checkpoint, s.spec, None)
+        variables, masks, _obs = load_lost_checkpoint(args.checkpoint, s.spec, None)
         state = state.replace(
             params=variables["params"],
             batch_stats=variables.get("batch_stats", state.batch_stats),

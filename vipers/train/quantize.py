@@ -432,7 +432,7 @@ def dynamic_qparams(x, token_mask=None):
 
 
 def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
-                       qparams_token_masks=None,
+                       qparams_token_masks=None, static_qparams=None,
                        **apply_kwargs):
     """Inference with quantized Dense/Conv executed in real int8 using
     DYNAMIC per-tensor activation qparams (no calibration pass needed) —
@@ -443,7 +443,10 @@ def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
     ``qparams_token_masks`` maps token-count T -> (B, T) validity mask;
     (B, T, C) activations whose T matches get pad rows excluded from the
     dynamic range (supply both the raw and seq-padded T when the model
-    pads internally).
+    pads internally). ``static_qparams`` maps site path -> (scale, zp)
+    from calibrated PTQ/QAT observers; matching sites skip the dynamic
+    min/max entirely (torch static-quantization semantics), others stay
+    dynamic.
 
     Measured on v5e at the ViT-S/16 LOST shape (B=32, T=769): ~854 img/s
     vs ~970 bf16 — at this model scale the per-site min/max reductions and
@@ -459,6 +462,10 @@ def int8_dynamic_apply(module, variables, x, q, scales, exclude=(),
     def qparams_for(site, xin):
         if any(e in site for e in exclude):
             return None
+        if static_qparams is not None and site in static_qparams:
+            # calibrated range from the checkpoint's observers: no
+            # per-batch min/max reduction on the hot path
+            return static_qparams[site]
         m = None
         if qparams_token_masks and xin.ndim == 3:
             m = qparams_token_masks.get(xin.shape[1])
