@@ -102,6 +102,11 @@ def install_shims() -> None:
     _stub("pytorch_grad_cam.utils.image",
           __getattr__=_any_transform_getattr)
     _stub("tqdm", tqdm=lambda it=None, **kw: it)
+    # lost_performance_plot.py's stray imports (cv2, turtle) — turtle
+    # would pull tkinter in headless CI; neither is used by the parsing
+    # code under test
+    _stub("cv2", __getattr__=_any_transform_getattr)
+    _stub("turtle", title=None)
     _stub("wandb",
           init=lambda *a, **kw: None,
           log=lambda *a, **kw: None,
@@ -167,6 +172,41 @@ def numpy1_percentile_compat():
         yield
     finally:
         np.percentile = real
+
+
+@contextlib.contextmanager
+def redirect_scratch_io(target_dir: str):
+    """Rewrite '/scratch/...' paths in builtins.open (and ensure mapped
+    parent dirs exist) for reference scripts that hard-code /scratch
+    artifact locations (`mvh_performance_plot.py:20`,
+    `lost_performance_plot.py:146-229`). Non-/scratch paths untouched."""
+    import builtins
+
+    real_open = builtins.open
+    real_makedirs = os.makedirs
+
+    def _map(path):
+        if isinstance(path, str) and path.startswith("/scratch/"):
+            mapped = os.path.join(target_dir, path[len("/scratch/"):])
+            real_makedirs(os.path.dirname(mapped), exist_ok=True)
+            return mapped
+        return path
+
+    def patched_open(file, *a, **kw):
+        return real_open(_map(file), *a, **kw)
+
+    def patched_makedirs(name, *a, **kw):
+        return real_makedirs(_map(name) if isinstance(name, str)
+                             and name.startswith("/scratch/") else name,
+                             *a, **kw)
+
+    builtins.open = patched_open
+    os.makedirs = patched_makedirs
+    try:
+        yield _map
+    finally:
+        builtins.open = real_open
+        os.makedirs = real_makedirs
 
 
 @contextlib.contextmanager

@@ -1,0 +1,105 @@
+"""Artifact-contract parity: the REFERENCE's own downstream consumers run
+in-loop over artifacts vipers writes.
+
+`lost_performance_plot.py` and `mvh_performance_plot.py` are the
+reference's plotting stage — they parse `performance.txt`,
+`results_iteration_NN.txt`, and `{model}_pruning_step_{N}.csv`. Feeding
+them files produced by vipers' writers proves the artifact formats
+byte-compatible where it matters: the reference's own parsers."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from reference_loader import load_reference_module, redirect_scratch_io  # noqa: E402
+
+pytestmark = pytest.mark.slow
+
+
+def test_reference_lost_plot_consumes_vipers_artifacts(tmp_path, capsys):
+    """`lost_performance_plot.main` parses vipers' performance.txt and
+    CorLoc results_iteration_NN.txt and renders its plot."""
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    lpp = load_reference_module("lost_performance_plot")
+    from vipers.core.metrics import MetricsWriter
+    from vipers.discovery.corloc import CorLocAccumulator
+
+    root = tmp_path / "val_results"
+    model = "vit_b_32"
+    # performance.txt via the vipers writer (acc1 \t sparsity rows)
+    rows = [(70.5, 0.0), (68.1, 35.0), (65.0, 58.0)]
+    MetricsWriter.export_performance_txt(str(tmp_path / "performance.txt"),
+                                         rows)
+    # CorLoc results per iteration via the vipers accumulator
+    out_lost = root / f"LOST-{model}"
+    out_lost.mkdir(parents=True)
+    for it in range(3):
+        acc = CorLocAccumulator()
+        gt = np.asarray([[0.0, 0.0, 10.0, 10.0]])
+        acc.add("a.jpg", np.asarray([0.0, 0.0, 10.0, 10.0]), gt)  # hit
+        if it:
+            acc.add("b.jpg", np.asarray([50, 50, 60, 60.0]), gt)  # miss
+        acc.save(str(out_lost), it, save_preds=False, save_results=True)
+
+    args = argparse.Namespace(
+        model=model, model_max_prune=2, csv=False,
+        root_results_path=str(root),
+        performance_path=str(tmp_path / "performance.txt"),
+        models_path="", dilate=1,
+    )
+    with redirect_scratch_io(str(tmp_path / "scratch")) as mapper:
+        lpp.main(args)
+    capsys.readouterr()
+    out_jpg = mapper(f"/scratch/lost/{model}_val_plot.jpg")
+    assert os.path.exists(out_jpg) and os.path.getsize(out_jpg) > 0
+
+
+def test_reference_mvh_plot_consumes_vipers_csvs(tmp_path, capsys):
+    """`mvh_performance_plot.main` indexes the exact CSV row structure
+    `write_mvh_csv` emits (rows 1..18, last column) and the whitespace
+    performance.txt — end-to-end through the reference's own csv.reader
+    loop."""
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    mpp = load_reference_module("mvh_performance_plot")
+    from vipers.core.metrics import MetricsWriter
+    from vipers.train.mvh import MVH_ORDER, write_mvh_csv
+
+    model = "resnet18"
+    with redirect_scratch_io(str(tmp_path / "scratch")) as mapper:
+        base = mapper("/scratch/tesi_magistrale/x")  # force dir creation
+        base_dir = os.path.dirname(base)
+        os.makedirs(os.path.join(base_dir, model), exist_ok=True)
+        MetricsWriter.export_performance_txt(
+            os.path.join(base_dir, model, "performance.txt"),
+            [(70.0, 0.0), (68.0, 30.0), (66.0, 50.0)],
+        )
+        for step in range(3):
+            results = {
+                name: [0.5 + 0.01 * step + 0.001 * i]
+                for i, name in enumerate(MVH_ORDER)
+            }
+            write_mvh_csv(results, model, step, base_dir)
+        args = argparse.Namespace(model_name=model, max_prune=3)
+        mpp.main(args)
+        capsys.readouterr()
+        save_dir = mapper(
+            "/scratch/tesi_magistrale/model_vs_human_performances/x"
+        )
+        found = []
+        for dirpath, _dirs, files in os.walk(os.path.dirname(save_dir)):
+            found.extend(os.path.join(dirpath, f) for f in files)
+        assert found, "reference mvh plot wrote no artifact"
