@@ -212,6 +212,19 @@ def main():
             )
     results, p50_ms = bench_tpu()
     value = max(results.values())
+    # MFU: achieved model FLOP/s over the chip's bf16 peak (absolute
+    # utilization — the number that matters alongside img/s/chip; the
+    # vs_baseline multiplier is a torch-CPU stand-in of the reference
+    # pipeline shape, the only reference runtime on this GPU-less host)
+    d, layers, mlp_ratio = 384, 12, 4
+    t = GH * GW + 1
+    t_pad = -(-t // 128) * 128
+    flops_per_image = 2.0 * (
+        layers * t * (3 * d * d + d * d + 2 * mlp_ratio * d * d)
+        + layers * 2 * t_pad * t_pad * d
+        + t * (PATCH * PATCH * 3) * d
+    )
+    v5e_bf16_peak = 197e12
     print(
         json.dumps(
             {
@@ -222,6 +235,9 @@ def main():
                 "p50_latency_ms": round(p50_ms, 3),
                 "f32_imgs_per_sec": round(results["f32"], 3),
                 "bf16_imgs_per_sec": round(results["bf16"], 3),
+                "mfu_pct_v5e_bf16": round(
+                    100.0 * value * flops_per_image / v5e_bf16_peak, 1
+                ),
                 "path": "vipers.discovery.LostFeatureExtractor.make_batched_pipeline (shipped)",
             }
         )
