@@ -11,7 +11,31 @@ cluster_for_OD.py) with::
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+
+def _enable_compilation_cache():
+    """Persist XLA compiles across CLI invocations. On a (tunneled) TPU a
+    cold ViT compile costs 20-40 s and a LOST run touches several bucket
+    shapes — without a persistent cache every invocation repays all of it.
+    Default ~/.cache/vipers/jax; override with VIPERS_JAX_CACHE, disable
+    with VIPERS_JAX_CACHE=0."""
+    cache = os.environ.get(
+        "VIPERS_JAX_CACHE", os.path.expanduser("~/.cache/vipers/jax")
+    )
+    if not cache or cache == "0":
+        return
+    try:
+        import jax
+
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        # persist EVERYTHING: on this class of host even trivial-op
+        # compiles cost ~0.4 s, and a cold LOST run dispatches dozens
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception as e:  # cache is an optimization, never fatal
+        print(f"warning: compilation cache disabled ({e})")
 
 
 def main(argv=None):
@@ -239,6 +263,7 @@ def main(argv=None):
     from vipers.parallel.mesh import maybe_initialize_distributed
 
     maybe_initialize_distributed()
+    _enable_compilation_cache()
 
     if args.cmd == "train":
         from vipers.core.config import config_from_args

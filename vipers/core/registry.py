@@ -55,7 +55,23 @@ class ModelSpec:
         if sample_input is None:
             h, w = self.input_size
             sample_input = jnp.zeros((1, h, w, 3), jnp.float32)
-        return self.module.init(rng, sample_input, train=train)
+        return init_variables(self.module, rng, sample_input, train=train)
+
+
+def init_variables(module, rng, sample_input, **init_kwargs):
+    """``module.init`` under ONE jitted program.
+
+    Eager flax init dispatches hundreds of tiny ops; on a remote/tunneled
+    TPU each eager dispatch is a network round trip (~0.4 s measured), so
+    an un-jitted ViT init costs minutes. One jitted init is a single
+    (persistently cacheable) compile."""
+    import functools
+
+    import jax
+
+    return jax.jit(
+        functools.partial(module.init, **init_kwargs)
+    )(rng, sample_input)
 
 
 def register_model(name: Optional[str] = None):

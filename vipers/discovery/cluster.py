@@ -54,8 +54,11 @@ def cluster_boxes(
     pseudo-labels, so their absence is warned loudly.
     """
     spec = build_model(model_name, patch_size=patch_size)
-    variables = spec.module.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)), train=False
+    from vipers.core.registry import init_variables
+
+    variables = init_variables(
+        spec.module, jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)),
+        train=False,
     )
     if checkpoint:
         from vipers.discovery.driver import load_lost_checkpoint

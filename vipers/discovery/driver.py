@@ -22,9 +22,11 @@ Feature modalities (`main_lost.py:478-499`):
 
 from __future__ import annotations
 
+import functools
 import os
 import time
 from collections import deque
+from contextlib import nullcontext as _nullcontext
 from typing import Optional
 
 import jax
@@ -40,6 +42,29 @@ from vipers.models.dino_vit import split_qkv_dino
 from vipers.models.interpolate import interpolate_pos_embedding
 from vipers.models.vit import scrambled_qkv_gather, split_qkv_torchvision
 from vipers.pruning.masks import apply_masks
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_fn(grid_hw, align: bool):
+    """One jitted interpolation program per target grid, pinned to the
+    host CPU backend: the op is tiny, but eager dispatch compiles ~15
+    micro-programs per shape (~0.4 s each on a 1-core host) and on a
+    tunneled TPU each would also be a network round trip."""
+    import jax
+
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+
+    def run(pos):
+        return interpolate_pos_embedding(pos, grid_hw, align_corners=align)
+
+    return jax.jit(run, device=cpu) if cpu is not None else jax.jit(run)
+
+
+def _jitted_interpolate(pos, grid_hw, align: bool):
+    return _interp_fn(tuple(int(v) for v in grid_hw), bool(align))(pos)
 
 
 def _seq_pad(img_shape, patch: int, need_attn: bool):
@@ -63,7 +88,10 @@ class LostFeatureExtractor:
         self.bucket = bucket
         params = variables["params"]
         if masks:
-            params = apply_masks(params, masks)
+            # ONE jitted program for the whole mask bake: eager per-leaf
+            # multiplies would cost a network round trip per parameter on
+            # a tunneled TPU (~0.4 s x ~150 leaves)
+            params = jax.jit(apply_masks)(params, masks)
         # "int8" serving mode: per-channel int8 kernels executed as REAL
         # integer matmuls/convs; activation qparams come from the loaded
         # checkpoint's PTQ/QAT observers when present (``observers``:
@@ -76,18 +104,19 @@ class LostFeatureExtractor:
         if self.int8:
             from vipers.train.quantize import quantize_params_int8
 
-            self._q, self._scales = quantize_params_int8(
-                params, exclude=spec.prune_exclude
-            )
+            self._q, self._scales = jax.jit(
+                lambda p: quantize_params_int8(p, exclude=spec.prune_exclude)
+            )(params)
             compute_dtype = jnp.bfloat16
         if compute_dtype is not None:
-            # bf16 inference: cast params once; LOST's affinity still
-            # accumulates in f32 (preferred_element_type in lost_core).
-            params = jax.tree.map(
+            # bf16 inference: cast params once (single jitted program);
+            # LOST's affinity still accumulates in f32
+            # (preferred_element_type in lost_core).
+            params = jax.jit(lambda p: jax.tree.map(
                 lambda a: a.astype(compute_dtype)
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
-                params,
-            )
+                p,
+            ))(params)
         self.compute_dtype = compute_dtype or jnp.float32
         self.variables = dict(variables, params=params)
         self._pos_cache = {}
@@ -189,7 +218,13 @@ class LostFeatureExtractor:
                 interp = jnp.asarray(pos, jnp.float32)  # native grid: no resize
             else:
                 align = self.arch == "vit"  # torchvision align=True; DINO False
-                interp = interpolate_pos_embedding(pos, (gh, gw), align_corners=align)
+                # pin the interpolation to the host CPU backend: it's a
+                # tiny one-shot op, but on a (tunneled) TPU every unique
+                # (gh, gw) would otherwise cost a fresh ~20 s device
+                # compile — measured 58 s of a 4-image CLI run
+                interp = _jitted_interpolate(
+                    np.asarray(pos, np.float32), (gh, gw), align
+                )
             d = interp.shape[-1]
             full = np.zeros((1, GH * GW + 1, d), np.float32)
             full[:, 0] = np.asarray(interp[:, 0])
@@ -516,7 +551,9 @@ def run_lost(args) -> int:
 
     rng = jax.random.PRNGKey(0)
     h0 = w0 = 224
-    variables = spec.module.init(rng, jnp.zeros((1, h0, w0, 3)), train=False)
+    from vipers.core.registry import init_variables
+
+    variables = init_variables(spec.module, rng, jnp.zeros((1, h0, w0, 3)), train=False)
     masks = None
     observers = None
     if args.checkpoint:

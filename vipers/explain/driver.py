@@ -34,7 +34,9 @@ def _load_model(model_name: str, checkpoint: str = "", seed: int = 0):
     spec = build_model(model_name)
     rng = jax.random.PRNGKey(seed)
     h, w = spec.input_size
-    variables = spec.module.init(rng, jnp.zeros((1, h, w, 3)), train=False)
+    from vipers.core.registry import init_variables
+
+    variables = init_variables(spec.module, rng, jnp.zeros((1, h, w, 3)), train=False)
     if checkpoint:
         from vipers.discovery.driver import load_lost_checkpoint
 

@@ -69,8 +69,10 @@ def build_session(cfg: TrainConfig) -> Session:
     rng = jax.random.PRNGKey(cfg.seed)
     init_rng, run_rng = jax.random.split(rng)
     h = w = cfg.train_crop_size
-    variables = spec.module.init(
-        {"params": init_rng, "dropout": init_rng},
+    from vipers.core.registry import init_variables
+
+    variables = init_variables(
+        spec.module, {"params": init_rng, "dropout": init_rng},
         jnp.zeros((1, h, w, 3), jnp.float32),
         train=False,
     )

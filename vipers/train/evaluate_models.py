@@ -79,8 +79,11 @@ def _eval_only_session(cfg: TrainConfig):
         model_kw["dilate"] = cfg.resnet_dilate
     spec = build_model(cfg.model, **model_kw)
     h = w = cfg.train_crop_size
-    variables = spec.module.init(
-        jax.random.PRNGKey(cfg.seed), jnp.zeros((1, h, w, 3)), train=False
+    from vipers.core.registry import init_variables
+
+    variables = init_variables(
+        spec.module, jax.random.PRNGKey(cfg.seed), jnp.zeros((1, h, w, 3)),
+        train=False,
     )
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=variables["params"],
