@@ -78,11 +78,23 @@ class DinoBlock(nn.Module):
             need_attn=need_attn,
         )
         x = x + y
-        z = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
-        z = nn.Dense(int(d * self.mlp_ratio), name="fc1")(z)
-        # tanh GELU in bf16 (sub-ulp vs erf, ~27% cheaper end-to-end; see
-        # models/vit.py MLPBlock note)
-        z = nn.gelu(z, approximate=z.dtype == jnp.bfloat16)
+        norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
+        fc1 = nn.Dense(int(d * self.mlp_ratio), name="fc1")
+        from vipers.ops.fused_mlp import fused_ln_dense_gelu, fused_supported
+
+        if not self.is_initializing() and fused_supported(x):
+            # One-pass norm2 -> fc1 -> GELU Pallas kernel (ops/fused_mlp.py;
+            # see models/vit.EncoderBlock for the gating contract).
+            p = self.variables["params"]
+            z = fused_ln_dense_gelu(
+                x, p["norm2"]["scale"], p["norm2"]["bias"],
+                p["fc1"]["kernel"], p["fc1"]["bias"],
+            )
+        else:
+            z = fc1(norm2(x))
+            # tanh GELU in bf16 (sub-ulp vs erf, ~27% cheaper end-to-end;
+            # see models/vit.py MLPBlock note)
+            z = nn.gelu(z, approximate=z.dtype == jnp.bfloat16)
         z = nn.Dense(d, name="fc2")(z)
         return x + z, attn, qkv_out
 

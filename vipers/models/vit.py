@@ -162,14 +162,21 @@ class MLPBlock(nn.Module):
     dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        y = nn.Dense(self.mlp_dim, name="fc1")(x)
-        # Exact erf GELU in f32 (torch-reference bit parity); tanh GELU in
-        # bf16 — the two differ by <= ~4.8e-4 absolute (sub-ulp at bf16
-        # activation magnitudes), and the erf transcendental costs ~27% of
-        # end-to-end bf16 LOST throughput on v5e (1062 -> 1344 img/s at
-        # B=128, docs/PERF.md round 3).
-        y = nn.gelu(y, approximate=y.dtype == jnp.bfloat16)
+    def __call__(self, x, train: bool = False, prefused: bool = False):
+        if prefused:
+            # ``x`` is already gelu(fc1(ln_2(xraw))) from the fused Pallas
+            # kernel (ops/fused_mlp.py); fc1's params exist in the tree
+            # (created at init through the unfused branch) and were
+            # consumed by the kernel via the parent's variable dict.
+            y = x
+        else:
+            y = nn.Dense(self.mlp_dim, name="fc1")(x)
+            # Exact erf GELU in f32 (torch-reference bit parity); tanh GELU
+            # in bf16 — the two differ by <= ~4.8e-4 absolute (sub-ulp at
+            # bf16 activation magnitudes), and the erf transcendental costs
+            # ~27% of end-to-end bf16 LOST throughput on v5e (1062 -> 1344
+            # img/s at B=128, docs/PERF.md round 3).
+            y = nn.gelu(y, approximate=y.dtype == jnp.bfloat16)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         y = nn.Dense(self.out_dim, name="fc2")(y)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
@@ -198,10 +205,24 @@ class EncoderBlock(nn.Module):
         )(ln1, train=train, token_mask=token_mask, need_attn=need_attn)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
-        z = nn.LayerNorm(epsilon=1e-6, name="ln_2")(x)
-        z = MLPBlock(self.mlp_dim, x.shape[-1], self.dropout_rate, name="mlp")(
-            z, train=train
-        )
+        ln2 = nn.LayerNorm(epsilon=1e-6, name="ln_2")
+        mlp = MLPBlock(self.mlp_dim, x.shape[-1], self.dropout_rate, name="mlp")
+        from vipers.ops.fused_mlp import fused_ln_dense_gelu, fused_supported
+
+        if not self.is_initializing() and fused_supported(x):
+            # Fused ln_2 -> fc1 -> GELU Pallas pass (ops/fused_mlp.py):
+            # ln_2's output never round-trips HBM.  Param values come from
+            # this block's variable dict — ln_2/fc1 modules still own them
+            # (same tree as the unfused branch), and the gate guarantees no
+            # flax interceptor (int8/QAT) needs to see the Dense call.
+            p = self.variables["params"]
+            z = fused_ln_dense_gelu(
+                x, p["ln_2"]["scale"], p["ln_2"]["bias"],
+                p["mlp"]["fc1"]["kernel"], p["mlp"]["fc1"]["bias"],
+            )
+            z = mlp(z, train=train, prefused=True)
+        else:
+            z = mlp(ln2(x), train=train)
         return x + z, ln1, attn
 
 
