@@ -436,6 +436,32 @@ def test_int8_dynamic_apply_matches_simulated_quant():
                                atol=1e-4, rtol=1e-5)
 
 
+def test_vit_quant_exclude_keeps_einsum_projections_float():
+    """The torchvision ViT applies qkv AND out via custom einsums
+    (models/vit._ProjParams) that the int8 interceptor cannot execute, so
+    weight quantization must skip both — otherwise QDQ rounding error is
+    baked into a float matmul for zero int8 benefit. DINO's projections
+    are real nn.Dense modules and stay quantized (qkv aside, which mirrors
+    the reference's prune/quant exemption)."""
+    from vipers.core.registry import build_model
+    from vipers.train.quantize import quantize_params_int8
+
+    spec = build_model("vit_s_16", num_classes=10, image_size=(32, 32))
+    v = spec.init(jax.random.PRNGKey(0))
+    q, _scales = quantize_params_int8(v["params"], exclude=spec.quant_exclude)
+    joined = ["/".join(p) for p in q]
+    assert not any("attention" in p for p in joined), joined[:4]
+    assert any("fc1" in p or "mlp" in p for p in joined)
+
+    dspec = build_model("dino_vit_tiny")
+    dv = dspec.init(jax.random.PRNGKey(0),
+                    jnp.zeros((1, 32, 32, 3), jnp.float32))
+    dq, _ = quantize_params_int8(dv["params"], exclude=dspec.quant_exclude)
+    djoined = ["/".join(p) for p in dq]
+    assert any(p.endswith("proj/kernel") for p in djoined)
+    assert not any("qkv" in p for p in djoined)
+
+
 # ------------------------------------------------------------- native decode
 
 def test_native_decoder_matches_shapes_and_falls_back(tmp_path):

@@ -78,6 +78,13 @@ def test_gradients_match_reference():
         assert rel < 5e-3, (name, rel)
 
 
+def test_interceptor_probe_works_on_installed_flax():
+    """If flax renames its private interceptor stack, the gate falls back
+    to disabled-with-a-warning; this test makes that loud instead of a
+    silent perf regression."""
+    assert fm._interceptors_active() is not None
+
+
 def test_block_m_and_gating():
     ok = jnp.zeros((2, 64, D), jnp.bfloat16)  # M=128 divisible
     bad_rows = jnp.zeros((2, 65, D), jnp.bfloat16)  # M=130 not divisible

@@ -34,6 +34,9 @@ class ModelSpec:
         ``out_proj`` is (`/root/reference/train.py:264-268` +
         torch ``MultiheadAttention`` structure). We reproduce that with
         ``("qkv",)`` on ViTs.
+      quantize_exclude: like ``prune_exclude`` but for weight quantization /
+        activation observation; ``None`` means "same as prune_exclude"
+        (read through the ``quant_exclude`` property).
       patch_size: ViT patch size, if applicable.
       family: coarse family tag: "resnet" | "vit" | "dino_vit" | "vgg" | "swin".
       extra: free-form metadata (dilation, weights url, ...).
@@ -44,9 +47,25 @@ class ModelSpec:
     input_size: tuple = (224, 224)
     num_classes: int = 1000
     prune_exclude: Sequence[str] = ()
+    quantize_exclude: Optional[Sequence[str]] = None
     patch_size: Optional[int] = None
     family: str = ""
     extra: Dict[str, Any] = dataclasses.field(default_factory=dict)
+
+    @property
+    def quant_exclude(self) -> Sequence[str]:
+        """Param-path substrings excluded from weight quantization and
+        activation observation. Defaults to ``prune_exclude``; models whose
+        attention projections are applied via custom einsums (the
+        head-major layout, `models/vit.py`) extend it so those kernels keep
+        full float precision — the int8 interceptor only executes
+        ``nn.Dense``/``nn.Conv`` sites, and torch ao likewise leaves
+        ``MultiheadAttention``'s projections unquantized
+        (`/root/reference/train_quantization.py:56-59` converts only
+        mapped module types)."""
+        if self.quantize_exclude is not None:
+            return self.quantize_exclude
+        return self.prune_exclude
 
     def init(self, rng, sample_input=None, train: bool = False):
         """Initialize variables; returns the full variables dict."""

@@ -105,7 +105,7 @@ class LostFeatureExtractor:
             from vipers.train.quantize import quantize_params_int8
 
             self._q, self._scales = jax.jit(
-                lambda p: quantize_params_int8(p, exclude=spec.prune_exclude)
+                lambda p: quantize_params_int8(p, exclude=spec.quant_exclude)
             )(params)
             compute_dtype = jnp.bfloat16
         if compute_dtype is not None:
@@ -196,7 +196,7 @@ class LostFeatureExtractor:
                         masks[tp] = jnp.pad(tm, ((0, 0), (0, tp - t)))
             return int8_dynamic_apply(
                 spec.module, variables, img, q, scales,
-                exclude=spec.prune_exclude, qparams_token_masks=masks,
+                exclude=spec.quant_exclude, qparams_token_masks=masks,
                 static_qparams=static_qparams,
                 **kwargs,
             )

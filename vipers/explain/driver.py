@@ -215,7 +215,8 @@ def _performance_title_bits(args, out_root: str):
     if models_path and it is not None:
         path = os.path.join(models_path, args.model, "performance.txt")
         try:
-            values = open(path).readlines()
+            with open(path) as fh:
+                values = fh.readlines()
             acc1, sparsity = values[it + 1].split("\t")[:2]
             return it, sparsity.strip(), acc1.strip()
         except (OSError, IndexError, ValueError):
@@ -448,12 +449,10 @@ def evaluate_heatmap_dirs(heatmap_dir: str, ground_truth_dir: str,
             row[2] = "(" + row[2] + ")"
             f.write("".join(v.ljust(col) for v in row) + "\n")
         f.write(footer)
-    json.dump(accuracy,
-              open(os.path.join(output_dir, output_name + "_datapoint"), "w"),
-              indent=4)
-    json.dump(stats,
-              open(os.path.join(output_dir, output_name + "_statistic"), "w"),
-              indent=4)
+    with open(os.path.join(output_dir, output_name + "_datapoint"), "w") as f:
+        json.dump(accuracy, f, indent=4)
+    with open(os.path.join(output_dir, output_name + "_statistic"), "w") as f:
+        json.dump(stats, f, indent=4)
     return stats
 
 

@@ -416,6 +416,11 @@ def _build(name, cfg: ViTConfig, image_size=(224, 224)):
         input_size=tuple(image_size),
         num_classes=cfg.num_classes,
         prune_exclude=("qkv",),
+        # Both attention projections are einsum-applied _ProjParams (the
+        # head-major layout): the int8 interceptor can't execute them, so
+        # their weights must stay float — quantizing them would bake QDQ
+        # rounding error into a float matmul for zero int8 benefit.
+        quantize_exclude=("qkv", "attention/out"),
         patch_size=cfg.patch_size,
         family="vit",
         extra=extra,

@@ -455,7 +455,6 @@ _packed_flash.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 def flash_attention_packed(qkv, valid=None, *, num_heads: int,
                            scale: Optional[float] = None,
-                           block_q: int = 256, block_k: int = DEFAULT_BLOCK_K,
                            interpret: bool = False):
     """Token-major blockwise attention on a packed (B, T, 3D) qkv array
     (columns permuted by ``packed_qkv_permutation``). Returns (B, T, D)
@@ -486,5 +485,6 @@ def flash_attention_packed(qkv, valid=None, *, num_heads: int,
     if pad_t != t:
         qkv = jnp.pad(qkv, ((0, 0), (0, pad_t - t), (0, 0)))
         valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
-    out = _packed_flash(qkv, valid, scale, num_heads, bq, block_k, interpret)
+    out = _packed_flash(qkv, valid, scale, num_heads, bq, DEFAULT_BLOCK_K,
+                        interpret)
     return out[:, :t, :]

@@ -62,7 +62,21 @@ def _pick_block_m(m: int) -> Optional[int]:
     return None
 
 
-def fused_supported(x, train_dropout: bool = False) -> bool:
+def _interceptors_active() -> Optional[bool]:
+    """True/False if flax's interceptor stack is readable, None if the
+    private attribute moved (flax has no public probe for this)."""
+    from flax.linen import module as _flax_module
+
+    stack = getattr(_flax_module, "_global_interceptor_stack", None)
+    if stack is None:
+        return None
+    return bool(stack)
+
+
+_warned_no_probe = False
+
+
+def fused_supported(x) -> bool:
     """Gate for the product path: bf16 compute (the tanh-GELU regime,
     docs/PERF.md round 3), a TPU backend, no flax interceptors (the int8
     paths intercept ``nn.Dense.__call__`` — `train/quantize.py:354` —
@@ -71,12 +85,22 @@ def fused_supported(x, train_dropout: bool = False) -> bool:
         return False
     if _pick_block_m(x.shape[0] * x.shape[1] if x.ndim == 3 else x.shape[0]) is None:
         return False
-    try:
-        from flax.linen import module as _flax_module
+    active = _interceptors_active()
+    if active is None:
+        # Can't prove no interceptor is watching Dense calls — disable the
+        # fused path, but say so once instead of silently losing it.
+        global _warned_no_probe
+        if not _warned_no_probe:
+            _warned_no_probe = True
+            import warnings
 
-        if bool(_flax_module._global_interceptor_stack):
-            return False
-    except Exception:
+            warnings.warn(
+                "flax.linen.module._global_interceptor_stack is gone in "
+                "this flax version; disabling the fused LN->fc1->GELU "
+                "kernel (ops/fused_mlp.py) until the probe is updated."
+            )
+        return False
+    if active:
         return False
     import os
 

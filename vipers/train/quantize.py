@@ -550,7 +550,10 @@ def make_qat_train_step(
 # TRACED arguments so the per-epoch convert->eval loop
 # (`train_quantization.py:129-135`) reuses the compiled program every epoch
 # instead of re-tracing (~20-40 s/compile on TPU) on each fresh closure.
+# Bounded LRU: sweeps that build a fresh module per pruning iteration must
+# not pin every (module, executable) pair for the process lifetime.
 _INT8_EVAL_STEP_CACHE: dict = {}
+_INT8_EVAL_STEP_CACHE_MAX = 4
 
 
 def make_int8_eval_step(module, q, scales, observers, num_classes: int):
@@ -588,6 +591,11 @@ def make_int8_eval_step(module, q, scales, observers, num_classes: int):
             }
 
         _INT8_EVAL_STEP_CACHE[key] = cached = (module, step)
+        while len(_INT8_EVAL_STEP_CACHE) > _INT8_EVAL_STEP_CACHE_MAX:
+            _INT8_EVAL_STEP_CACHE.pop(next(iter(_INT8_EVAL_STEP_CACHE)))
+    else:
+        # LRU touch: re-insert so the hottest program is evicted last
+        _INT8_EVAL_STEP_CACHE[key] = _INT8_EVAL_STEP_CACHE.pop(key)
 
     _module, step = cached
     return lambda state, batch: step(state, batch, q, scales, observers)
@@ -641,7 +649,7 @@ def run_quantize(args) -> int:
     resume_session(s, cfg.resume)
 
     module = s.spec.module
-    exclude = s.spec.prune_exclude
+    exclude = s.spec.quant_exclude
     h = w = cfg.train_crop_size
     probe_vars = {"params": s.state.params}
     if s.state.batch_stats is not None:
