@@ -111,6 +111,28 @@ def test_resnet_dilate_builds_dilated_model(tiny_imagenet, tmp_path):
 
 
 @pytest.mark.slow
+def test_vit_builds_at_train_crop_and_snip_runs(tiny_imagenet, tmp_path):
+    """ViT train sessions must (a) size the pos-embedding at
+    --train-crop-size (the torch reference hard-codes 224,
+    `vision_transformer.py:282-283`) and (b) survive _snip_loss_fn's
+    no-batch-stats branch (flax returns an (out, vars) tuple for ANY
+    collection-valued `mutable`, including [])."""
+    from vipers.train.driver import _snip_loss_fn, build_session
+
+    cfg = _cfg(tiny_imagenet, tmp_path, model="vit_s_16")
+    s = build_session(cfg)
+    assert s.state.batch_stats is None
+    assert s.spec.module.image_size == (32, 32)
+    seq = (32 // 16) ** 2 + 1
+    assert s.state.params["pos_embedding"].shape[1] == seq
+
+    loss_fn = _snip_loss_fn(s)
+    batch = (jnp.zeros((2, 32, 32, 3)), jnp.array([0, 1]))
+    loss = loss_fn(s.state.params, batch)
+    assert jnp.isfinite(loss) and loss.ndim == 0
+
+
+@pytest.mark.slow
 def test_ema_batch_stats_checkpoint_roundtrip(tiny_imagenet, tmp_path):
     """EMA-BN stats must survive checkpoint/resume (round-1 advisor
     finding: they silently reset, corrupting EMA eval of BN models)."""

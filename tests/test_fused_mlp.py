@@ -143,6 +143,35 @@ def test_encoder_block_fused_matches_unfused(monkeypatch):
     assert np.abs(a - c).max() < 0.02 * max(np.abs(c).max(), 1.0)
 
 
+def test_encoder_block_fused_is_inference_only(monkeypatch):
+    """train=True must NOT take the fused branch: the kernel's
+    recompute-based custom VJP adds an extra fc1 matmul and an unfused f32
+    tanh-GELU gradient to every backward (measured 1949 -> 1481 img/s on
+    the bf16 AMP train step, docs/PERF.md)."""
+    import vipers.models.vit as vit_mod
+
+    calls = {"n": 0}
+    orig = fm.fused_ln_dense_gelu
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    blk = vit_mod.EncoderBlock(num_heads=6, mlp_dim=F)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 64, D)).astype(np.float32)
+    )
+    v = blk.init(jax.random.PRNGKey(0), x, train=False)
+    vb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), v)
+    xb = x.astype(jnp.bfloat16)
+
+    monkeypatch.setattr(fm, "fused_ln_dense_gelu", spy)
+    blk.apply(vb, xb, train=True, rngs={"dropout": jax.random.PRNGKey(1)})
+    assert calls["n"] == 0, "fused kernel engaged on the training forward"
+    blk.apply(vb, xb, train=False)
+    assert calls["n"] == 1, "fused kernel should still engage at inference"
+
+
 def test_dino_block_fused_matches_unfused(monkeypatch):
     """Same wiring in the DINO block (norm2 -> fc1 -> GELU inline)."""
     import vipers.models.dino_vit as dv

@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--model", default="vit_s_16")
     ap.add_argument("--batch", type=int, nargs="+", default=[64, 128])
     ap.add_argument("--image-size", type=int, default=224)
+    ap.add_argument("--profile-dir", default=None,
+                    help="capture a jax.profiler device trace of one bf16 "
+                         "step at the last batch size (trace_report.py reads it)")
+    ap.add_argument("--dtypes", nargs="+", default=["f32", "bf16"],
+                    choices=["f32", "bf16"])
     args = ap.parse_args()
 
     from vipers.core.registry import build_model
@@ -61,6 +66,8 @@ def main():
 
     for amp in (False, True):
         tag = "bf16" if amp else "f32"
+        if tag not in args.dtypes:
+            continue
         step = make_train_step(
             spec.module.apply, tx, num_classes=1000,
             compute_dtype=jnp.bfloat16 if amp else jnp.float32,
@@ -88,6 +95,11 @@ def main():
                 best = max(best, b * iters / (time.perf_counter() - t0))
             print(f"{tag} B={b}: {best:.1f} img/s "
                   f"(compile {compile_s:.1f}s)", flush=True)
+            if args.profile_dir and amp and b == args.batch[-1]:
+                with jax.profiler.trace(args.profile_dir):
+                    s, _m = step(s, (x, y), rng)
+                    jax.block_until_ready(s.params)
+                print(f"device trace -> {args.profile_dir}")
 
 
 if __name__ == "__main__":

@@ -209,12 +209,16 @@ class EncoderBlock(nn.Module):
         mlp = MLPBlock(self.mlp_dim, x.shape[-1], self.dropout_rate, name="mlp")
         from vipers.ops.fused_mlp import fused_ln_dense_gelu, fused_supported
 
-        if not self.is_initializing() and fused_supported(x):
+        if not self.is_initializing() and not train and fused_supported(x):
             # Fused ln_2 -> fc1 -> GELU Pallas pass (ops/fused_mlp.py):
             # ln_2's output never round-trips HBM.  Param values come from
             # this block's variable dict — ln_2/fc1 modules still own them
             # (same tree as the unfused branch), and the gate guarantees no
             # flax interceptor (int8/QAT) needs to see the Dense call.
+            # INFERENCE ONLY (`not train`): under autodiff the kernel's
+            # recompute-based custom VJP adds an extra fc1 matmul plus an
+            # unfused f32 tanh-GELU gradient to every backward — measured
+            # 1949 -> 1481 img/s on the bf16 AMP train step (docs/PERF.md).
             p = self.variables["params"]
             z = fused_ln_dense_gelu(
                 x, p["ln_2"]["scale"], p["ln_2"]["bias"],

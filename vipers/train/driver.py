@@ -23,7 +23,7 @@ import numpy as np
 from vipers.core.checkpoint import save_checkpoint
 from vipers.core.config import TrainConfig
 from vipers.core.metrics import MetricsWriter
-from vipers.core.registry import build_model
+from vipers.core.registry import build_model, get_model_builder
 from vipers.data.imagefolder import ImageFolder, ImageFolderLoader
 from vipers.data.mixup import mixup_cutmix_batch
 from vipers.data.preprocess import eval_decode, make_device_normalize, train_decode
@@ -61,10 +61,22 @@ class Session:
 
 
 def build_session(cfg: TrainConfig) -> Session:
+    import inspect
+
     model_kw = {"num_classes": cfg.num_classes}
     if cfg.resnet_dilate != 1 and cfg.model.startswith("resnet"):
         # dilated evaluation sweeps (`evaluate_models.py:373-379`)
         model_kw["dilate"] = cfg.resnet_dilate
+    # ViT/swin pos-embeddings are sized at construction; build the model at
+    # the training crop so non-224 runs work (the torch reference hard-codes
+    # 224 and asserts on it — `vision_transformer.py:282-283`).
+    builder_params = inspect.signature(
+        get_model_builder(cfg.model)).parameters
+    size = (cfg.train_crop_size, cfg.train_crop_size)
+    if "image_size" in builder_params:
+        model_kw["image_size"] = size
+    elif "input_size" in builder_params:
+        model_kw["input_size"] = size
     spec = build_model(cfg.model, **model_kw)
     rng = jax.random.PRNGKey(cfg.seed)
     init_rng, run_rng = jax.random.split(rng)
@@ -211,7 +223,9 @@ def _snip_loss_fn(s: Session):
         out = s.spec.module.apply(
             variables, images, train=True,
             rngs={"dropout": jax.random.PRNGKey(cfg.seed)},
-            mutable=["batch_stats"] if s.state.batch_stats is not None else [],
+            # mutable must be False (not []) when there are no batch_stats:
+            # flax returns an (out, vars) tuple for ANY collection value.
+            mutable=["batch_stats"] if s.state.batch_stats is not None else False,
         )
         logits = out[0][0] if s.state.batch_stats is not None else out[0]
         return cross_entropy(logits, labels, cfg.num_classes, cfg.optim.label_smoothing)
