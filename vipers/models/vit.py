@@ -82,13 +82,22 @@ class MultiHeadAttention(nn.Module):
         # Blockwise Pallas attention where it pays: beats XLA's
         # einsum+softmax from ~mid sequence lengths and is O(T) memory for
         # long sequences (SURVEY §5). Below ~512 tokens the kernel
-        # dispatch overhead dominates — keep the einsum.
+        # dispatch overhead dominates the INFERENCE step — keep the einsum
+        # there. Training was A/B-measured too: despite the einsum
+        # materializing the (T, T) attention matrix in both directions,
+        # the library kernel's dq/dkv backward LOSES at ViT train shapes
+        # (T=197 -> pad 256: 1957 -> 1284 img/s bf16 B=128, docs/PERF.md)
+        # — same threshold for both modes; VIPERS_FLASH_MIN_T overrides.
+        # Short-T bf16 TRAINING instead goes to the single-block fused
+        # kernel below (ops/attention_train.py: 1925 -> 2031 img/s).
+        import os
+
+        min_t = int(os.environ.get("VIPERS_FLASH_MIN_T", "512"))
         use_flash = (
             not need_attn
             and not (train and self.dropout_rate > 0)
-            and t >= 512
+            and t >= min_t
         )
-        import os
 
         from vipers.ops.flash_attention import packed_layout_supported
 
@@ -123,7 +132,25 @@ class MultiHeadAttention(nn.Module):
         b = qkv_bias.reshape(3, h, hd)
         qkv = jnp.einsum("ntd,dshe->snhte", x, w) + b[:, None, :, None, :]
         q, k, v = qkv[0], qkv[1], qkv[2]
-        if use_flash:
+
+        from vipers.ops.attention_train import (
+            attention_train, attention_train_enabled,
+            fused_attention_supported,
+        )
+
+        if (train and not need_attn and not use_flash
+                and self.dropout_rate == 0
+                and fused_attention_supported(t, hd)
+                and attention_train_enabled(x.dtype)):
+            # Short-T training attention: one single-block Pallas program
+            # per (batch, head) with a ONE-PASS fused backward — the
+            # (T, T) matrix never reaches HBM in either direction. The
+            # einsum path's 5 HBM-bound backward matmuls/layer and the
+            # saved-q/k/v re-layout copies (together ~2/5 of the bf16
+            # train step, docs/PERF.md round-3 train trace) disappear.
+            out = attention_train(q, k, v, valid=token_mask, scale=scale)
+            attn = None
+        elif use_flash:
             from vipers.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v, valid=token_mask, scale=scale)

@@ -1,0 +1,247 @@
+"""Single-block fused attention for SHORT sequences, with a one-pass
+fused backward — the training-path complement to ``ops/flash_attention``.
+
+Motivation (docs/PERF.md round-3 train trace): at ViT train shapes
+(T=197, hd=64, B=128) the XLA einsum path materializes the (T, T)
+attention matrix in BOTH directions — 5 HBM-bound batched matmuls per
+layer at ~14 TFLOP/s plus 12 pure layout-copy fusions re-tiling the
+saved q/k/v residuals (~14% of the step).  The library flash kernel
+(`jax.experimental.pallas.ops.tpu.flash_attention`) is built for LONG
+sequences: its streaming online-softmax forward plus two-pass backward
+(dq pass + dkv pass, each re-reading and re-softmaxing everything)
+measured 1957 -> 1284 img/s at these shapes.
+
+At T <= ~1024 the WHOLE problem fits in VMEM per (batch, head) program:
+q/k/v (T, 64) tiles plus one (T, T) f32 score matrix.  So this kernel
+does the obvious thing the long-sequence kernels cannot: one program
+computes the exact softmax (no online rescaling), and ONE backward
+program recomputes the probabilities from the saved logsumexp and emits
+dq, dk, dv together.  The (T, T) matrix never exists in HBM in either
+direction; the only residuals are the layer's own q/k/v plus (T,) lse
+and the output.
+
+Numerics match the masked-einsum path (`models/vit.py`): bf16 MXU dots
+with f32 accumulation, f32 softmax, probabilities cast back to the
+input dtype for the P@V dot, pad keys masked to -1e9 (exp underflows to
+exact 0).  Gradient contract: like every flash kernel here, pad-QUERY
+rows assume zero cotangents — true for all real consumers because pad
+rows are sliced away downstream (`unpad_tokens`).
+
+The torch reference computes the same attention via
+``nn.MultiheadAttention`` (`/root/reference/vision_transformer.py:103`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+NEG_INF = -1e9
+# Per-(n, h) VMEM at T=1024: 3 f32 (T, T) temporaries = 12 MB, plus
+# operand tiles — the v5e 16 MB budget's edge. 512 is comfortable.
+MAX_T = 1024
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *,
+                scale, block_b):
+    for g in range(block_b):                            # unrolled: static G
+        q = q_ref[g, 0] * q_ref.dtype.type(scale)      # (T, hd) input dtype
+        k = k_ref[g, 0]
+        s = jax.lax.dot_general(                        # (T, T) f32 accum
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ok = valid_ref[g]                               # (1, T)
+        s = jnp.where(ok != 0, s, NEG_INF)              # mask pad keys
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(                        # P @ V, f32 accum
+            (p / l).astype(v_ref.dtype), v_ref[g, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g, 0] = o.astype(o_ref.dtype)
+        lse_ref[g, 0] = (m + jnp.log(l))[:, 0][None, :]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, valid_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, block_b):
+    dt = q_ref.dtype
+    for g in range(block_b):
+        q = q_ref[g, 0] * dt.type(scale)
+        k = k_ref[g, 0]
+        v = v_ref[g, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ok = valid_ref[g]
+        s = jnp.where(ok != 0, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[g, 0][0][:, None])      # exact probs (T, T)
+        do = do_ref[g, 0]
+        o = o_ref[g, 0]
+        # D_i = sum_j dO_ij * O_ij  (f32)
+        d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)
+        pb = p.astype(dt)
+        dv_ref[g, 0] = jax.lax.dot_general(             # P^T @ dO
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        dp = jax.lax.dot_general(                       # dO @ V^T
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = ((dp - d) * p).astype(dt)                  # (T, T)
+        dq_ref[g, 0] = (jax.lax.dot_general(            # dS @ K, then *scale
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dq_ref.dtype)
+        dk_ref[g, 0] = jax.lax.dot_general(             # dS^T @ (Q*scale)
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+
+
+def _pick_block_b(b: int) -> int:
+    """Rows of the batch handled per program: amortizes Mosaic
+    per-program overhead over several (T, hd) problems (the dots are
+    intrinsically small at hd=64)."""
+    for g in (8, 4, 2):
+        if b % g == 0:
+            return g
+    return 1
+
+
+def _specs(bb, t, hd):
+    qkv = pl.BlockSpec((bb, 1, t, hd), lambda i, j: (i, j, 0, 0))
+    lse = pl.BlockSpec((bb, 1, 1, t), lambda i, j: (i, j, 0, 0))
+    ok = pl.BlockSpec((bb, 1, t), lambda i, j: (i, 0, 0))
+    return qkv, lse, ok
+
+
+def _fwd(q, k, v, valid, scale, interpret):
+    b, h, t, hd = q.shape
+    bb = _pick_block_b(b)
+    qkv_spec, lse_spec, ok_spec = _specs(bb, t, hd)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, block_b=bb),
+        grid=(b // bb, h),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, ok_spec],
+        out_specs=[qkv_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, hd), q.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, valid)
+    return o, lse
+
+
+def _bwd(q, k, v, o, lse, do, valid, scale, interpret):
+    b, h, t, hd = q.shape
+    bb = _pick_block_b(b)
+    qkv_spec, lse_spec, ok_spec = _specs(bb, t, hd)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, block_b=bb),
+        grid=(b // bb, h),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, qkv_spec, lse_spec,
+                  qkv_spec, ok_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct((b, h, t, hd), q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, o, lse, do, valid)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attn(q, k, v, valid, scale, interpret):
+    o, _ = _fwd(q, k, v, valid, scale, interpret)
+    return o
+
+
+def _attn_vjp_fwd(q, k, v, valid, scale, interpret):
+    o, lse = _fwd(q, k, v, valid, scale, interpret)
+    return o, (q, k, v, o, lse, valid)
+
+
+def _attn_vjp_bwd(scale, interpret, res, g):
+    q, k, v, o, lse, valid = res
+    dq, dk, dv = _bwd(q, k, v, o, lse, g.astype(q.dtype), valid,
+                      scale, interpret)
+    return dq, dk, dv, None
+
+
+_attn.defvjp(_attn_vjp_fwd, _attn_vjp_bwd)
+
+
+def fused_attention_supported(t: int, hd: int) -> bool:
+    """True when the single-block kernel applies: the padded (T, T) score
+    matrix must fit in VMEM and hd must be a legal block minor dim
+    (a 128 multiple, or the full last axis — always true here)."""
+    return _round_up(t, 128) <= MAX_T and hd % 8 == 0
+
+
+def attention_train_enabled(dtype) -> bool:
+    """Product-path gate, mirroring ``fused_mlp.fused_supported``: bf16
+    compute only (the f32 path keeps the einsum for torch bit-parity
+    tests), single-device TPU (a ``pallas_call`` has no pjit partitioning
+    rule), ``VIPERS_FUSED_ATTN=0`` kill switch, interpret override for
+    CPU tests."""
+    import os
+
+    if os.environ.get("VIPERS_FUSED_ATTN") == "0":
+        return False
+    if os.environ.get("VIPERS_FUSED_ATTN_INTERPRET") == "1":
+        return True
+    return (
+        dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+    )
+
+
+def attention_train(
+    q, k, v,
+    valid: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """(B, H, T, hd) fused attention for short T, differentiable with a
+    one-pass fused backward.  ``valid``: (B, T) bool key mask.  Pads T to
+    a 128 multiple internally; pad-query output rows are garbage by the
+    masking design and must receive zero cotangents (true when the
+    caller slices them away).  Falls back to the reference einsum on
+    non-TPU backends unless ``interpret=True``."""
+    b, h, t, hd = q.shape
+    scale = float(hd) ** -0.5 if scale is None else scale
+    if interpret is None:
+        import os
+
+        interpret = os.environ.get("VIPERS_FUSED_ATTN_INTERPRET") == "1"
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        from vipers.ops.flash_attention import attention_reference
+
+        mask = valid[:, None, None, :] if valid is not None else None
+        out, _ = attention_reference(q, k, v, scale=scale, mask=mask)
+        return out
+
+    pad_t = _round_up(t, 128)
+    if valid is None:
+        valid = jnp.ones((b, t), bool)
+    if pad_t != t:
+        padder = lambda z: jnp.pad(
+            z, ((0, 0), (0, 0), (0, pad_t - t), (0, 0)))
+        q, k, v = padder(q), padder(k), padder(v)
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
+    ok = valid[:, None, :].astype(jnp.int8)             # (B, 1, T)
+    out = _attn(q, k, v, ok, scale, interpret)
+    return out[:, :, :t, :]
