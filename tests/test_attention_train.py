@@ -72,6 +72,18 @@ def test_gradients_match_reference():
         assert diff < 5e-5, (name, diff)
 
 
+def test_block_b_vmem_cap():
+    """block_b * T <= 2048: the probed v5e VMEM envelope for the backward
+    program (e.g. block_b=8 at T=512 OOMs on hardware)."""
+    assert at._pick_block_b(128, 256) == 8
+    assert at._pick_block_b(128, 512) == 4
+    assert at._pick_block_b(128, 896) == 2
+    assert at._pick_block_b(128, 1024) == 2
+    assert at._pick_block_b(3, 256) == 1  # nondivisible batch
+    for b, t in ((128, 256), (64, 512), (32, 896), (16, 1024)):
+        assert at._pick_block_b(b, t) * t <= 2048
+
+
 def test_supported_gate():
     assert at.fused_attention_supported(197, 64)
     assert at.fused_attention_supported(1024, 64)

@@ -70,7 +70,7 @@ def main():
 
     for bb in (1, 2, 4, 8):
         orig = at._pick_block_b
-        at._pick_block_b = lambda b, _g=bb: _g
+        at._pick_block_b = lambda b, t, _g=bb: _g
         try:
             fn = jax.jit(lambda q, k, v: at._attn(
                 q, k, v, valid[:, None, :].astype(jnp.int8), scale, False))

@@ -40,8 +40,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 NEG_INF = -1e9
-# Per-(n, h) VMEM at T=1024: 3 f32 (T, T) temporaries = 12 MB, plus
-# operand tiles — the v5e 16 MB budget's edge. 512 is comfortable.
+# Probed compile limit on v5e (16 MB VMEM): T=1024 fits at block_b<=2
+# (forward AND backward); beyond that the ~5 live (T, T) f32 temporaries
+# alone exceed the budget at any block_b. See _pick_block_b for the
+# joint (block_b, T) cap.
 MAX_T = 1024
 
 
@@ -111,12 +113,17 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, valid_ref,
         ).astype(dk_ref.dtype)
 
 
-def _pick_block_b(b: int) -> int:
+def _pick_block_b(b: int, t: int) -> int:
     """Rows of the batch handled per program: amortizes Mosaic
     per-program overhead over several (T, hd) problems (the dots are
-    intrinsically small at hd=64)."""
+    intrinsically small at hd=64).  Capped by VMEM: probed on v5e, the
+    BACKWARD program (10 double-buffered (bb, T, hd) IO blocks plus ~5
+    live (T, T) f32 temporaries) OOMs exactly when block_b * T > 2048
+    — (512, 8), (640, 8), (896, 4) fail; (256, 8), (768, 4)*, (896, 2),
+    (1024, 2) fit.  (*768*4=3072 fits but is excluded by the
+    conservative cap; the train shapes that matter are <= 2048.)"""
     for g in (8, 4, 2):
-        if b % g == 0:
+        if b % g == 0 and g * t <= 2048:
             return g
     return 1
 
@@ -130,7 +137,7 @@ def _specs(bb, t, hd):
 
 def _fwd(q, k, v, valid, scale, interpret):
     b, h, t, hd = q.shape
-    bb = _pick_block_b(b)
+    bb = _pick_block_b(b, t)
     qkv_spec, lse_spec, ok_spec = _specs(bb, t, hd)
     o, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale, block_b=bb),
@@ -148,7 +155,7 @@ def _fwd(q, k, v, valid, scale, interpret):
 
 def _bwd(q, k, v, o, lse, do, valid, scale, interpret):
     b, h, t, hd = q.shape
-    bb = _pick_block_b(b)
+    bb = _pick_block_b(b, t)
     qkv_spec, lse_spec, ok_spec = _specs(bb, t, hd)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale, block_b=bb),
