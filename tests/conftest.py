@@ -38,3 +38,22 @@ assert jax.local_device_count() == 8, (
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def tpu_tunnel_alive() -> bool:
+    """True when the axon (tunneled TPU) relay is reachable.
+
+    The TPU-subprocess tests strip the CPU pin, so a DEAD tunnel makes
+    their child processes hang at backend init until the 600s timeout.
+    This 1s TCP probe of the relay's compile endpoint lets them skip
+    immediately instead. No axon env at all -> False (plain no-TPU host).
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8083), timeout=1):
+            return True
+    except OSError:
+        return False

@@ -248,6 +248,11 @@ def test_distributed_init_two_process_rendezvous(tmp_path):
         env.pop("XLA_FLAGS", None)
         env.update({
             "JAX_PLATFORMS": "cpu",
+            # JAX_PLATFORMS alone does not stop the sitecustomize from
+            # pinning the axon (tunneled TPU) platform; clearing the pool
+            # var skips axon registration so a dead tunnel can't hang the
+            # rendezvous (this test is about CPU-process bring-up).
+            "PALLAS_AXON_POOL_IPS": "",
             "MASTER_ADDR": "127.0.0.1",
             "MASTER_PORT": str(port),
             "RANK": str(rank),
