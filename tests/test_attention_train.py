@@ -89,6 +89,22 @@ def test_supported_gate():
     assert at.fused_attention_supported(1024, 64)
     assert not at.fused_attention_supported(1025, 64)  # pads past MAX_T
     assert not at.fused_attention_supported(197, 65)
+    # direct calls outside the envelope fail with intent, not a Mosaic OOM
+    big = jnp.zeros((1, 1, 1025, 64), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM envelope"):
+        at.attention_train(big, big, big)
+
+
+def test_flash_min_t_override(monkeypatch):
+    """VIPERS_FLASH_MIN_T steers all three consumers through one helper."""
+    from vipers.discovery.driver import _seq_pad
+    from vipers.ops.flash_attention import flash_min_t
+
+    assert flash_min_t() == 512
+    assert _seq_pad((1, 224, 224), 16, need_attn=False) is None  # T=197
+    monkeypatch.setenv("VIPERS_FLASH_MIN_T", "128")
+    assert flash_min_t() == 128
+    assert _seq_pad((1, 224, 224), 16, need_attn=False) == 128
 
 
 def test_enabled_gate(monkeypatch):

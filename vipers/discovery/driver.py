@@ -69,10 +69,12 @@ def _jitted_interpolate(pos, grid_hw, align: bool):
 
 def _seq_pad(img_shape, patch: int, need_attn: bool):
     """128-multiple token padding for transformer forwards where the flash
-    kernel engages (t >= 512, no attention-probs output) — shapes are
-    static at trace time, so this is a compile-time decision."""
+    kernel engages (t >= flash_min_t(), no attention-probs output) —
+    shapes are static at trace time, so this is a compile-time decision."""
+    from vipers.ops.flash_attention import flash_min_t
+
     t = (img_shape[1] // patch) * (img_shape[2] // patch) + 1
-    return 128 if (t >= 512 and not need_attn) else None
+    return 128 if (t >= flash_min_t() and not need_attn) else None
 
 
 class LostFeatureExtractor:

@@ -44,7 +44,9 @@ class DinoAttention(nn.Module):
         qkv = qkv_out.reshape(n, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = hd ** -0.5
-        if not need_attn and t >= 512:
+        from vipers.ops.flash_attention import flash_min_t
+
+        if not need_attn and t >= flash_min_t():
             # same blockwise gate as models/vit.py: the tuned flash kernel
             # wins from mid sequence lengths and skips the (T, T) softmax
             from vipers.ops.flash_attention import flash_attention

@@ -92,7 +92,9 @@ class MultiHeadAttention(nn.Module):
         # kernel below (ops/attention_train.py: 1925 -> 2031 img/s).
         import os
 
-        min_t = int(os.environ.get("VIPERS_FLASH_MIN_T", "512"))
+        from vipers.ops.flash_attention import flash_min_t
+
+        min_t = flash_min_t()
         use_flash = (
             not need_attn
             and not (train and self.dropout_rate > 0)

@@ -39,16 +39,14 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-NEG_INF = -1e9
+from vipers.ops.flash_attention import NEG_INF
+from vipers.ops.tokens import round_up as _round_up
+
 # Probed compile limit on v5e (16 MB VMEM): T=1024 fits at block_b<=2
 # (forward AND backward); beyond that the ~5 live (T, T) f32 temporaries
 # alone exceed the budget at any block_b. See _pick_block_b for the
 # joint (block_b, T) cap.
 MAX_T = 1024
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *,
@@ -228,6 +226,14 @@ def attention_train(
     caller slices them away).  Falls back to the reference einsum on
     non-TPU backends unless ``interpret=True``."""
     b, h, t, hd = q.shape
+    if not fused_attention_supported(t, hd):
+        # Fail with intent instead of an opaque Mosaic VMEM OOM: past
+        # MAX_T the (T, T) f32 temporaries exceed VMEM at any block_b.
+        raise ValueError(
+            f"attention_train: T={t} (pads to {_round_up(t, 128)}) / hd={hd} "
+            f"outside the probed VMEM envelope (MAX_T={MAX_T}, hd%8==0); "
+            "use ops.flash_attention for long sequences"
+        )
     scale = float(hd) ** -0.5 if scale is None else scale
     if interpret is None:
         import os

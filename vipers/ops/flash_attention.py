@@ -30,6 +30,18 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 128
 DEFAULT_BLOCK_K = 128
 NEG_INF = -1e9
+FLASH_MIN_T = 512
+
+
+def flash_min_t() -> int:
+    """T threshold where the blockwise kernel beats XLA's einsum
+    (A/B-measured on v5e, docs/PERF.md); ``VIPERS_FLASH_MIN_T`` overrides
+    it for experiments.  Consulted by BOTH the models' kernel selection
+    (models/vit.py, models/dino_vit.py) and the LOST driver's seq-pad
+    decision (discovery/driver.py) so the three stay consistent."""
+    import os
+
+    return int(os.environ.get("VIPERS_FLASH_MIN_T", FLASH_MIN_T))
 
 
 def attention_reference(q, k, v, scale: Optional[float] = None, mask=None):
