@@ -63,6 +63,45 @@ def test_reference_lost_plot_consumes_vipers_artifacts(tmp_path, capsys):
     assert os.path.exists(out_jpg) and os.path.getsize(out_jpg) > 0
 
 
+def test_reference_mass_rank_plot_consumes_vipers_txts(tmp_path, capsys):
+    """`mass_rank_plots.main` parses the per-method
+    `{method}_{model}_pruning_iteration_NN.txt` files vipers'
+    explain-eval writer emits (first line mass, second line rank, values
+    after ':') plus the whitespace performance.txt — through the
+    reference's own readline/split loop (`mass_rank_plots.py:80-87`)."""
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    mrp = load_reference_module("mass_rank_plots")
+    from vipers.core.metrics import MetricsWriter
+    from vipers.explain.driver import write_method_txt
+
+    model = "vit_b_32"  # reference methods for vit: attention + ig
+    with redirect_scratch_io(str(tmp_path / "scratch")) as mapper:
+        perf = mapper(f"/scratch/tesi_magistrale/{model}/performance.txt")
+        MetricsWriter.export_performance_txt(
+            perf, [(70.5, 0.0), (68.1, 35.0), (65.0, 58.0)]
+        )
+        out_dir = os.path.dirname(mapper("/scratch/tesi_magistrale/output/x"))
+        os.makedirs(out_dir, exist_ok=True)
+        for it in range(3):
+            for method in ("attention", "ig"):
+                write_method_txt(out_dir, method, model, it,
+                                 mass=0.6 - 0.05 * it, rank=0.5 - 0.04 * it,
+                                 n=101)
+        args = argparse.Namespace(model_name=model, model_max_prune=2)
+        mrp.main(args)
+        capsys.readouterr()
+        # make_plot shadows its method arg with its loop variable, so every
+        # call saves under the LAST looped method name ('ig') — assert that
+        # pdf exists and is non-empty.
+        pdf = mapper(f"/scratch/tesi_magistrale/output/{model}_ig_plot.pdf")
+        assert os.path.exists(pdf) and os.path.getsize(pdf) > 0
+
+
 def test_reference_mvh_plot_consumes_vipers_csvs(tmp_path, capsys):
     """`mvh_performance_plot.main` indexes the exact CSV row structure
     `write_mvh_csv` emits (rows 1..18, last column) and the whitespace

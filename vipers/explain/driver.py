@@ -528,12 +528,24 @@ def run_explain_eval(args) -> int:
     os.makedirs(args.output_dir, exist_ok=True)
     name_map = {"gradcam": "gradCAM", "attention": "attention", "ig": "ig"}
     for m in methods:
-        fname = (
-            f"{name_map[m]}_{args.model}_pruning_iteration_{args.iteration:02}.txt"
+        write_method_txt(
+            args.output_dir, name_map[m], args.model, args.iteration,
+            sums[m]["mass"] / max(n, 1), sums[m]["rank"] / max(n, 1), n,
         )
-        with open(os.path.join(args.output_dir, fname), "w") as f:
-            f.write("Average Mass: " + str(sums[m]["mass"] / max(n, 1)) + "\n")
-            f.write("Average Rank: " + str(sums[m]["rank"] / max(n, 1)) + "\n")
-            f.write("On a total of " + str(n) + " images.\n")
     print(f"explain-eval: {n} images, methods {methods} -> {args.output_dir}")
     return 0
+
+
+def write_method_txt(output_dir: str, method: str, model: str,
+                     iteration: int, mass: float, rank: float, n: int) -> str:
+    """Write the per-method running-means txt the reference's plot stage
+    parses line-by-line with ``split(':')[-1]``
+    (`explainations_evaluation_metrics.py:878-896`,
+    `mass_rank_plots.py:82-87`)."""
+    fname = f"{method}_{model}_pruning_iteration_{iteration:02}.txt"
+    path = os.path.join(output_dir, fname)
+    with open(path, "w") as f:
+        f.write("Average Mass: " + str(mass) + "\n")
+        f.write("Average Rank: " + str(rank) + "\n")
+        f.write("On a total of " + str(n) + " images.\n")
+    return path
