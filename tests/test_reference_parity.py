@@ -458,3 +458,37 @@ def test_snip_pruning_reference_in_loop(tiny_pair):
     total = sum(m.size for m in masks.values())
     pruned = sum(int((~m).sum()) for m in masks.values())
     assert pruned == int(total * target_sparsity)
+
+
+def test_vit_attention_map_reference_in_loop(monkeypatch):
+    """The reference's own `vit_attention_map`
+    (`explainations_evaluation_metrics.py:395-427`: per-head reshape,
+    x-patch bilinear upsample, head sum, bilinear resize to the image)
+    agrees with `vipers.explain.vit_attention_heatmap` on the SAME
+    attention tensor — at a non-16 patch size, exercising the true
+    upsample factor (bilinear-of-bilinear is not scale-invariant).
+    Square image: the reference swaps (H, W) in its final resize size."""
+    import torch
+
+    from vipers.explain.gradcam import vit_attention_heatmap
+
+    eem = load_reference_module("explainations_evaluation_metrics")
+
+    nh, gh, gw, p = 3, 2, 2, 32
+    t = gh * gw + 1
+    attn = np.random.default_rng(7).random((1, nh, t, t)).astype(np.float32)
+    side = gh * p
+    image = torch.zeros((3, side, side))
+
+    # the reference reads its /scratch attention dump via torch.load;
+    # hand it the attention vipers' forward returns
+    monkeypatch.setattr(torch, "load",
+                        lambda *a, **kw: torch.from_numpy(attn.copy()))
+    ref = eem.vit_attention_map(lambda x: None, image, p, "cpu")
+
+    ours = vit_attention_heatmap(
+        jnp.asarray(attn), (gh, gw), (side, side), patch_size=p
+    )
+    np.testing.assert_allclose(
+        np.asarray(ref), ours, rtol=1e-4, atol=1e-5
+    )

@@ -119,14 +119,19 @@ def guided_gradcam(model_apply, variables, x, tap_shape, token_grid=None,
     return gbp * cam[None, :, :, None], target
 
 
-def vit_attention_heatmap(attn, grid_hw, out_hw):
+def vit_attention_heatmap(attn, grid_hw, out_hw, patch_size: int = 16):
     """Head-summed CLS attention upsampled to the image
-    (`/root/reference/explain.py:400-443`): attn (1, nh, T, T) ->
-    (H, W) float map."""
+    (`/root/reference/explain.py:400-443`,
+    `explainations_evaluation_metrics.py:395-427`): attn (1, nh, T, T) ->
+    (H, W) float map. The intermediate per-head upsample is x``patch_size``
+    like the reference (bilinear-of-bilinear is not scale-invariant, so
+    p=8/32 models need the true factor for parity)."""
     gh, gw = grid_hw
     nh = attn.shape[1]
     cls_rows = attn[0, :, 0, 1:]  # (nh, T-1)
     grid = cls_rows.reshape(nh, gh, gw)
-    up = jax.image.resize(grid, (nh, gh * 16, gw * 16), "bilinear")
+    up = jax.image.resize(
+        grid, (nh, gh * patch_size, gw * patch_size), "bilinear"
+    )
     summed = jnp.sum(up, axis=0)
     return np.asarray(_resize_bilinear(summed, out_hw))
