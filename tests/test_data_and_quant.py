@@ -134,6 +134,35 @@ def test_kmeans_separates_blobs():
     assert labels[0] != labels[-1]
 
 
+def test_kmeans_and_whiten_match_scipy_in_loop():
+    """scipy's own `cluster.vq.kmeans2` / `whiten`
+    (`/root/reference/cluster_for_OD.py:26,188-196`) run on the SAME data
+    and the SAME explicit initial centroids agree with the jitted Lloyd
+    implementation: identical final centroids (to fp tolerance) and
+    identical labels under them."""
+    from scipy.cluster.vq import kmeans2 as scipy_kmeans2, vq, whiten as scipy_whiten
+
+    from vipers.discovery.kmeans import kmeans2_init, whiten
+
+    rng = np.random.default_rng(42)
+    x = rng.normal(size=(80, 6)) * rng.uniform(0.5, 3.0, size=6)
+    np.testing.assert_allclose(
+        np.asarray(whiten(jnp.asarray(x))), scipy_whiten(x), rtol=1e-6
+    )
+
+    xw = scipy_whiten(x)
+    init = xw[rng.permutation(80)[:4]].copy()
+    iters = 7
+    ref_cent, _ref_labels = scipy_kmeans2(
+        xw, init.copy(), iter=iters, minit="matrix", missing="warn"
+    )
+    cent, labels = kmeans2_init(jnp.asarray(xw), jnp.asarray(init), iters=iters)
+    np.testing.assert_allclose(np.asarray(cent), ref_cent, rtol=1e-6, atol=1e-8)
+    # scipy returns labels from the PRE-update assignment; compare ours
+    # against the final-centroid assignment (vq on its returned code book)
+    np.testing.assert_array_equal(np.asarray(labels), vq(xw, ref_cent)[0])
+
+
 # ----------------------------------------------------------- quantization
 
 def test_fake_quant_ste_and_roundtrip():

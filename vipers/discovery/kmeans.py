@@ -31,8 +31,16 @@ def kmeans2(rng, x, k: int, iters: int = 10):
     """
     n, d = x.shape
     idx = jax.random.permutation(rng, n)[:k]
-    cent = x[idx]
+    return kmeans2_init(x, x[idx], iters=iters)
 
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def kmeans2_init(x, cent, iters: int = 10):
+    """Lloyd iterations from EXPLICIT initial centroids — scipy
+    ``kmeans2(data, init, minit='matrix')`` semantics: ``iters``
+    label+update rounds, empty clusters keep their previous centroid;
+    returned labels are the assignment under the final centroids."""
+    k = cent.shape[0]
     x_sq = jnp.sum(x * x, axis=1, keepdims=True)  # (N, 1)
 
     def step(cent, _):
