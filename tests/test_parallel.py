@@ -88,6 +88,92 @@ def test_metric_psum_semantics():
     assert float(total) == float(vals.sum())
 
 
+def test_sp_forward_equals_replicated():
+    """Sequence-parallel ViT forward (token axis sharded over an 8-device
+    mesh, vipers/parallel/sp.py) equals the unsharded forward — GSPMD
+    inserts the attention collectives, values unchanged."""
+    from vipers.models.vit import ViTConfig, VisionTransformer
+    from vipers.parallel.sp import make_seq_mesh, sequence_parallel
+
+    cfg = ViTConfig(patch_size=4, num_layers=2, num_heads=2, hidden_dim=32,
+                    mlp_dim=64, num_classes=5)
+    module = VisionTransformer(cfg=cfg, image_size=(32, 32))
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(1, 32, 32, 3)), jnp.float32
+    )
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+    ref_logits, ref_aux = module.apply(variables, x, train=False)
+
+    mesh = make_seq_mesh(axis="seq")
+
+    def fwd(v, xx):
+        with sequence_parallel(mesh, "seq"):
+            return module.apply(v, xx, train=False)
+
+    sp_logits, sp_aux = jax.jit(fwd)(variables, x)
+    np.testing.assert_allclose(np.asarray(sp_logits), np.asarray(ref_logits),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(sp_aux["attn"]), np.asarray(ref_aux["attn"]),
+        atol=2e-5, rtol=1e-4,
+    )
+
+
+@pytest.mark.slow
+def test_sp_lost_extractor_equals_plain():
+    """The LOST extractor with sequence_mesh set produces the same
+    features/boxes as the plain extractor — single-image extract() AND the
+    batched jitted pipeline, on ragged shapes exercising the token mask."""
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.parallel.sp import make_seq_mesh
+
+    spec = build_model("vit_s_16", num_classes=10, image_size=(32, 32))
+    rng = np.random.default_rng(11)
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    kw = dict(arch="vit", which_features="k")
+    plain = LostFeatureExtractor(spec, variables, **kw)
+    sp = LostFeatureExtractor(
+        spec, variables, sequence_mesh=make_seq_mesh(axis="seq"), **kw
+    )
+
+    img = np.asarray(rng.normal(size=(48, 32, 3)), np.float32)  # ragged
+    f_plain, dims_p, vdims_p, _s, _a = plain.extract(img, 16)
+    f_sp, dims_s, vdims_s, _s2, _a2 = sp.extract(img, 16)
+    assert dims_p == dims_s and vdims_p == vdims_s
+    np.testing.assert_allclose(f_sp, f_plain, atol=2e-5, rtol=1e-4)
+
+    imgs = [np.asarray(rng.normal(size=(32, 32, 3)), np.float32)
+            for _ in range(3)]
+    pipe_p = plain.make_batched_pipeline(k_patches=3)
+    pipe_s = sp.make_batched_pipeline(k_patches=3)
+    batch_p = plain.prepare_batch(imgs, 16)
+    batch_s = sp.prepare_batch(imgs, 16)
+    out_p = jax.device_get(pipe_p(plain.variables, *batch_p))
+    out_s = jax.device_get(pipe_s(sp.variables, *batch_s))
+    np.testing.assert_allclose(out_s[0], out_p[0], atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(out_s[1], out_p[1])
+    np.testing.assert_array_equal(out_s[2], out_p[2])
+
+    # DINO arch leg: same extractor contract through DinoVisionTransformer
+    dspec = build_model("dino_vit_tiny")
+    dvars = dspec.module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    dkw = dict(arch="dino", which_features="k")
+    dplain = LostFeatureExtractor(dspec, dvars, **dkw)
+    dsp = LostFeatureExtractor(
+        dspec, dvars, sequence_mesh=make_seq_mesh(axis="seq"), **dkw
+    )
+    dimg = np.asarray(rng.normal(size=(48, 32, 3)), np.float32)
+    df_p, ddims_p, dv_p, _, _ = dplain.extract(dimg, 16)
+    df_s, ddims_s, dv_s, _, _ = dsp.extract(dimg, 16)
+    assert ddims_p == ddims_s and dv_p == dv_s
+    np.testing.assert_allclose(df_s, df_p, atol=2e-5, rtol=1e-4)
+
+
 @pytest.mark.slow
 def test_dryrun_multichip_entry():
     import __graft_entry__ as ge

@@ -120,6 +120,11 @@ def main(argv=None):
     lost.add_argument("--data-parallel", action="store_true",
                       help="shard LOST batches over all devices of a "
                            "(data,) mesh")
+    lost.add_argument("--sequence-parallel", action="store_true",
+                      help="shard the TOKEN axis over all devices (for "
+                           "batch-1 native-resolution images where data "
+                           "parallelism has nothing to split); mutually "
+                           "exclusive with --data-parallel")
 
     corloc = sub.add_parser("corloc", help="re-score saved predictions vs GT")
     corloc.add_argument("--preds", "--pred-file", dest="preds", required=True,

@@ -83,7 +83,8 @@ class LostFeatureExtractor:
     def __init__(self, spec, variables, masks=None, arch: str = "vit",
                  which_features: str = "k", bucket: int = 4,
                  need_attn: bool = False, compute_dtype=None,
-                 observers=None):
+                 observers=None, sequence_mesh=None,
+                 sequence_axis: str = "seq"):
         self.spec = spec
         self.arch = arch
         self.which = which_features
@@ -123,6 +124,22 @@ class LostFeatureExtractor:
         self.variables = dict(variables, params=params)
         self._pos_cache = {}
         self._module_apply = self._make_module_apply()
+        self.sequence_mesh = sequence_mesh
+        if sequence_mesh is not None:
+            # Sequence parallelism (vipers/parallel/sp.py): shard the TOKEN
+            # axis over the mesh for batch-1 native-resolution images where
+            # data parallelism has nothing to split. The context is active
+            # while THIS extractor's jitted programs trace, baking the
+            # sharding constraints into its jaxprs only.
+            from vipers.parallel.sp import sequence_parallel
+
+            base_apply = self._module_apply
+
+            def sp_apply(variables, img, **kw):
+                with sequence_parallel(sequence_mesh, sequence_axis):
+                    return base_apply(variables, img, **kw)
+
+            self._module_apply = sp_apply
 
         module_apply = self._module_apply
         patch = spec.patch_size
@@ -565,6 +582,23 @@ def run_lost(args) -> int:
     dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": "int8"}[
         getattr(args, "dtype", None) or "f32"
     ]
+    seq_mesh = None
+    if getattr(args, "sequence_parallel", False):
+        if getattr(args, "data_parallel", False):
+            raise SystemExit(
+                "--sequence-parallel and --data-parallel are mutually "
+                "exclusive (token-axis vs batch-axis sharding)"
+            )
+        if arch not in ("vit", "dino"):
+            raise SystemExit(
+                "--sequence-parallel shards the transformer token axis; "
+                f"arch {arch!r} has no token dimension to shard"
+            )
+        from vipers.parallel.sp import make_seq_mesh
+
+        seq_mesh = make_seq_mesh()
+        print(f"LOST sequence-parallel over {seq_mesh.devices.size} devices "
+              "(token axis)")
     extractor = LostFeatureExtractor(
         spec, variables, masks, arch=arch, which_features=args.which_features,
         observers=observers,
@@ -578,6 +612,7 @@ def run_lost(args) -> int:
         # only dino_seg consumes the per-head attention probs
         need_attn=bool(args.dinoseg),
         compute_dtype=dtype,
+        sequence_mesh=seq_mesh,
     )
     acc = CorLocAccumulator()
     n_imgs = 0

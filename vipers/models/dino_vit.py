@@ -45,8 +45,9 @@ class DinoAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]
         scale = hd ** -0.5
         from vipers.ops.flash_attention import flash_min_t
+        from vipers.parallel.sp import sequence_axis
 
-        if not need_attn and t >= flash_min_t():
+        if not need_attn and t >= flash_min_t() and sequence_axis() is None:
             # same blockwise gate as models/vit.py: the tuned flash kernel
             # wins from mid sequence lengths and skips the (T, T) softmax
             from vipers.ops.flash_attention import flash_attention
@@ -83,8 +84,10 @@ class DinoBlock(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
         fc1 = nn.Dense(int(d * self.mlp_ratio), name="fc1")
         from vipers.ops.fused_mlp import fused_ln_dense_gelu, fused_supported
+        from vipers.parallel.sp import sequence_axis
 
-        if not self.is_initializing() and fused_supported(x):
+        if (not self.is_initializing() and fused_supported(x)
+                and sequence_axis() is None):
             # One-pass norm2 -> fc1 -> GELU Pallas kernel (ops/fused_mlp.py;
             # see models/vit.EncoderBlock for the gating contract).
             p = self.variables["params"]
@@ -151,11 +154,17 @@ class DinoVisionTransformer(nn.Module):
 
             x, token_mask = pad_tokens(x, token_mask, seq_len, seq_pad_multiple)
 
+        # Sequence parallelism: token-axis anchors at block boundaries
+        # (see models/vit.py; no-op when SP is inactive).
+        from vipers.parallel.sp import shard_tokens
+
+        x = shard_tokens(x)
         attn = qkv_out = None
         for i in range(c.depth):
             x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(
                 x, token_mask=token_mask,
                 need_attn=need_attn and i == c.depth - 1)
+            x = shard_tokens(x)
             if i == c.depth - 1:
                 attn, qkv_out = attn_i, qkv_i
         if seq_pad_multiple:

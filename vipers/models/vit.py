@@ -93,12 +93,18 @@ class MultiHeadAttention(nn.Module):
         import os
 
         from vipers.ops.flash_attention import flash_min_t
+        from vipers.parallel.sp import sequence_axis
 
+        # Under sequence parallelism every Pallas kernel gates off: a
+        # pallas_call is opaque to the GSPMD partitioner (it would force a
+        # full token re-gather); the einsum paths partition cleanly.
+        seq_parallel = sequence_axis() is not None
         min_t = flash_min_t()
         use_flash = (
             not need_attn
             and not (train and self.dropout_rate > 0)
             and t >= min_t
+            and not seq_parallel
         )
 
         from vipers.ops.flash_attention import packed_layout_supported
@@ -141,6 +147,7 @@ class MultiHeadAttention(nn.Module):
         )
 
         if (train and not need_attn and not use_flash
+                and not seq_parallel
                 and self.dropout_rate == 0
                 and fused_attention_supported(t, hd)
                 and attention_train_enabled(x.dtype)):
@@ -237,8 +244,10 @@ class EncoderBlock(nn.Module):
         ln2 = nn.LayerNorm(epsilon=1e-6, name="ln_2")
         mlp = MLPBlock(self.mlp_dim, x.shape[-1], self.dropout_rate, name="mlp")
         from vipers.ops.fused_mlp import fused_ln_dense_gelu, fused_supported
+        from vipers.parallel.sp import sequence_axis
 
-        if not self.is_initializing() and not train and fused_supported(x):
+        if (not self.is_initializing() and not train and fused_supported(x)
+                and sequence_axis() is None):
             # Fused ln_2 -> fc1 -> GELU Pallas pass (ops/fused_mlp.py):
             # ln_2's output never round-trips HBM.  Param values come from
             # this block's variable dict — ln_2/fc1 modules still own them
@@ -340,6 +349,13 @@ class VisionTransformer(nn.Module):
 
             x, token_mask = pad_tokens(x, token_mask, seq_len, seq_pad_multiple)
 
+        # Sequence parallelism: anchor the token axis onto the SP mesh axis
+        # before the encoder and at every block boundary; GSPMD propagates
+        # the sharding through the per-token ops and inserts the attention
+        # collectives (vipers/parallel/sp.py). No-ops when SP is inactive.
+        from vipers.parallel.sp import shard_tokens
+
+        x = shard_tokens(x)
         qkv_input = attn = None
         for i in range(c.num_layers):
             x, ln1, attn_i = EncoderBlock(
@@ -351,6 +367,7 @@ class VisionTransformer(nn.Module):
             )(x, train=train, token_mask=token_mask,
               tap_delta=tap_delta if i == c.num_layers - 1 else None,
               need_attn=need_attn and i == c.num_layers - 1)
+            x = shard_tokens(x)
             if i == c.num_layers - 1:
                 # The reference's /scratch dump is clobbered each block; only
                 # the last block's write survives for consumers
