@@ -383,3 +383,41 @@ def test_interpolation_flag_changes_decode(tmp_path, rng):
                       hflip_prob=0.0, interpolation="nearest")
     assert t.shape == t2.shape == (32, 32, 3)
     assert not np.array_equal(t, t2)
+
+
+@pytest.mark.slow
+def test_pipeline_parallel_wired_into_train_step(tiny_imagenet, tmp_path):
+    """--pipeline-parallel swaps the session's train step for the GPipe
+    pipelined one (vipers/parallel/pp.py) and one step matches the dense
+    step; invalid layouts are rejected loudly."""
+    from vipers.train.driver import build_session
+
+    cfg_pp = _cfg(tiny_imagenet, tmp_path, model="vit_s_16",
+                  pipeline_parallel=4)
+    s_pp = build_session(cfg_pp)
+    s_d = build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16"))
+    # same seed -> identical initial params
+    batch = (
+        jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 3)),
+                    jnp.float32),
+        jnp.asarray([0, 1, 0, 1], jnp.int32),
+    )
+    rng = jax.random.PRNGKey(0)
+    st_pp, m_pp = s_pp.train_step(s_pp.state, batch, rng)
+    st_d, m_d = s_d.train_step(s_d.state, batch, rng)
+    assert np.isfinite(float(m_pp["loss"]))
+    np.testing.assert_allclose(float(m_pp["loss"]), float(m_d["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_pp.params), jax.tree.leaves(st_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+    with pytest.raises(SystemExit, match="not supported"):
+        build_session(_cfg(tiny_imagenet, tmp_path, model="resnet18",
+                           pipeline_parallel=4))
+    with pytest.raises(SystemExit, match="model-ema"):
+        build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
+                           pipeline_parallel=4, model_ema=True))
+    with pytest.raises(SystemExit, match="pipeline stages"):
+        build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
+                           pipeline_parallel=5))

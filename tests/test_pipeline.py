@@ -1,0 +1,114 @@
+"""Pipeline parallelism (vipers/parallel/pp.py): GPipe over a ("pipe",)
+mesh axis — forward and training-step parity vs the single-program flax
+module on the fake 8-device CPU mesh (SURVEY §4 item 4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from vipers.models.vit import ViTConfig, VisionTransformer
+from vipers.parallel.pp import make_pp_train_step, pp_vit_apply
+
+
+def _tiny(num_layers=4, num_classes=5, representation_size=None):
+    cfg = ViTConfig(patch_size=4, num_layers=num_layers, num_heads=2,
+                    hidden_dim=32, mlp_dim=64, num_classes=num_classes,
+                    representation_size=representation_size)
+    module = VisionTransformer(cfg=cfg, image_size=(16, 16))
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, 16, 16, 3)), jnp.float32
+    )
+    variables = module.init(jax.random.PRNGKey(0), x, train=False)
+    return cfg, module, variables, x
+
+
+def _pipe_mesh(n):
+    return Mesh(np.asarray(jax.devices()[:n]), ("pipe",))
+
+
+@pytest.mark.parametrize("stages,microbatch", [(4, 2), (4, 4), (2, 1)])
+def test_pp_forward_matches_module(stages, microbatch):
+    cfg, module, variables, x = _tiny()
+    ref, _aux = module.apply(variables, x, train=False)
+    mesh = _pipe_mesh(stages)
+    got = jax.jit(
+        lambda p, xx: pp_vit_apply(p, xx, cfg=cfg, mesh=mesh,
+                                   microbatch=microbatch)
+    )(variables["params"], x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pp_forward_one_layer_per_stage_and_pre_logits():
+    # 8 stages x 1 layer, plus the representation_size head branch
+    cfg, module, variables, x = _tiny(num_layers=8, representation_size=16)
+    ref, _aux = module.apply(variables, x, train=False)
+    got = pp_vit_apply(variables["params"], x, cfg=cfg, mesh=_pipe_mesh(8))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pp_rejects_indivisible_layout():
+    cfg, _module, variables, x = _tiny(num_layers=4)
+    with pytest.raises(ValueError, match="pipeline stages"):
+        pp_vit_apply(variables["params"], x, cfg=cfg, mesh=_pipe_mesh(3))
+    with pytest.raises(ValueError, match="microbatch"):
+        pp_vit_apply(variables["params"], x, cfg=cfg, mesh=_pipe_mesh(4),
+                     microbatch=3)
+
+
+@pytest.mark.slow
+def test_pp_train_step_matches_dense():
+    """Two pipelined SGD steps on a 50%-pruned tiny ViT land on the same
+    params/metrics as train.steps.make_train_step — the reverse pipeline
+    (autodiff of scan+ppermute) computes the exact dense gradients and the
+    mask contract (zero grads AND updates at pruned slots) is preserved."""
+    import optax
+
+    from vipers.pruning import init_masks, magnitude_prune
+    from vipers.train.steps import TrainState, make_train_step
+
+    cfg, module, variables, x = _tiny()
+    params = variables["params"]
+    masks = magnitude_prune(params, init_masks(params, exclude=("qkv",)), 0.5)
+    labels = jnp.asarray(
+        np.random.default_rng(1).integers(0, 5, size=(4,)), jnp.int32
+    )
+    tx = optax.sgd(0.05, momentum=0.9)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats=None,
+            masks=masks, opt_state=tx.init(params),
+        )
+
+    dense = make_train_step(module.apply, tx, num_classes=5, donate=False)
+    pp = make_pp_train_step(cfg, tx, num_classes=5, mesh=_pipe_mesh(4),
+                            microbatch=2)
+
+    sd, sp = fresh_state(), fresh_state()
+    rng = jax.random.PRNGKey(2)
+    for _ in range(2):
+        sd, md = dense(sd, (x, labels), rng)
+        sp, mp = pp(sp, (x, labels), rng)
+
+    np.testing.assert_allclose(float(mp["loss"]), float(md["loss"]),
+                               atol=1e-5, rtol=1e-5)
+    assert float(mp["acc1"]) == float(md["acc1"])
+    flat_d = jax.tree.leaves(sd.params)
+    flat_p = jax.tree.leaves(sp.params)
+    for a, b in zip(flat_p, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+    # pruned slots never moved (masks zero grads AND updates; raw params
+    # keep their init values, exactly like the dense step)
+    for path, m in sp.masks.items():
+        node, init = sp.params, params
+        for k in path:
+            node, init = node[k], init[k]
+        keep = np.asarray(m)
+        np.testing.assert_array_equal(np.asarray(node)[~keep],
+                                      np.asarray(init)[~keep])

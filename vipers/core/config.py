@@ -58,6 +58,11 @@ class TrainConfig:
     # runtime
     seed: int = 42
     amp: bool = False  # bf16 compute on TPU
+    # pipeline parallelism: number of GPipe stages for the ViT train step
+    # (vipers/parallel/pp.py); 0 = off. TPU addition beyond the reference's
+    # DP-only taxonomy (SURVEY §2.2).
+    pipeline_parallel: int = 0
+    pp_microbatch: int = 0  # 0 = batch_size // stages
     native_decode: bool = False  # C++ libjpeg fast path (csrc/decode.cc)
     profile_dir: str = ""  # jax.profiler device trace of the (first) training run
     debug_nans: bool = False  # jax debug_nans sanitizer
@@ -133,6 +138,13 @@ def add_train_args(p: argparse.ArgumentParser):
     p.add_argument("--model-ema-decay", type=float, default=0.99998)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--amp", action="store_true", help="bf16 compute")
+    p.add_argument("--pipeline-parallel", type=int, default=0,
+                   help="GPipe pipeline stages for ViT training over a "
+                        "(pipe,) device mesh (0 = off); encoder layers "
+                        "must divide evenly into stages")
+    p.add_argument("--pp-microbatch", type=int, default=0,
+                   help="microbatch size for --pipeline-parallel "
+                        "(0 = batch_size // stages)")
     p.add_argument("--native-decode", action="store_true",
                    help="C++ libjpeg decode fast path (approximate resize)")
     p.add_argument("--profile-dir", default="",
@@ -187,6 +199,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         model_ema=args.model_ema,
         model_ema_steps=args.model_ema_steps, model_ema_decay=args.model_ema_decay,
         seed=args.seed, amp=args.amp,
+        pipeline_parallel=getattr(args, "pipeline_parallel", 0),
+        pp_microbatch=getattr(args, "pp_microbatch", 0),
         native_decode=getattr(args, "native_decode", False),
         profile_dir=getattr(args, "profile_dir", ""),
         debug_nans=getattr(args, "debug_nans", False),

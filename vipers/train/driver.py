@@ -122,12 +122,56 @@ def build_session(cfg: TrainConfig) -> Session:
     )
 
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
-    train_step = make_train_step(
-        spec.module.apply, tx, cfg.num_classes, cfg.optim.label_smoothing,
-        compute_dtype=compute_dtype, ema_decay=ema_decay,
-        ema_every=cfg.model_ema_steps,
-        ema_warmup_steps=cfg.optim.lr_warmup_epochs * steps_per_epoch,
-    )
+    if cfg.pipeline_parallel > 1:
+        # GPipe pipeline parallelism (vipers/parallel/pp.py): the encoder's
+        # layer axis split into one stage per device; scan+ppermute
+        # schedule, autodiff gives the reverse pipeline. ViT-only (the
+        # stage math is the pure-function EncoderBlock) and incompatible
+        # with EMA/dropout — guard loudly rather than silently diverge.
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        from vipers.parallel.pp import make_pp_train_step
+
+        if spec.family != "vit":
+            raise SystemExit(
+                f"--pipeline-parallel stages the ViT encoder; model "
+                f"{cfg.model!r} (family {spec.family!r}) is not supported"
+            )
+        if cfg.model_ema:
+            raise SystemExit("--pipeline-parallel does not support --model-ema")
+        vcfg = spec.module.cfg
+        if vcfg.dropout_rate or vcfg.attention_dropout_rate:
+            raise SystemExit(
+                "--pipeline-parallel requires dropout 0 (no rng plumbing "
+                "through the pipelined schedule)"
+            )
+        stages = cfg.pipeline_parallel
+        if vcfg.num_layers % stages:
+            raise SystemExit(
+                f"{vcfg.num_layers} encoder layers do not divide into "
+                f"{stages} pipeline stages"
+            )
+        devs = jax.devices()
+        if len(devs) < stages:
+            raise SystemExit(
+                f"--pipeline-parallel {stages} needs {stages} devices, "
+                f"have {len(devs)}"
+            )
+        train_step = make_pp_train_step(
+            vcfg, tx, cfg.num_classes,
+            mesh=_Mesh(_np.asarray(devs[:stages]), ("pipe",)),
+            microbatch=cfg.pp_microbatch or None,
+            label_smoothing=cfg.optim.label_smoothing,
+            compute_dtype=compute_dtype,
+        )
+    else:
+        train_step = make_train_step(
+            spec.module.apply, tx, cfg.num_classes, cfg.optim.label_smoothing,
+            compute_dtype=compute_dtype, ema_decay=ema_decay,
+            ema_every=cfg.model_ema_steps,
+            ema_warmup_steps=cfg.optim.lr_warmup_epochs * steps_per_epoch,
+        )
     eval_step = make_eval_step(
         spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing, compute_dtype
     )
