@@ -86,8 +86,11 @@ def test_pp_train_step_matches_dense():
         )
 
     dense = make_train_step(module.apply, tx, num_classes=5, donate=False)
+    # donate=False: the test re-reads the shared init params/masks after
+    # stepping (the product default donates the TrainState like the dense
+    # step)
     pp = make_pp_train_step(cfg, tx, num_classes=5, mesh=_pipe_mesh(4),
-                            microbatch=2)
+                            microbatch=2, donate=False)
 
     sd, sp = fresh_state(), fresh_state()
     rng = jax.random.PRNGKey(2)
@@ -112,3 +115,74 @@ def test_pp_train_step_matches_dense():
         keep = np.asarray(m)
         np.testing.assert_array_equal(np.asarray(node)[~keep],
                                       np.asarray(init)[~keep])
+
+
+def test_pp_block_math_bitexact_bf16():
+    """The pure-function embed->blocks->head chain is BIT-identical to
+    module.apply in bf16 when run eagerly — the pp math is exact; any
+    end-to-end pp-vs-module delta comes only from XLA fusing the scan
+    body differently (f32 intermediates inside fusions) than the unrolled
+    module program."""
+    from vipers.parallel.pp import (
+        _embed, _head, split_vit_params, vit_block_forward,
+    )
+
+    cfg, module, variables, x = _tiny()
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables["params"])
+    x16 = x.astype(jnp.bfloat16)
+    ref, _aux = module.apply({"params": p16}, x16, train=False)
+    outer, stacked = split_vit_params(p16, cfg.num_layers)
+    h = _embed(outer, x16, cfg)
+    for i in range(cfg.num_layers):
+        bp = jax.tree.map(lambda a: a[i], stacked)
+        h = vit_block_forward(bp, h, cfg.num_heads)
+    got = _head(outer, h, cfg)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
+
+
+def test_pp_forward_bf16_close_to_module():
+    """Pipelined bf16 forward stays within a few bf16 ulp of the module
+    (the delta is scan-fusion rounding, not math — see the bit-exact
+    eager test above). Guards the f32 LayerNorm-statistics contract:
+    with bf16 stats the delta was ~2x larger and grew per block."""
+    cfg, module, variables, x = _tiny()
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables["params"])
+    x16 = x.astype(jnp.bfloat16)
+    ref, _aux = module.apply({"params": p16}, x16, train=False)
+    got = pp_vit_apply(p16, x16, cfg=cfg, mesh=_pipe_mesh(4))
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=0.05)
+
+
+def test_pp_default_microbatch_handles_any_batch():
+    """With --pp-microbatch unset the driver must accept ANY batch size:
+    the default picks the largest divisor of n <= n // S."""
+    cfg, module, variables, _x = _tiny()
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(5, 16, 16, 3)), jnp.float32
+    )
+    ref, _aux = module.apply(variables, x, train=False)
+    got = pp_vit_apply(variables["params"], x, cfg=cfg, mesh=_pipe_mesh(2))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_pp_eval_step_matches_dense():
+    from vipers.parallel.pp import make_pp_eval_step
+    from vipers.pruning import init_masks, magnitude_prune
+    from vipers.train.steps import TrainState, make_eval_step
+
+    cfg, module, variables, x = _tiny()
+    params = variables["params"]
+    masks = magnitude_prune(params, init_masks(params, exclude=("qkv",)), 0.5)
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=None, masks=masks, opt_state=None)
+    dense = make_eval_step(module.apply, num_classes=5)
+    pp = make_pp_eval_step(cfg, num_classes=5, mesh=_pipe_mesh(4))
+    md = dense(state, (x, labels))
+    mp = pp(state, (x, labels))
+    for k in ("loss_sum", "top1", "top5", "n"):
+        np.testing.assert_allclose(np.asarray(mp[k]), np.asarray(md[k]),
+                                   atol=1e-5, rtol=1e-5)

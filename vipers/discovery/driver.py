@@ -597,8 +597,20 @@ def run_lost(args) -> int:
         from vipers.parallel.sp import make_seq_mesh
 
         seq_mesh = make_seq_mesh()
-        print(f"LOST sequence-parallel over {seq_mesh.devices.size} devices "
-              "(token axis)")
+        if seq_mesh.devices.size < 2:
+            # a 1-device token mesh parallelizes nothing but would still
+            # gate off every Pallas fast path — pure perf regression
+            import warnings
+
+            warnings.warn(
+                "--sequence-parallel ignored: only 1 device visible "
+                "(token-axis sharding needs >= 2); running single-device "
+                "with the fast kernels enabled"
+            )
+            seq_mesh = None
+        else:
+            print(f"LOST sequence-parallel over {seq_mesh.devices.size} "
+                  "devices (token axis)")
     extractor = LostFeatureExtractor(
         spec, variables, masks, arch=arch, which_features=args.which_features,
         observers=observers,

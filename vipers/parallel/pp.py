@@ -29,23 +29,29 @@ minimal and rides ``ppermute``.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+from typing import TYPE_CHECKING, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
-from vipers.models.vit import ViTConfig
+if TYPE_CHECKING:  # annotation-only: keep the package import flax-free
+    from vipers.models.vit import ViTConfig
 
 
 def _layer_norm(x, scale, bias, eps=1e-6):
-    """flax ``nn.LayerNorm`` semantics (fast variance, last-axis)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
+    """flax ``nn.LayerNorm`` semantics: statistics and normalization in
+    f32 regardless of input dtype (bf16 E[x²] would cost up to a full
+    quant step of error per block under --amp), result in x.dtype."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
     var = jnp.maximum(
-        jnp.mean(jnp.square(x), axis=-1, keepdims=True) - jnp.square(mean), 0.0
+        jnp.mean(jnp.square(x32), axis=-1, keepdims=True) - jnp.square(mean),
+        0.0,
     )
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)
+            + bias.astype(jnp.float32)).astype(x.dtype)
 
 
 def vit_block_forward(bp, x, num_heads: int):
@@ -176,8 +182,8 @@ def _pipeline_encoder(stage_params, xmb, *, mesh: Mesh, axis: str,
     )(stage_params, xmb)
 
 
-def pp_vit_apply(params, x, *, cfg: ViTConfig, mesh: Mesh, axis: str = "pipe",
-                 microbatch: Optional[int] = None):
+def pp_vit_apply(params, x, *, cfg: "ViTConfig", mesh: Mesh,
+                 axis: str = "pipe", microbatch: Optional[int] = None):
     """Pipelined forward of the torchvision-style ViT: logits from NHWC
     images, numerically matching ``module.apply`` (no dropout, no aux
     outputs — the training loss path)."""
@@ -195,19 +201,26 @@ def pp_vit_apply(params, x, *, cfg: ViTConfig, mesh: Mesh, axis: str = "pipe",
 
     h = _embed(outer, x, cfg)
     n, t, d = h.shape
-    mb = microbatch or max(1, n // num_stages)
-    if n % mb:
-        raise ValueError(f"batch {n} not divisible by microbatch {mb}")
+    if microbatch:
+        mb = microbatch
+        if n % mb:
+            raise ValueError(f"batch {n} not divisible by microbatch {mb}")
+    else:
+        # default: the largest divisor of n not exceeding n // S, so any
+        # batch size works out of the box (shapes are static — plain python)
+        mb = max(1, n // num_stages)
+        while n % mb:
+            mb -= 1
     xmb = h.reshape(n // mb, mb, t, d)
     out = _pipeline_encoder(stacked, xmb, mesh=mesh, axis=axis,
                             num_heads=cfg.num_heads)
     return _head(outer, out.reshape(n, t, d), cfg)
 
 
-def make_pp_train_step(cfg: ViTConfig, tx, num_classes: int, mesh: Mesh,
+def make_pp_train_step(cfg: "ViTConfig", tx, num_classes: int, mesh: Mesh,
                        axis: str = "pipe", microbatch: Optional[int] = None,
                        label_smoothing: float = 0.0,
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, donate: bool = True):
     """Pipelined pruned-ViT training step with the same TrainState/metrics
     contract as ``train.steps.make_train_step`` (ViT only — no batch_stats,
     no dropout; the ``rng`` argument is accepted for signature parity).
@@ -249,4 +262,44 @@ def make_pp_train_step(cfg: ViTConfig, tx, num_classes: int, mesh: Mesh,
         )
         return new_state, {"loss": loss, "acc1": acc1, "acc5": acc5}
 
-    return jax.jit(step)
+    # donate the TrainState like the dense step: pipeline parallelism
+    # exists to FIT models, so holding old+new params/momentum copies
+    # would defeat it
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_pp_eval_step(cfg: "ViTConfig", num_classes: int, mesh: Mesh,
+                      axis: str = "pipe", microbatch: Optional[int] = None,
+                      label_smoothing: float = 0.0,
+                      compute_dtype=jnp.float32):
+    """Pipelined eval step with ``train.steps.make_eval_step``'s metrics
+    contract — under --pipeline-parallel the epoch-end evaluation must not
+    fall back to the single-device dense forward (a model that needs S
+    stages to train would OOM a single chip at eval time)."""
+    from vipers.pruning.masks import apply_masks
+    from vipers.train.steps import cross_entropy
+
+    @jax.jit
+    def step(state, batch):
+        images, labels = batch
+        p = apply_masks(state.params, state.masks)
+        if compute_dtype != jnp.float32:
+            p = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a, p,
+            )
+        logits = pp_vit_apply(p, images.astype(compute_dtype), cfg=cfg,
+                              mesh=mesh, axis=axis, microbatch=microbatch)
+        loss = cross_entropy(logits, labels, num_classes, label_smoothing)
+        if labels.ndim == 2:
+            labels = jnp.argmax(labels, axis=1)
+        _, pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))
+        correct = pred == labels[:, None]
+        return {
+            "loss_sum": loss * labels.shape[0],
+            "top1": jnp.sum(correct[:, :1]),
+            "top5": jnp.sum(correct),
+            "n": jnp.asarray(labels.shape[0], jnp.int32),
+        }
+
+    return step

@@ -131,7 +131,7 @@ def build_session(cfg: TrainConfig) -> Session:
         import numpy as _np
         from jax.sharding import Mesh as _Mesh
 
-        from vipers.parallel.pp import make_pp_train_step
+        from vipers.parallel.pp import make_pp_eval_step, make_pp_train_step
 
         if spec.family != "vit":
             raise SystemExit(
@@ -158,9 +158,17 @@ def build_session(cfg: TrainConfig) -> Session:
                 f"--pipeline-parallel {stages} needs {stages} devices, "
                 f"have {len(devs)}"
             )
+        pp_mesh = _Mesh(_np.asarray(devs[:stages]), ("pipe",))
         train_step = make_pp_train_step(
-            vcfg, tx, cfg.num_classes,
-            mesh=_Mesh(_np.asarray(devs[:stages]), ("pipe",)),
+            vcfg, tx, cfg.num_classes, mesh=pp_mesh,
+            microbatch=cfg.pp_microbatch or None,
+            label_smoothing=cfg.optim.label_smoothing,
+            compute_dtype=compute_dtype,
+        )
+        # the epoch-end evaluation must be pipelined too: a model that
+        # needs S stages to train would OOM the single-device dense eval
+        eval_step = make_pp_eval_step(
+            vcfg, cfg.num_classes, mesh=pp_mesh,
             microbatch=cfg.pp_microbatch or None,
             label_smoothing=cfg.optim.label_smoothing,
             compute_dtype=compute_dtype,
@@ -172,9 +180,10 @@ def build_session(cfg: TrainConfig) -> Session:
             ema_every=cfg.model_ema_steps,
             ema_warmup_steps=cfg.optim.lr_warmup_epochs * steps_per_epoch,
         )
-    eval_step = make_eval_step(
-        spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing, compute_dtype
-    )
+        eval_step = make_eval_step(
+            spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing,
+            compute_dtype,
+        )
     eval_step_ema = make_eval_step(
         spec.module.apply, cfg.num_classes, cfg.optim.label_smoothing,
         compute_dtype, use_ema=True,
