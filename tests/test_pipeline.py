@@ -186,3 +186,51 @@ def test_pp_eval_step_matches_dense():
     for k in ("loss_sum", "top1", "top5", "n"):
         np.testing.assert_allclose(np.asarray(mp[k]), np.asarray(md[k]),
                                    atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_pp_dp_combined_and_remat_match_dense():
+    """DP x PP over a (2, 4) mesh: each data column pipelines its batch
+    slice; stage-param cotangents psum back over "data" (the shard_map
+    transpose of the replicated in_spec). Two SGD steps land on the dense
+    params; remat=True produces the identical program result."""
+    import optax
+
+    from vipers.pruning import init_masks, magnitude_prune
+    from vipers.train.steps import TrainState, make_train_step
+
+    cfg, module, variables, _x = _tiny()
+    params = variables["params"]
+    masks = magnitude_prune(params, init_masks(params, exclude=("qkv",)), 0.5)
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(8, 16, 16, 3)), jnp.float32
+    )
+    labels = jnp.asarray(
+        np.random.default_rng(6).integers(0, 5, size=(8,)), jnp.int32
+    )
+    tx = optax.sgd(0.05, momentum=0.9)
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("data", "pipe"))
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.zeros((), jnp.int32), params=params, batch_stats=None,
+            masks=masks, opt_state=tx.init(params),
+        )
+
+    dense = make_train_step(module.apply, tx, num_classes=5, donate=False)
+    rng = jax.random.PRNGKey(2)
+    sd = fresh_state()
+    for _ in range(2):
+        sd, _md = dense(sd, (x, labels), rng)
+
+    for remat in (False, True):
+        pp = make_pp_train_step(
+            cfg, tx, num_classes=5, mesh=mesh, microbatch=4,
+            data_axis="data", remat=remat, donate=False,
+        )
+        sp = fresh_state()
+        for _ in range(2):
+            sp, _mp = pp(sp, (x, labels), rng)
+        for a, b in zip(jax.tree.leaves(sp.params), jax.tree.leaves(sd.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=1e-4)

@@ -62,7 +62,9 @@ class TrainConfig:
     # (vipers/parallel/pp.py); 0 = off. TPU addition beyond the reference's
     # DP-only taxonomy (SURVEY §2.2).
     pipeline_parallel: int = 0
-    pp_microbatch: int = 0  # 0 = batch_size // stages
+    pp_microbatch: int = 0  # 0 = largest divisor of batch <= batch // stages
+    pp_remat: bool = False  # recompute blocks in backward (activation memory)
+    pp_data: int = 0  # data-parallel degree combined with PP ((data, pipe) mesh)
     native_decode: bool = False  # C++ libjpeg fast path (csrc/decode.cc)
     profile_dir: str = ""  # jax.profiler device trace of the (first) training run
     debug_nans: bool = False  # jax debug_nans sanitizer
@@ -144,7 +146,16 @@ def add_train_args(p: argparse.ArgumentParser):
                         "must divide evenly into stages")
     p.add_argument("--pp-microbatch", type=int, default=0,
                    help="microbatch size for --pipeline-parallel "
-                        "(0 = batch_size // stages)")
+                        "(0 = largest divisor of batch <= batch // stages)")
+    p.add_argument("--pp-remat", action="store_true",
+                   help="rematerialize encoder blocks in the pipelined "
+                        "backward (trade recompute FLOPs for activation "
+                        "memory)")
+    p.add_argument("--pp-data", type=int, default=0,
+                   help="combine --pipeline-parallel with D-way data "
+                        "parallelism over a (data, pipe) mesh (needs "
+                        "D * stages devices; each data column runs its own "
+                        "pipeline on its batch slice)")
     p.add_argument("--native-decode", action="store_true",
                    help="C++ libjpeg decode fast path (approximate resize)")
     p.add_argument("--profile-dir", default="",
@@ -201,6 +212,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         seed=args.seed, amp=args.amp,
         pipeline_parallel=getattr(args, "pipeline_parallel", 0),
         pp_microbatch=getattr(args, "pp_microbatch", 0),
+        pp_remat=getattr(args, "pp_remat", False),
+        pp_data=getattr(args, "pp_data", 0),
         native_decode=getattr(args, "native_decode", False),
         profile_dir=getattr(args, "profile_dir", ""),
         debug_nans=getattr(args, "debug_nans", False),

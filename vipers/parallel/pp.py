@@ -130,21 +130,33 @@ def _head(outer, x, cfg: ViTConfig):
 
 
 def _pipeline_encoder(stage_params, xmb, *, mesh: Mesh, axis: str,
-                      num_heads: int):
+                      num_heads: int, remat: bool = False,
+                      data_axis: Optional[str] = None):
     """GPipe schedule under shard_map: ``stage_params`` leaves are
-    [S, L/S, ...] sharded on ``axis``; ``xmb`` is (M, mb, T, D) replicated.
-    Returns (M, mb, T, D) replicated."""
+    [S, L/S, ...] sharded on ``axis``; ``xmb`` is (M, mb, T, D) replicated
+    (or sharded on ``data_axis`` along mb for combined DP x PP — each data
+    column of the mesh runs an independent pipeline on its batch slice;
+    stage params replicate across columns and their cotangents psum back).
+    Returns (M, mb, T, D) with the same layout as ``xmb``.  ``remat``
+    recomputes each block in the backward instead of stashing its
+    internals per microbatch — the standard activation-memory lever when
+    stages are deep."""
     num_stages = mesh.shape[axis]
     perm = [(i, (i + 1) % num_stages) for i in range(num_stages)]
+    x_spec = P(None, data_axis) if data_axis else P()
 
     def body(sp, xmb):
         sp = jax.tree.map(lambda a: a[0], sp)  # this device's [L/S, ...]
         idx = jax.lax.axis_index(axis)
         m, mb, t, d = xmb.shape
 
+        block = vit_block_forward
+        if remat:
+            block = jax.checkpoint(block, static_argnums=(2,))
+
         def apply_stage(z):
             def one_block(h, bp):
-                return vit_block_forward(bp, h, num_heads), None
+                return block(bp, h, num_heads), None
 
             z, _ = jax.lax.scan(one_block, z, sp)
             return z
@@ -177,16 +189,19 @@ def _pipeline_encoder(stage_params, xmb, *, mesh: Mesh, axis: str,
         return jax.lax.psum(out_buf, axis)
 
     return jax.shard_map(
-        body, mesh=mesh, in_specs=(P(axis), P()), out_specs=P(),
+        body, mesh=mesh, in_specs=(P(axis), x_spec), out_specs=x_spec,
         check_vma=False,
     )(stage_params, xmb)
 
 
 def pp_vit_apply(params, x, *, cfg: "ViTConfig", mesh: Mesh,
-                 axis: str = "pipe", microbatch: Optional[int] = None):
+                 axis: str = "pipe", microbatch: Optional[int] = None,
+                 remat: bool = False, data_axis: Optional[str] = None):
     """Pipelined forward of the torchvision-style ViT: logits from NHWC
     images, numerically matching ``module.apply`` (no dropout, no aux
-    outputs — the training loss path)."""
+    outputs — the training loss path).  ``data_axis``: shard every
+    microbatch over this second mesh axis too (DP x PP over a
+    ("data", "pipe") mesh)."""
     num_stages = mesh.shape[axis]
     if cfg.num_layers % num_stages:
         raise ValueError(
@@ -201,26 +216,39 @@ def pp_vit_apply(params, x, *, cfg: "ViTConfig", mesh: Mesh,
 
     h = _embed(outer, x, cfg)
     n, t, d = h.shape
+    dd = mesh.shape[data_axis] if data_axis else 1
     if microbatch:
         mb = microbatch
         if n % mb:
             raise ValueError(f"batch {n} not divisible by microbatch {mb}")
+        if mb % dd:
+            raise ValueError(
+                f"microbatch {mb} not divisible by data-parallel degree {dd}"
+            )
     else:
-        # default: the largest divisor of n not exceeding n // S, so any
-        # batch size works out of the box (shapes are static — plain python)
-        mb = max(1, n // num_stages)
-        while n % mb:
-            mb -= 1
+        # default: the largest multiple-of-dd divisor of n not exceeding
+        # n // S, so any valid batch works out of the box (static shapes —
+        # plain python)
+        if n % dd:
+            raise ValueError(
+                f"batch {n} not divisible by data-parallel degree {dd}"
+            )
+        mb = max(dd, (n // num_stages) // dd * dd)
+        while n % mb or mb % dd:
+            mb -= dd
     xmb = h.reshape(n // mb, mb, t, d)
     out = _pipeline_encoder(stacked, xmb, mesh=mesh, axis=axis,
-                            num_heads=cfg.num_heads)
+                            num_heads=cfg.num_heads, remat=remat,
+                            data_axis=data_axis)
     return _head(outer, out.reshape(n, t, d), cfg)
 
 
 def make_pp_train_step(cfg: "ViTConfig", tx, num_classes: int, mesh: Mesh,
                        axis: str = "pipe", microbatch: Optional[int] = None,
                        label_smoothing: float = 0.0,
-                       compute_dtype=jnp.float32, donate: bool = True):
+                       compute_dtype=jnp.float32, donate: bool = True,
+                       remat: bool = False,
+                       data_axis: Optional[str] = None):
     """Pipelined pruned-ViT training step with the same TrainState/metrics
     contract as ``train.steps.make_train_step`` (ViT only — no batch_stats,
     no dropout; the ``rng`` argument is accepted for signature parity).
@@ -243,7 +271,8 @@ def make_pp_train_step(cfg: "ViTConfig", tx, num_classes: int, mesh: Mesh,
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, p,
             )
         logits = pp_vit_apply(p, images.astype(compute_dtype), cfg=cfg,
-                              mesh=mesh, axis=axis, microbatch=microbatch)
+                              mesh=mesh, axis=axis, microbatch=microbatch,
+                              remat=remat, data_axis=data_axis)
         return cross_entropy(logits, labels, num_classes, label_smoothing), logits
 
     def step(state, batch, rng):
@@ -271,7 +300,8 @@ def make_pp_train_step(cfg: "ViTConfig", tx, num_classes: int, mesh: Mesh,
 def make_pp_eval_step(cfg: "ViTConfig", num_classes: int, mesh: Mesh,
                       axis: str = "pipe", microbatch: Optional[int] = None,
                       label_smoothing: float = 0.0,
-                      compute_dtype=jnp.float32):
+                      compute_dtype=jnp.float32,
+                      data_axis: Optional[str] = None):
     """Pipelined eval step with ``train.steps.make_eval_step``'s metrics
     contract — under --pipeline-parallel the epoch-end evaluation must not
     fall back to the single-device dense forward (a model that needs S
@@ -289,7 +319,8 @@ def make_pp_eval_step(cfg: "ViTConfig", num_classes: int, mesh: Mesh,
                 if jnp.issubdtype(a.dtype, jnp.floating) else a, p,
             )
         logits = pp_vit_apply(p, images.astype(compute_dtype), cfg=cfg,
-                              mesh=mesh, axis=axis, microbatch=microbatch)
+                              mesh=mesh, axis=axis, microbatch=microbatch,
+                              data_axis=data_axis)
         loss = cross_entropy(logits, labels, num_classes, label_smoothing)
         if labels.ndim == 2:
             labels = jnp.argmax(labels, axis=1)

@@ -153,17 +153,32 @@ def build_session(cfg: TrainConfig) -> Session:
                 f"{stages} pipeline stages"
             )
         devs = jax.devices()
-        if len(devs) < stages:
+        pp_data = max(cfg.pp_data, 1)
+        need = stages * pp_data
+        if len(devs) < need:
             raise SystemExit(
-                f"--pipeline-parallel {stages} needs {stages} devices, "
-                f"have {len(devs)}"
+                f"--pipeline-parallel {stages}"
+                + (f" --pp-data {pp_data}" if pp_data > 1 else "")
+                + f" needs {need} devices, have {len(devs)}"
             )
-        pp_mesh = _Mesh(_np.asarray(devs[:stages]), ("pipe",))
+        if pp_data > 1:
+            # combined DP x PP: each data column of the (data, pipe) mesh
+            # runs its own pipeline on its batch slice; stage params
+            # replicate across columns, cotangents psum back over "data"
+            pp_mesh = _Mesh(
+                _np.asarray(devs[:need]).reshape(pp_data, stages),
+                ("data", "pipe"),
+            )
+            data_axis = "data"
+        else:
+            pp_mesh = _Mesh(_np.asarray(devs[:stages]), ("pipe",))
+            data_axis = None
         train_step = make_pp_train_step(
             vcfg, tx, cfg.num_classes, mesh=pp_mesh,
             microbatch=cfg.pp_microbatch or None,
             label_smoothing=cfg.optim.label_smoothing,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, remat=cfg.pp_remat,
+            data_axis=data_axis,
         )
         # the epoch-end evaluation must be pipelined too: a model that
         # needs S stages to train would OOM the single-device dense eval
@@ -171,7 +186,7 @@ def build_session(cfg: TrainConfig) -> Session:
             vcfg, cfg.num_classes, mesh=pp_mesh,
             microbatch=cfg.pp_microbatch or None,
             label_smoothing=cfg.optim.label_smoothing,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, data_axis=data_axis,
         )
     else:
         train_step = make_train_step(
