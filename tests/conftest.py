@@ -48,12 +48,16 @@ def tpu_tunnel_alive() -> bool:
     This 1s TCP probe of the relay's compile endpoint lets them skip
     immediately instead. No axon env at all -> False (plain no-TPU host).
     """
-    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+    pool = os.environ.get("PALLAS_AXON_POOL_IPS")
+    if not pool:
         return False
     import socket
 
+    # probe the first pool host (the env var lists bare IPs; the relay's
+    # compile endpoint sits on the 8082-8117 port block)
+    host = pool.split(",")[0].strip()
     try:
-        with socket.create_connection(("127.0.0.1", 8083), timeout=1):
+        with socket.create_connection((host, 8083), timeout=1):
             return True
     except OSError:
         return False

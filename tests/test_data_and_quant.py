@@ -140,7 +140,7 @@ def test_kmeans_and_whiten_match_scipy_in_loop():
     and the SAME explicit initial centroids agree with the jitted Lloyd
     implementation: identical final centroids (to fp tolerance) and
     identical labels under them."""
-    from scipy.cluster.vq import kmeans2 as scipy_kmeans2, vq, whiten as scipy_whiten
+    from scipy.cluster.vq import kmeans2 as scipy_kmeans2, whiten as scipy_whiten
 
     from vipers.discovery.kmeans import kmeans2_init, whiten
 
@@ -153,14 +153,15 @@ def test_kmeans_and_whiten_match_scipy_in_loop():
     xw = scipy_whiten(x)
     init = xw[rng.permutation(80)[:4]].copy()
     iters = 7
-    ref_cent, _ref_labels = scipy_kmeans2(
+    ref_cent, ref_labels = scipy_kmeans2(
         xw, init.copy(), iter=iters, minit="matrix", missing="warn"
     )
     cent, labels = kmeans2_init(jnp.asarray(xw), jnp.asarray(init), iters=iters)
     np.testing.assert_allclose(np.asarray(cent), ref_cent, rtol=1e-6, atol=1e-8)
-    # scipy returns labels from the PRE-update assignment; compare ours
-    # against the final-centroid assignment (vq on its returned code book)
-    np.testing.assert_array_equal(np.asarray(labels), vq(xw, ref_cent)[0])
+    # scipy's OWN returned labels: the last assignment (the one the final
+    # centroids were computed from) — must match exactly, including any
+    # boundary points that would flip under a final-centroid re-assignment
+    np.testing.assert_array_equal(np.asarray(labels), ref_labels)
 
 
 # ----------------------------------------------------------- quantization

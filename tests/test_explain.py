@@ -164,7 +164,7 @@ def test_gradcam_vit_token_grid():
 
 def test_vit_attention_heatmap_shape():
     attn = jnp.asarray(np.random.default_rng(3).random((1, 6, 7, 7)), jnp.float32)
-    hm = vit_attention_heatmap(attn, (2, 3), (70, 90))
+    hm = vit_attention_heatmap(attn, (2, 3), (70, 90), patch_size=16)
     assert hm.shape == (70, 90)
 
 

@@ -763,3 +763,41 @@ def test_dino_seg_reference_bugs_mode(case):
     want = oracle(attn)
     got = dino_seg(attn, (gh, gw), 16, head=0, reference_bugs=True)
     assert got == want
+
+
+@pytest.mark.slow
+def test_cluster_cli_end_to_end(synthetic_voc, tmp_path):
+    """`vipers cluster` (cluster_for_OD.py:120-201 counterpart): crops the
+    predicted boxes, embeds with a frozen DINO ViT, k-means into
+    pseudo-labels; writes `{preds}_clusters_{k}.pkl` and honors the
+    feature cache."""
+    import argparse
+    import pickle
+
+    from vipers.discovery.cluster import run_cluster_cli
+
+    preds = {
+        "im000.jpg": [32.0, 16.0, 80.0, 56.0],
+        "im001.jpg": [32.0, 24.0, 80.0, 64.0],
+        "im002.jpg": [32.0, 32.0, 80.0, 72.0],
+    }
+    preds_path = str(tmp_path / "preds.pkl")
+    with open(preds_path, "wb") as f:
+        pickle.dump(preds, f)
+    cache = str(tmp_path / "feats.pkl")
+    args = argparse.Namespace(
+        preds=preds_path, dataset="VOC07", set="trainval",
+        data_path=synthetic_voc, nb_clusters=2, arch="dino_vit_tiny",
+        checkpoint="", feature_cache=cache, random_seed=0, patch_size=16,
+    )
+    assert run_cluster_cli(args) == 0
+    out = str(tmp_path / "preds_clusters_2.pkl")
+    assert os.path.exists(out) and os.path.exists(cache)
+    labels = pickle.load(open(out, "rb"))
+    assert set(labels) == set(preds)
+    assert all(0 <= v < 2 for v in labels.values())
+
+    # cached features short-circuit the embed pass and give the same labels
+    assert run_cluster_cli(args) == 0
+    labels2 = pickle.load(open(out, "rb"))
+    assert labels2 == labels

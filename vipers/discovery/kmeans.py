@@ -38,8 +38,12 @@ def kmeans2(rng, x, k: int, iters: int = 10):
 def kmeans2_init(x, cent, iters: int = 10):
     """Lloyd iterations from EXPLICIT initial centroids — scipy
     ``kmeans2(data, init, minit='matrix')`` semantics: ``iters``
-    label+update rounds, empty clusters keep their previous centroid;
-    returned labels are the assignment under the final centroids."""
+    label+update rounds, empty clusters keep their previous centroid.
+    Like scipy, the returned labels are the LAST assignment — the one the
+    final centroids were computed from (NOT a re-assignment under the
+    final centroids, which can differ for boundary points)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1 (scipy kmeans2 semantics)")
     k = cent.shape[0]
     x_sq = jnp.sum(x * x, axis=1, keepdims=True)  # (N, 1)
 
@@ -53,9 +57,7 @@ def kmeans2_init(x, cent, iters: int = 10):
         new_cent = jnp.where(
             counts[:, None] > 0, sums / jnp.maximum(counts[:, None], 1.0), cent
         )
-        return new_cent, None
+        return new_cent, labels
 
-    cent, _ = jax.lax.scan(step, cent, None, length=iters)
-    c_sq = jnp.sum(cent * cent, axis=1)[None, :]
-    labels = jnp.argmin(x_sq - 2.0 * (x @ cent.T) + c_sq, axis=1)
-    return cent, labels
+    cent, labels_seq = jax.lax.scan(step, cent, None, length=iters)
+    return cent, labels_seq[-1]

@@ -131,8 +131,7 @@ def compute_heatmaps(
         out["lrp"] = np.transpose(rel, (2, 0, 1))  # CHW like captum
     if "attention" in methods and is_vit:
         out["attention"] = vit_attention_heatmap(
-            aux["attn"], (h // spec.patch_size, w // spec.patch_size), (h, w),
-            patch_size=spec.patch_size,
+            aux["attn"], token_grid, (h, w), patch_size=spec.patch_size,
         )
     return out
 

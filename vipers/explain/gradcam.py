@@ -119,7 +119,7 @@ def guided_gradcam(model_apply, variables, x, tap_shape, token_grid=None,
     return gbp * cam[None, :, :, None], target
 
 
-def vit_attention_heatmap(attn, grid_hw, out_hw, patch_size: int = 16):
+def vit_attention_heatmap(attn, grid_hw, out_hw, patch_size: int):
     """Head-summed CLS attention upsampled to the image
     (`/root/reference/explain.py:400-443`,
     `explainations_evaluation_metrics.py:395-427`): attn (1, nh, T, T) ->
