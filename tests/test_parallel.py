@@ -188,3 +188,31 @@ def test_entry_compiles():
     fn, args = ge.entry()
     lowered = jax.jit(fn).lower(*args)
     assert lowered is not None
+
+
+@pytest.mark.slow
+def test_sp_composes_with_int8_serving():
+    """lost --sequence-parallel --dtype int8: the SP sharding constraints
+    and the dynamic-int8 execution interceptors are orthogonal — SP+int8
+    produces the same boxes as plain int8 (and runs on the 8-device
+    mesh)."""
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.parallel.sp import make_seq_mesh
+
+    spec = build_model("vit_s_16", num_classes=10, image_size=(32, 32))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    kw = dict(arch="vit", which_features="k", compute_dtype="int8")
+    plain = LostFeatureExtractor(spec, variables, **kw)
+    sp = LostFeatureExtractor(
+        spec, variables, sequence_mesh=make_seq_mesh(axis="seq"), **kw
+    )
+    imgs = [np.asarray(np.random.default_rng(i).normal(size=(32, 32, 3)),
+                       np.float32) for i in range(2)]
+    pipe_p = plain.make_batched_pipeline(k_patches=3)
+    pipe_s = sp.make_batched_pipeline(k_patches=3)
+    out_p = jax.device_get(pipe_p(plain.variables, *plain.prepare_batch(imgs, 16)))
+    out_s = jax.device_get(pipe_s(sp.variables, *sp.prepare_batch(imgs, 16)))
+    np.testing.assert_allclose(out_s[0], out_p[0], atol=1e-4, rtol=1e-4)
