@@ -234,3 +234,35 @@ def test_pp_dp_combined_and_remat_match_dense():
         for a, b in zip(jax.tree.leaves(sp.params), jax.tree.leaves(sd.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_pp_train_step_bf16_amp_runs():
+    """--pipeline-parallel --amp: the pipelined step computes on a bf16
+    params copy while f32 masters take the update (train.steps recipe);
+    loss finite, params stay f32, pruned slots immobile."""
+    import optax
+
+    from vipers.pruning import init_masks, magnitude_prune
+    from vipers.train.steps import TrainState
+
+    cfg, _module, variables, x = _tiny()
+    params = variables["params"]
+    masks = magnitude_prune(params, init_masks(params, exclude=("qkv",)), 0.5)
+    labels = jnp.asarray([0, 1, 2, 3], jnp.int32)
+    tx = optax.sgd(0.05, momentum=0.9)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=None, masks=masks,
+                       opt_state=tx.init(params))
+    pp = make_pp_train_step(cfg, tx, num_classes=5, mesh=_pipe_mesh(4),
+                            microbatch=2, compute_dtype=jnp.bfloat16,
+                            donate=False)
+    state2, metrics = pp(state, (x, labels), jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    for leaf in jax.tree.leaves(state2.params):
+        assert leaf.dtype == jnp.float32  # masters stay f32
+    changed = sum(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+        for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(params))
+    )
+    assert changed > 0  # the bf16 forward produced real f32 updates
