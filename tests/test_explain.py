@@ -398,3 +398,27 @@ def test_run_explain_sweep_mode(tmp_path):
     for i in range(2):
         d = tmp_path / "out" / f"pruning_iteration_{i:02d}" / "gradcam"
         assert d.is_dir() and any(d.rglob("*_nparray.npy"))
+
+
+@pytest.mark.slow
+def test_compute_heatmaps_dino():
+    """explain/explain-eval on a DINO ViT: the tap (last block's norm1 +
+    aux['qkv_input']) now exists on DinoVisionTransformer, so the
+    gradcam/ig/attention method set run_explain_eval requests for family
+    'dino_vit' works end-to-end."""
+    from vipers.core.registry import build_model
+    from vipers.explain.driver import compute_heatmaps
+
+    spec = build_model("dino_vit_tiny")
+    variables = spec.module.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 3)), train=False)
+    img = np.random.default_rng(0).normal(size=(32, 32, 3)).astype(np.float32)
+    maps = compute_heatmaps(spec, variables, img,
+                            ["gradcam", "guided_gradcam", "ig", "attention"],
+                            nt_samples=1, ig_steps=4)
+    assert maps["gradcam"].shape == (32, 32)
+    assert maps["attention"].shape == (32, 32)
+    assert maps["guided_gradcam"].shape == (3, 32, 32)
+    assert maps["ig"].shape == (3, 32, 32)
+    for v in maps.values():
+        assert np.all(np.isfinite(np.asarray(v)))

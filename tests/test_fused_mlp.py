@@ -192,11 +192,11 @@ def test_dino_block_fused_matches_unfused(monkeypatch):
     xb = x.astype(jnp.bfloat16)
 
     monkeypatch.setattr(fm, "fused_ln_dense_gelu", spy)
-    out_f, _, _ = blk.apply(vb, xb)
+    out_f, _, _, _ = blk.apply(vb, xb)
     assert calls["n"] == 1, "fused path did not engage in DinoBlock"
 
     monkeypatch.setenv("VIPERS_FUSED_MLP", "0")
-    out_u, _, _ = blk.apply(vb, xb)
+    out_u, _, _, _ = blk.apply(vb, xb)
     a = np.asarray(out_f.astype(jnp.float32))
     c = np.asarray(out_u.astype(jnp.float32))
     assert np.abs(a - c).max() < 0.02 * max(np.abs(c).max(), 1.0)

@@ -115,10 +115,14 @@ def test_mvh_runner_and_csv(tmp_path):
     assert lines[16].startswith("sketch,")
     assert lines[17].startswith("reserved,")
     assert lines[18].startswith("stylized,")
-    # last column of a parametric row is the across-level mean
+    # last column of a parametric row is the across-level mean; CSV values
+    # are 0-1 fractions (toolbox convention) while eval_mvh returns percent
     cols = lines[5].split(",")  # contrast
     assert cols[0] == "contrast"
-    assert float(cols[-1]) == pytest.approx(float(np.mean(results["contrast"])))
+    assert float(cols[-1]) == pytest.approx(
+        float(np.mean(results["contrast"])) / 100.0
+    )
+    assert all(0.0 <= float(v) <= 1.0 for v in cols[1:])
 
     # the plot layer can read it back
     from vipers.viz.plots import plot_mvh

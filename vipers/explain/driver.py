@@ -20,11 +20,7 @@ import numpy as np
 from vipers.core.registry import build_model
 from vipers.data.detection import load_image_normalized
 from vipers.explain.attribution import make_integrated_gradients, make_smoothgrad
-from vipers.explain.gradcam import (
-    gradcam,
-    guided_gradcam,
-    vit_attention_heatmap,
-)
+from vipers.explain.gradcam import vit_attention_heatmap
 from vipers.explain.metrics import evaluate_single
 from vipers.models.interpolate import interpolate_pos_embedding
 from vipers.pruning.masks import apply_masks
@@ -57,6 +53,97 @@ def _score_fn(spec, variables, pos=None):
     return fn
 
 
+# Jitted heatmap machinery memo: one kit per (module, variables, image
+# shape, ig config). The explain sweeps call compute_heatmaps for up to
+# --num-classes-sample images of IDENTICAL shape under the same
+# checkpoint; rebuilding the jitted closures per image would retrace (and
+# without the persistent cache, recompile) a full forward+backward for
+# every single image. Holding the kit also keeps ``variables`` alive, so
+# the id()-based key cannot be reused by a collected object.
+_KIT_CACHE: Dict = {}
+_KIT_CACHE_MAX = 4
+
+
+def _heatmap_kit(spec, variables, h: int, w: int, nt_samples: int,
+                 ig_steps: int):
+    key = (id(spec.module), id(variables), h, w, nt_samples, ig_steps)
+    kit = _KIT_CACHE.get(key)
+    if kit is not None:
+        return kit
+    import types
+
+    is_vit = spec.family in ("vit", "dino_vit")
+    pos = None
+    if spec.family == "vit":
+        # torchvision ViTs size the pos embedding at construction; other
+        # resolutions need the interpolated table passed in. DINO ViTs
+        # interpolate internally (their own bicubic half-pixel variant),
+        # so they get NO override.
+        p = spec.patch_size
+        gh, gw = h // p, w // p
+        pos = interpolate_pos_embedding(
+            variables["params"]["pos_embedding"], (gh, gw),
+            align_corners=True,
+        )
+
+    def apply_with_tap(vs, xx, train=False, tap_delta=None):
+        kwargs = {"tap_delta": tap_delta}
+        if pos is not None:
+            kwargs["override_pos_embedding"] = pos
+        return spec.module.apply(vs, xx, train=train, **kwargs)
+
+    fwd = jax.jit(lambda xx: apply_with_tap(variables, xx))
+    # one probe forward fixes the tap/aux shapes for the jitted builders
+    _logits, aux0 = fwd(jnp.zeros((1, h, w, 3), jnp.float32))
+
+    if is_vit:
+        p = spec.patch_size
+        gh, gw = h // p, w // p
+        tap_shape = (1, gh * gw + 1,
+                     variables["params"]["class_token"].shape[-1]
+                     if spec.family == "vit" else aux0["tokens"].shape[-1])
+        token_grid = (gh, gw)
+        aux_key = "qkv_input"
+    else:
+        tap_shape = tuple(aux0["features"].shape)
+        token_grid = None
+        aux_key = "features"
+
+    from vipers.explain.gradcam import make_gradcam
+
+    cam_fn = make_gradcam(apply_with_tap, variables, tap_shape, token_grid,
+                          aux_key)
+
+    @jax.jit
+    def gbp_jit(xx, target):
+        def score(z):
+            logits, _ = apply_with_tap(variables, z)
+            return logits[0, target]
+
+        return jax.grad(score)(xx)
+
+    def gbp(xx, target):
+        # the guided-relu rewrite is active while gbp_jit TRACES (first
+        # call); later calls are cache hits and the context is a no-op
+        from vipers.models.activations import guided_backprop
+
+        with guided_backprop():
+            return gbp_jit(xx, jnp.asarray(int(target)))
+
+    ig = make_integrated_gradients(_score_fn(spec, variables, pos),
+                                   n_steps=ig_steps)
+    sg = make_smoothgrad(ig, nt_samples=nt_samples)
+
+    kit = types.SimpleNamespace(
+        variables=variables, pos=pos, fwd=fwd, cam_fn=cam_fn, gbp=gbp,
+        sg=sg, token_grid=token_grid, is_vit=is_vit,
+    )
+    _KIT_CACHE[key] = kit
+    while len(_KIT_CACHE) > _KIT_CACHE_MAX:
+        _KIT_CACHE.pop(next(iter(_KIT_CACHE)))
+    return kit
+
+
 def compute_heatmaps(
     spec,
     variables,
@@ -67,71 +154,47 @@ def compute_heatmaps(
     ig_steps: int = 50,
 ) -> Dict[str, np.ndarray]:
     """All requested attribution maps for one image. Target class is the
-    model's own argmax prediction (reference behavior)."""
+    model's own argmax prediction (reference behavior). The jitted
+    machinery is memoized per (model, variables, shape) — see
+    ``_heatmap_kit`` — so per-image calls after the first are pure cache
+    hits."""
     x = jnp.asarray(img)[None]
     h, w = img.shape[:2]
-    is_vit = spec.family in ("vit", "dino_vit")
-    pos = None
-    if is_vit:
-        p = spec.patch_size
-        gh, gw = h // p, w // p
-        pname = "pos_embedding" if spec.family == "vit" else "pos_embed"
-        pos = interpolate_pos_embedding(
-            variables["params"][pname], (gh, gw),
-            align_corners=spec.family == "vit",
-        )
-
-    def apply_with_tap(vs, xx, train=False, tap_delta=None):
-        kwargs = {"tap_delta": tap_delta}
-        if pos is not None:
-            kwargs["override_pos_embedding"] = pos
-        return spec.module.apply(vs, xx, train=train, **kwargs)
+    kit = _heatmap_kit(spec, variables, h, w, nt_samples, ig_steps)
 
     out: Dict[str, np.ndarray] = {}
-    logits, aux = apply_with_tap(variables, x)
+    logits, aux = kit.fwd(x)
     out["prediction"] = np.asarray(logits[0])
 
-    if is_vit:
-        p = spec.patch_size
-        gh, gw = h // p, w // p
-        tap_shape = (1, gh * gw + 1, variables["params"]["class_token"].shape[-1]
-                     if spec.family == "vit" else aux["tokens"].shape[-1])
-        token_grid = (gh, gw)
-        aux_key = "qkv_input"
-    else:
-        tap_shape = aux["features"].shape
-        token_grid = None
-        aux_key = "features"
-
-    if "gradcam" in methods:
-        cam, _t = gradcam(apply_with_tap, variables, x, tap_shape, token_grid, aux_key)
-        out["gradcam"] = cam
-    if "guided_gradcam" in methods:
-        # ViT too: the reference's ViT GGC branch is broken as written
-        # (explain.py:205 dereferences a swin attribute on a torchvision
-        # ViT); here GGC composes the token-grid GradCAM with the guided
-        # input gradients — ViT/swin have no ReLUs, so "guided" reduces to
-        # plain input gradients, which is the captum behavior for
-        # ReLU-free models.
-        ggc, _t = guided_gradcam(apply_with_tap, variables, x, tap_shape,
-                                 token_grid, aux_key)
-        out["guided_gradcam"] = np.transpose(np.asarray(ggc[0]), (2, 0, 1))  # CHW
+    if "gradcam" in methods or "guided_gradcam" in methods:
+        cam, target = kit.cam_fn(x)
+        if "gradcam" in methods:
+            out["gradcam"] = np.asarray(cam)
+        if "guided_gradcam" in methods:
+            # ViT too: the reference's ViT GGC branch is broken as written
+            # (explain.py:205 dereferences a swin attribute on a
+            # torchvision ViT); here GGC composes the token-grid GradCAM
+            # with the guided input gradients — ViT/swin have no ReLUs, so
+            # "guided" reduces to plain input gradients, which is the
+            # captum behavior for ReLU-free models.
+            gbp = kit.gbp(x, int(target))
+            ggc = np.asarray(gbp) * np.asarray(cam)[None, :, :, None]
+            out["guided_gradcam"] = np.transpose(ggc[0], (2, 0, 1))  # CHW
     if "ig" in methods:
-        score = _score_fn(spec, variables, pos)
-        ig = make_integrated_gradients(score, n_steps=ig_steps)
-        sg = make_smoothgrad(ig, nt_samples=nt_samples)
         rng = jax.random.PRNGKey(0) if rng is None else rng
-        attr = sg(rng, x, jnp.asarray([int(np.argmax(out["prediction"]))]))
+        attr = kit.sg(rng, x, jnp.asarray([int(np.argmax(out["prediction"]))]))
         out["ig"] = np.transpose(np.asarray(attr[0]), (2, 0, 1))  # CHW like captum
     if "lrp" in methods:
         from vipers.explain.lrp import lrp_attribution
 
-        kwargs = {"override_pos_embedding": pos} if pos is not None else {}
+        kwargs = (
+            {"override_pos_embedding": kit.pos} if kit.pos is not None else {}
+        )
         rel, _t = lrp_attribution(spec.module.apply, variables, x, **kwargs)
         out["lrp"] = np.transpose(rel, (2, 0, 1))  # CHW like captum
-    if "attention" in methods and is_vit:
+    if "attention" in methods and kit.is_vit:
         out["attention"] = vit_attention_heatmap(
-            aux["attn"], token_grid, (h, w), patch_size=spec.patch_size,
+            aux["attn"], kit.token_grid, (h, w), patch_size=spec.patch_size,
         )
     return out
 

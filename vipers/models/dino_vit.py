@@ -74,11 +74,17 @@ class DinoBlock(nn.Module):
     mlp_ratio: float = 4.0
 
     @nn.compact
-    def __call__(self, x, token_mask=None, need_attn: bool = True):
+    def __call__(self, x, token_mask=None, need_attn: bool = True,
+                 train: bool = False, tap_delta=None):
         d = x.shape[-1]
+        n1 = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        if tap_delta is not None:
+            # explainability tap, same contract as models/vit.EncoderBlock:
+            # GradCAM's ViT target layer is the last block's first norm
+            # (`/root/reference/explain.py:205-206`)
+            n1 = n1 + tap_delta
         y, attn, qkv_out = DinoAttention(self.num_heads, name="attn")(
-            nn.LayerNorm(epsilon=1e-6, name="norm1")(x), token_mask=token_mask,
-            need_attn=need_attn,
+            n1, token_mask=token_mask, need_attn=need_attn,
         )
         x = x + y
         norm2 = nn.LayerNorm(epsilon=1e-6, name="norm2")
@@ -86,7 +92,7 @@ class DinoBlock(nn.Module):
         from vipers.ops.fused_mlp import fused_ln_dense_gelu, fused_supported
         from vipers.parallel.sp import sequence_axis
 
-        if (not self.is_initializing() and fused_supported(x)
+        if (not self.is_initializing() and not train and fused_supported(x)
                 and sequence_axis() is None):
             # One-pass norm2 -> fc1 -> GELU Pallas kernel (ops/fused_mlp.py;
             # see models/vit.EncoderBlock for the gating contract).
@@ -101,7 +107,7 @@ class DinoBlock(nn.Module):
             # see models/vit.py MLPBlock note)
             z = nn.gelu(z, approximate=z.dtype == jnp.bfloat16)
         z = nn.Dense(d, name="fc2")(z)
-        return x + z, attn, qkv_out
+        return x + z, attn, qkv_out, n1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,7 +128,7 @@ class DinoVisionTransformer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None,
                  override_pos_embedding=None, need_attn: bool = True,
-                 seq_pad_multiple=None):
+                 seq_pad_multiple=None, tap_delta=None):
         # seq_pad_multiple: same contract as models/vit.py — pad the token
         # axis once (masked invalid) so the flash kernel needs no per-block
         # pad/slice and dense matmuls run tile-aligned.
@@ -159,18 +165,21 @@ class DinoVisionTransformer(nn.Module):
         from vipers.parallel.sp import shard_tokens
 
         x = shard_tokens(x)
-        attn = qkv_out = None
+        attn = qkv_out = qkv_input = None
         for i in range(c.depth):
-            x, attn_i, qkv_i = DinoBlock(c.num_heads, c.mlp_ratio, name=f"block_{i}")(
-                x, token_mask=token_mask,
-                need_attn=need_attn and i == c.depth - 1)
+            last = i == c.depth - 1
+            x, attn_i, qkv_i, n1_i = DinoBlock(
+                c.num_heads, c.mlp_ratio, name=f"block_{i}")(
+                x, token_mask=token_mask, need_attn=need_attn and last,
+                train=train, tap_delta=tap_delta if last else None)
             x = shard_tokens(x)
-            if i == c.depth - 1:
-                attn, qkv_out = attn_i, qkv_i
+            if last:
+                attn, qkv_out, qkv_input = attn_i, qkv_i, n1_i
         if seq_pad_multiple:
             from vipers.ops.tokens import unpad_tokens
 
             x, qkv_out, attn = unpad_tokens(x, qkv_out, attn, seq_len)
+            qkv_input = qkv_input[:, :seq_len]
         x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
         cls_feat = x[:, 0]
         out = (
@@ -178,7 +187,8 @@ class DinoVisionTransformer(nn.Module):
             if c.num_classes
             else cls_feat
         )
-        return out, {"attn": attn, "qkv": qkv_out, "tokens": x}
+        return out, {"attn": attn, "qkv": qkv_out, "tokens": x,
+                     "qkv_input": qkv_input}
 
     def _interp_pos(self, pos, gh, gw):
         """DINO interpolate_pos_encoding: bicubic, half-pixel centers."""

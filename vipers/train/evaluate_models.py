@@ -64,9 +64,13 @@ def _voc_eval_batches(cfg: TrainConfig, normalize_fn,
         yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)
 
 
-def _eval_only_session(cfg: TrainConfig):
-    """Model + eval step + normalize WITHOUT touching ImageFolder — the
-    VOC sweep's data_path is a detection root, not train/val class dirs."""
+def _eval_only_session(cfg: TrainConfig, with_val: bool = False):
+    """Model + eval step + normalize WITHOUT the training machinery a sweep
+    never uses (optimizer/EMA/train ImageFolder — ``build_session`` would
+    require a ``train/`` split to exist and scan it per invocation).
+    ``with_val``: also open ``{data_path}/val`` as an ImageFolder so
+    ``_val_loader`` works; the VOC branch's data_path is a detection root
+    with no class dirs at all, so it stays off there."""
     import types
 
     from vipers.core.registry import build_model
@@ -91,8 +95,14 @@ def _eval_only_session(cfg: TrainConfig):
         masks=init_masks(variables["params"], exclude=spec.prune_exclude),
         opt_state=None,
     )
+    val_ds = None
+    if with_val:
+        from vipers.data.imagefolder import ImageFolder
+
+        val_ds = ImageFolder(os.path.join(cfg.data_path, "val"),
+                             cache_dir=cfg.cache_dataset)
     return types.SimpleNamespace(
-        spec=spec, state=state,
+        cfg=cfg, spec=spec, state=state, val_ds=val_ds,
         eval_step=make_eval_step(spec.module.apply, cfg.num_classes),
         normalize=make_device_normalize(),
     )
@@ -137,7 +147,7 @@ def sweep_checkpoints(sweep_dir: str, model: str) -> list:
 
 def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
               voc_dataset: str = "VOC07", voc_set: str = "trainval"):
-    from vipers.train.driver import _val_loader, build_session
+    from vipers.train.driver import _val_loader
     from vipers.discovery.driver import load_lost_checkpoint
 
     dilation = cfg.resnet_dilate if dilation is None else dilation
@@ -150,10 +160,7 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
             f"(got {cfg.num_classes}): the classifier head must emit VOC "
             "class logits for the accuracy rows to mean anything"
         )
-    s = (
-        _eval_only_session(cfg) if cfg.eval_dataset == "voc"
-        else build_session(cfg)
-    )
+    s = _eval_only_session(cfg, with_val=cfg.eval_dataset != "voc")
     # sweep dir: --models-path (evaluate_models.py:230) or the output dir
     sweep_dir = models_path or cfg.output_dir
     ckpts = sweep_checkpoints(sweep_dir, cfg.model)

@@ -282,8 +282,17 @@ def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
 
 def write_mvh_csv(results: Dict[str, Union[float, List[float]]],
                   model: str, step: int, out_dir: str):
+    """CSV values are 0-1 FRACTIONS, the modelvshuman toolbox convention:
+    the reference's own plot scripts read the last column and draw with
+    ``plt.ylim(0, 1)`` (`mvh_performance_plot.py:71-87,142`), so percent
+    values would clip off-scale. The ``eval_*`` functions return percent
+    for human-facing prints; this writer converts."""
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, f"{model}_pruning_step_{step}.csv")
+
+    def frac(v):
+        return v / 100.0
+
     with open(path, "w") as f:
         f.write("benchmark,accuracy_per_level...,mean\n")  # row 0: header
         for name in REFERENCE_CSV_ROWS:
@@ -292,8 +301,11 @@ def write_mvh_csv(results: Dict[str, Union[float, List[float]]],
                 continue
             val = results.get(name, float("nan"))
             if isinstance(val, (list, tuple)):
-                cols = list(val) + [float(np.mean(val)) if val else float("nan")]
+                levels = [frac(v) for v in val]
+                cols = levels + [
+                    float(np.mean(levels)) if levels else float("nan")
+                ]
             else:
-                cols = [val]
+                cols = [frac(val)]
             f.write(name + "," + ",".join(str(v) for v in cols) + "\n")
     return path

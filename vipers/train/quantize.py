@@ -667,8 +667,16 @@ def run_quantize(args) -> int:
             module, probe_vars, observers, batches,
             args.calibration_batches, exclude,
         )
-        q, scales = quantize_params_int8(s.state.params, exclude)
-        qdq = s.state.replace(params=dequantize_params(s.state.params, q, scales))
+        from vipers.pruning.masks import apply_masks
+
+        # Quantize the PRUNED network: masks are forward-only (raw params
+        # keep stale nonzero values at pruned slots), so scales and int8
+        # kernels must come from the masked weights — otherwise the int8
+        # eval executes the unpruned network and scales are inflated by
+        # dead weights.
+        masked = apply_masks(s.state.params, s.state.masks)
+        q, scales = quantize_params_int8(masked, exclude)
+        qdq = s.state.replace(params=dequantize_params(masked, q, scales))
         acc1, acc5, loss = evaluate(s.eval_step, qdq, _val_loader(s),
                                     normalize_fn=s.normalize)
         print(f"PTQ QDQ:  acc1 {acc1:.3f} acc5 {acc5:.3f}")
@@ -680,11 +688,19 @@ def run_quantize(args) -> int:
               f"(Dense/Conv layers executed in int8)")
         from vipers.core.checkpoint import save_checkpoint
 
+        artifact = {
+            "params": qdq.params,
+            "masks": {"/".join(k): v for k, v in s.state.masks.items()},
+            "observers": {k: {"min": o.min_val, "max": o.max_val}
+                          for k, o in observers.items()},
+        }
+        if s.state.batch_stats is not None:
+            # BN models (the usual quantize targets) are unrestorable
+            # without their statistics
+            artifact["batch_stats"] = s.state.batch_stats
         save_checkpoint(
             os.path.join(cfg.output_dir, "quantized_post_train_model"),
-            {"params": qdq.params,
-             "observers": {k: {"min": o.min_val, "max": o.max_val}
-                           for k, o in observers.items()}},
+            artifact,
         )
         return 0
 
@@ -719,12 +735,16 @@ def run_quantize(args) -> int:
                 print(f"QAT epoch {epoch} [{i}] loss "
                       f"{float(metrics['loss']):.4f}")
 
-        # per-epoch convert -> int8 eval (`train_quantization.py:129-135`)
+        # per-epoch convert -> int8 eval (`train_quantization.py:129-135`);
+        # conversion runs on the MASKED weights (see the PTQ branch note)
+        from vipers.pruning.masks import apply_masks
+
+        masked = apply_masks(state.params, state.masks)
         evaluate(s.eval_step,
-                 state.replace(params=fake_quant_weights(state.params, exclude)),
+                 state.replace(params=fake_quant_weights(masked, exclude)),
                  _val_loader(s), epoch, normalize_fn=s.normalize,
                  log_suffix="QAT")
-        q, scales = quantize_params_int8(state.params, exclude)
+        q, scales = quantize_params_int8(masked, exclude)
         int8_step = make_int8_eval_step(module, q, scales, observers,
                                         cfg.num_classes)
         evaluate(int8_step, state, _val_loader(s), epoch,
@@ -732,13 +752,18 @@ def run_quantize(args) -> int:
 
         from vipers.core.checkpoint import save_checkpoint
 
+        qat_artifact = {
+            "params": state.params,
+            "masks": {"/".join(k): v for k, v in state.masks.items()},
+            "epoch": np.int32(epoch),
+            "observers": {k: {"min": o.min_val, "max": o.max_val}
+                          for k, o in observers.items()},
+        }
+        if state.batch_stats is not None:
+            qat_artifact["batch_stats"] = state.batch_stats
         save_checkpoint(
             os.path.join(cfg.output_dir, "qat_checkpoint"),
-            {"params": state.params,
-             "masks": {"/".join(k): v for k, v in state.masks.items()},
-             "epoch": np.int32(epoch),
-             "observers": {k: {"min": o.min_val, "max": o.max_val}
-                           for k, o in observers.items()}},
+            qat_artifact,
             use_async=True,
         )
     from vipers.core.checkpoint import wait_for_checkpoints
