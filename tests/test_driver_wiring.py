@@ -421,3 +421,47 @@ def test_pipeline_parallel_wired_into_train_step(tiny_imagenet, tmp_path):
     with pytest.raises(SystemExit, match="pipeline stages"):
         build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
                            pipeline_parallel=5))
+
+
+@pytest.mark.slow
+def test_data_and_model_parallel_train_wiring(tiny_imagenet, tmp_path):
+    """--data-parallel/--model-parallel make `vipers train` an in-process
+    multi-device program: batches shard over the (data, model) mesh, one
+    step matches the single-device session, and TP actually shards ViT
+    kernels across the model axis."""
+    import jax.numpy as jnp
+    from vipers.train.driver import build_session
+
+    batch = (
+        jnp.asarray(np.random.default_rng(0).normal(size=(8, 32, 32, 3)),
+                    jnp.float32),
+        jnp.asarray([0, 1] * 4, jnp.int32),
+    )
+    rng = jax.random.PRNGKey(0)
+
+    s_ref = build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16"))
+    st_r, m_r = s_ref.train_step(s_ref.state, batch, rng)
+
+    s_dp = build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
+                              data_parallel=True))
+    st_d, m_d = s_dp.train_step(s_dp.state, batch, rng)
+    np.testing.assert_allclose(float(m_d["loss"]), float(m_r["loss"]),
+                               rtol=1e-5, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(st_d.params), jax.tree.leaves(st_r.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+    s_tp = build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
+                              data_parallel=True, model_parallel=2))
+    qkv = s_tp.state.params["encoder_layer_0"]["attention"]["qkv"]["kernel"]
+    assert len(qkv.sharding.device_set) == 8  # lives on the whole mesh
+    st_t, m_t = s_tp.train_step(s_tp.state, batch, rng)
+    np.testing.assert_allclose(float(m_t["loss"]), float(m_r["loss"]),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(SystemExit, match="tensor-parallel"):
+        build_session(_cfg(tiny_imagenet, tmp_path, model="resnet18",
+                           model_parallel=2))
+    with pytest.raises(SystemExit, match="pp-data"):
+        build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
+                           data_parallel=True, pipeline_parallel=4))

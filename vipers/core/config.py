@@ -65,6 +65,11 @@ class TrainConfig:
     pp_microbatch: int = 0  # 0 = largest divisor of batch <= batch // stages
     pp_remat: bool = False  # recompute blocks in backward (activation memory)
     pp_data: int = 0  # data-parallel degree combined with PP ((data, pipe) mesh)
+    # in-process multi-device training over a (data, model) mesh:
+    # --data-parallel shards batches over every local device;
+    # --model-parallel k additionally tensor-parallels ViT params k-way
+    data_parallel: bool = False
+    model_parallel: int = 1
     native_decode: bool = False  # C++ libjpeg fast path (csrc/decode.cc)
     profile_dir: str = ""  # jax.profiler device trace of the (first) training run
     debug_nans: bool = False  # jax debug_nans sanitizer
@@ -156,6 +161,14 @@ def add_train_args(p: argparse.ArgumentParser):
                         "parallelism over a (data, pipe) mesh (needs "
                         "D * stages devices; each data column runs its own "
                         "pipeline on its batch slice)")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard train/eval batches over ALL local devices "
+                        "of a (data, model) mesh (in-process DP; multi-host "
+                        "DP comes from the distributed launcher)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="tensor-parallel degree for ViT params over the "
+                        "mesh's model axis (Megatron-style column/row "
+                        "split, parallel/mesh.py:vit_param_sharding)")
     p.add_argument("--native-decode", action="store_true",
                    help="C++ libjpeg decode fast path (approximate resize)")
     p.add_argument("--profile-dir", default="",
@@ -214,6 +227,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         pp_microbatch=getattr(args, "pp_microbatch", 0),
         pp_remat=getattr(args, "pp_remat", False),
         pp_data=getattr(args, "pp_data", 0),
+        data_parallel=getattr(args, "data_parallel", False),
+        model_parallel=getattr(args, "model_parallel", 1),
         native_decode=getattr(args, "native_decode", False),
         profile_dir=getattr(args, "profile_dir", ""),
         debug_nans=getattr(args, "debug_nans", False),

@@ -204,6 +204,81 @@ def build_session(cfg: TrainConfig) -> Session:
         compute_dtype, use_ema=True,
     )
 
+    if cfg.data_parallel or cfg.model_parallel > 1:
+        # In-process multi-device training (vipers train --data-parallel
+        # [--model-parallel k]): batches shard over the mesh's data axis,
+        # ViT params optionally tensor-parallel over the model axis; XLA
+        # inserts the gradient reductions / Megatron collectives. SyncBN
+        # falls out for free (batch statistics reduce over the global jit
+        # batch). Mutually exclusive with --pipeline-parallel (use
+        # --pp-data for DP x PP).
+        if cfg.pipeline_parallel > 1:
+            raise SystemExit(
+                "--data-parallel/--model-parallel cannot combine with "
+                "--pipeline-parallel; use --pp-data for DP x PP"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vipers.parallel.mesh import make_mesh, vit_param_sharding
+
+        devs = jax.devices()
+        if cfg.model_parallel > 1 and spec.family != "vit":
+            raise SystemExit(
+                "--model-parallel shards ViT attention/MLP features; "
+                f"model {cfg.model!r} (family {spec.family!r}) has no "
+                "tensor-parallel spec"
+            )
+        mesh = make_mesh(devs, model_parallel=cfg.model_parallel)
+        repl = NamedSharding(mesh, P())
+        if cfg.model_parallel > 1:
+            param_sh = vit_param_sharding(mesh, state.params)
+        else:
+            param_sh = jax.tree.map(lambda _: repl, state.params)
+
+        def _sh_of(path):
+            node = param_sh
+            for k in path:
+                node = node[k]
+            return node
+
+        def _put(tree, sh):
+            return (None if tree is None
+                    else jax.device_put(tree, sh))
+
+        state = state.replace(
+            params=jax.device_put(state.params, param_sh),
+            masks={p: jax.device_put(m, _sh_of(p))
+                   for p, m in state.masks.items()},
+            # optimizer/EMA state replicated (momentum of TP-sharded params
+            # could shard too; replication is correct and keeps optax's
+            # tree opaque)
+            opt_state=_put(state.opt_state, repl),
+            batch_stats=_put(state.batch_stats, repl),
+            ema_params=_put(state.ema_params, repl),
+            ema_batch_stats=_put(state.ema_batch_stats, repl),
+            step=jax.device_put(state.step, repl),
+        )
+        data_sh = NamedSharding(mesh, P("data"))
+        n_data = mesh.shape["data"]
+
+        def _shard_io(batch):
+            images, labels = batch
+            images, labels = jnp.asarray(images), jnp.asarray(labels)
+            # ragged tail batches replicate (their shape recompiles anyway)
+            sh = data_sh if images.shape[0] % n_data == 0 else repl
+            return jax.device_put(images, sh), jax.device_put(labels, sh)
+
+        def _wrap_step(fn, with_rng):
+            if with_rng:
+                return lambda st, batch, rng: fn(st, _shard_io(batch), rng)
+            return lambda st, batch: fn(st, _shard_io(batch))
+
+        train_step = _wrap_step(train_step, True)
+        eval_step = _wrap_step(eval_step, False)
+        eval_step_ema = _wrap_step(eval_step_ema, False)
+        print(f"train mesh: data={n_data} x model={cfg.model_parallel} "
+              f"over {len(devs)} devices")
+
     normalize = make_device_normalize(random_erase_prob=cfg.random_erase)
     mixup = None
     if cfg.mixup_alpha > 0 or cfg.cutmix_alpha > 0:
