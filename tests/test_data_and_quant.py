@@ -573,3 +573,31 @@ def test_imagefolder_listing_cache(tmp_path, rng):
     (root / "x" / "a.jpg").unlink()
     ds2 = ImageFolder(str(root), cache_dir=cache)
     assert ds2.samples == ds1.samples
+
+
+def test_quantize_artifact_roundtrip(tmp_path):
+    """The PTQ/QAT artifacts (`vipers quantize`) carry params + masks +
+    batch_stats + observers, and load_lost_checkpoint restores all four —
+    BN models were previously unrestorable from the saved files."""
+    import jax.numpy as jnp
+
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.discovery.driver import load_lost_checkpoint
+
+    params = {"conv": {"kernel": jnp.ones((3, 3, 2, 4))}}
+    artifact = {
+        "params": params,
+        "masks": {"conv/kernel": np.ones((3, 3, 2, 4), bool)},
+        "batch_stats": {"bn": {"mean": jnp.zeros((4,)),
+                               "var": jnp.ones((4,))}},
+        "observers": {"conv": {"min": np.float32(-1.5),
+                               "max": np.float32(2.5)}},
+    }
+    path = str(tmp_path / "quantized_post_train_model")
+    save_checkpoint(path, artifact)
+    variables, masks, observers = load_lost_checkpoint(path, None, None)
+    assert "batch_stats" in variables
+    np.testing.assert_array_equal(
+        np.asarray(variables["batch_stats"]["bn"]["var"]), np.ones((4,)))
+    assert ("conv", "kernel") in masks and masks[("conv", "kernel")].dtype == bool
+    assert float(observers["conv"]["max"]) == 2.5
