@@ -465,3 +465,33 @@ def test_data_and_model_parallel_train_wiring(tiny_imagenet, tmp_path):
     with pytest.raises(SystemExit, match="pp-data"):
         build_session(_cfg(tiny_imagenet, tmp_path, model="vit_s_16",
                            data_parallel=True, pipeline_parallel=4))
+
+
+@pytest.mark.slow
+def test_eval_sweep_data_parallel(tiny_imagenet, tmp_path):
+    """evaluate --data-parallel: the sweep's eval step shards batches over
+    all local devices and reproduces the single-device accuracy rows."""
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.registry import build_model
+    from vipers.train.evaluate_models import run_sweep
+
+    spec = build_model("resnet18", num_classes=2)
+    variables = spec.module.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 32, 32, 3)), train=False)
+    outs = []
+    for tag, dp in (("dp", True), ("ref", False)):
+        out_dir = tmp_path / tag
+        out_dir.mkdir()
+        save_checkpoint(
+            str(out_dir / "resnet18_epoch_0_pruning_iteration_00"),
+            {"params": variables["params"],
+             "batch_stats": variables["batch_stats"]},
+        )
+        cfg = _cfg(tiny_imagenet, tmp_path, num_classes=2,
+                   batch_size=8,  # val split is 8 imgs: one full sharded batch
+                   output_dir=str(out_dir), data_parallel=dp,
+                   val_resize_size=40, val_crop_size=32)
+        outs.append(run_sweep(cfg))
+    (dp_rows, ref_rows) = outs
+    assert len(dp_rows) == len(ref_rows) == 1
+    np.testing.assert_allclose(dp_rows[0][0], ref_rows[0][0], atol=1e-4)

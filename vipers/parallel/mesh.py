@@ -121,6 +121,26 @@ def replicate(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def batch_sharder(mesh: Mesh):
+    """(images, labels) -> device_put onto the mesh's data axis; ragged
+    tail batches (batch % data-degree != 0) replicate instead — their
+    shape forces a recompile anyway, and GSPMD handles the replicated
+    layout without uneven-shard placement."""
+    import jax.numpy as jnp
+
+    data_sh = shard_batch(mesh)
+    repl = replicate(mesh)
+    n_data = mesh.shape[mesh.axis_names[0]]
+
+    def shard_io(batch):
+        images, labels = batch
+        images, labels = jnp.asarray(images), jnp.asarray(labels)
+        sh = data_sh if images.shape[0] % n_data == 0 else repl
+        return jax.device_put(images, sh), jax.device_put(labels, sh)
+
+    return shard_io
+
+
 def vit_param_sharding(mesh: Mesh, params):
     """Tensor-parallel PartitionSpecs for ViT params over the "model" axis:
 

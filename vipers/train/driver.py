@@ -219,7 +219,9 @@ def build_session(cfg: TrainConfig) -> Session:
             )
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from vipers.parallel.mesh import make_mesh, vit_param_sharding
+        from vipers.parallel.mesh import (
+            batch_sharder, make_mesh, vit_param_sharding,
+        )
 
         devs = jax.devices()
         if cfg.model_parallel > 1 and spec.family != "vit":
@@ -258,15 +260,8 @@ def build_session(cfg: TrainConfig) -> Session:
             ema_batch_stats=_put(state.ema_batch_stats, repl),
             step=jax.device_put(state.step, repl),
         )
-        data_sh = NamedSharding(mesh, P("data"))
+        _shard_io = batch_sharder(mesh)
         n_data = mesh.shape["data"]
-
-        def _shard_io(batch):
-            images, labels = batch
-            images, labels = jnp.asarray(images), jnp.asarray(labels)
-            # ragged tail batches replicate (their shape recompiles anyway)
-            sh = data_sh if images.shape[0] % n_data == 0 else repl
-            return jax.device_put(images, sh), jax.device_put(labels, sh)
 
         def _wrap_step(fn, with_rng):
             if with_rng:

@@ -101,9 +101,21 @@ def _eval_only_session(cfg: TrainConfig, with_val: bool = False):
 
         val_ds = ImageFolder(os.path.join(cfg.data_path, "val"),
                              cache_dir=cfg.cache_dataset)
+    eval_step = make_eval_step(spec.module.apply, cfg.num_classes)
+    if cfg.data_parallel:
+        # evaluate sweeps honor --data-parallel too: batches shard over
+        # every local device, params replicate (same recipe as the train
+        # driver's mesh block)
+        from vipers.parallel.mesh import batch_sharder, make_mesh, replicate
+
+        mesh = make_mesh(jax.devices())
+        state = jax.device_put(state, replicate(mesh))
+        shard_io = batch_sharder(mesh)
+        base_eval = eval_step
+        eval_step = lambda st, batch: base_eval(st, shard_io(batch))  # noqa: E731
     return types.SimpleNamespace(
         cfg=cfg, spec=spec, state=state, val_ds=val_ds,
-        eval_step=make_eval_step(spec.module.apply, cfg.num_classes),
+        eval_step=eval_step,
         normalize=make_device_normalize(),
     )
 
