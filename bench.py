@@ -169,6 +169,8 @@ def bench_torch_reference(n_images: int = 3) -> float:
 
     dump = "/tmp/bench_qkv_vit.pt"
     imgs = torch.randn(n_images, 3, H, W)
+    with torch.no_grad():  # warmup: keep torch/MKL one-time init out of
+        model(imgs[:1], dump)  # the timed window (the TPU side warms too)
     t0 = time.perf_counter()
     with torch.no_grad():
         for i in range(n_images):
@@ -215,16 +217,14 @@ def main():
     # MFU: achieved model FLOP/s over the chip's bf16 peak (absolute
     # utilization — the number that matters alongside img/s/chip; the
     # vs_baseline multiplier is a torch-CPU stand-in of the reference
-    # pipeline shape, the only reference runtime on this GPU-less host)
-    d, layers, mlp_ratio = 384, 12, 4
-    t = GH * GW + 1
-    t_pad = -(-t // 128) * 128
-    flops_per_image = 2.0 * (
-        layers * t * (3 * d * d + d * d + 2 * mlp_ratio * d * d)
-        + layers * 2 * t_pad * t_pad * d
-        + t * (PATCH * PATCH * 3) * d
+    # pipeline shape, the only reference runtime on this GPU-less host).
+    # Computed from the bf16 throughput specifically: dividing an f32
+    # rate by the bf16 peak would understate utilization 2x.
+    from vipers.core.flops import V5E_BF16_PEAK, vit_forward_flops_per_image
+
+    flops_per_image = vit_forward_flops_per_image(
+        d=384, layers=12, grid_tokens=GH * GW, patch=PATCH
     )
-    v5e_bf16_peak = 197e12
     print(
         json.dumps(
             {
@@ -236,7 +236,7 @@ def main():
                 "f32_imgs_per_sec": round(results["f32"], 3),
                 "bf16_imgs_per_sec": round(results["bf16"], 3),
                 "mfu_pct_v5e_bf16": round(
-                    100.0 * value * flops_per_image / v5e_bf16_peak, 1
+                    100.0 * results["bf16"] * flops_per_image / V5E_BF16_PEAK, 1
                 ),
                 "path": "vipers.discovery.LostFeatureExtractor.make_batched_pipeline (shipped)",
             }

@@ -3,7 +3,7 @@ LOST bench shape (M = 128*896 rows, 384 -> 1536), bf16, on the real chip.
 
 Chained in-jit repetitions amortize the tunneled per-dispatch overhead.
 
-    python tools/bench_fused_mlp.py [--iters 12] [--bm 512]
+    python tools/bench_fused_mlp.py [--iters 12]
 """
 from __future__ import annotations
 

@@ -27,25 +27,20 @@ from vipers.discovery.driver import LostFeatureExtractor
 from vipers.models.vit import scrambled_qkv_gather
 from vipers.pruning import init_masks, magnitude_prune
 
+from vipers.core.flops import V5E_BF16_PEAK, vit_forward_flops_per_image
+
 H, W, PATCH = 512, 384, 16
 GH, GW = H // PATCH, W // PATCH
-V5E_BF16_PEAK = 197e12  # TPU v5e bf16 MXU peak, FLOP/s
 
 
 def flops_per_image(spec) -> float:
-    """Analytic forward FLOPs per image for the LOST ViT pipeline (full
-    12-block forward before XLA dead-code-elims the unused tail; attention
-    at the flash-padded length). Used for the MFU (model FLOPs utilization)
-    readout — achieved FLOP/s over the chip's bf16 peak."""
-    d = spec.extra.get("hidden_dim", 384)
-    layers = spec.extra.get("num_layers", 12)
-    t = GH * GW + 1
-    t_pad = -(-t // 128) * 128  # flash kernel pads to a 128 multiple
-    mlp_ratio = 4
-    dense_macs = layers * t * (3 * d * d + d * d + 2 * mlp_ratio * d * d)
-    attn_macs = layers * 2 * t_pad * t_pad * d
-    patch_macs = t * (PATCH * PATCH * 3) * d
-    return 2.0 * (dense_macs + attn_macs + patch_macs)
+    """Analytic forward FLOPs/image for the MFU readout — one shared
+    definition with bench.py (vipers/core/flops.py)."""
+    return vit_forward_flops_per_image(
+        d=spec.extra.get("hidden_dim", 384),
+        layers=spec.extra.get("num_layers", 12),
+        grid_tokens=GH * GW, patch=PATCH,
+    )
 
 
 def bench(f, *args, iters=6):

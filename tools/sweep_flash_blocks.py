@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+import sys
 import time
 
 import jax
@@ -40,6 +41,10 @@ def timeit(fn, args, iters=8):
             first = out[0] if isinstance(out, tuple) else out
             if getattr(first, "shape", None) == acc.shape:
                 return first.astype(acc.dtype)
+            # WARNING: x.sum()*0 is algebraically removable — XLA folds it
+            # and DCEs the whole body (see tools/bench_splash.py's note),
+            # so this fallback must never carry the timed computation.
+            # Today every timed fn is q-shaped and takes the branch above.
             return acc + first.astype(acc.dtype).sum() * 0
         return lax.fori_loop(0, iters, body, q)
 
@@ -118,10 +123,14 @@ def main():
     dt = timeit(f, (q, k, v), args.iters)
     print(f"XLA einsum       {dt*1e3:7.2f} ms  {FLOPS/dt/1e12:6.1f} TFLOP/s")
 
+    if not rows:
+        print("\nno legal (block_q, block_k) config ran — wrong platform "
+              "or incompatible libtpu?")
+        return 1
     rows.sort(reverse=True)
     best = rows[0]
     print(f"\nbest: bq={best[1]} bk={best[2]} at {best[0]:.1f} TFLOP/s")
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

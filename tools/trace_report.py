@@ -23,14 +23,21 @@ from collections import defaultdict
 
 
 def find_xplanes(trace_dir: str):
-    pats = [
-        os.path.join(trace_dir, "plugins", "profile", "*", "*.xplane.pb"),
-        os.path.join(trace_dir, "*.xplane.pb"),
-    ]
-    for p in pats:
-        hits = sorted(glob.glob(p))
+    # each jax.profiler.trace capture makes a NEW timestamped run dir under
+    # plugins/profile/ — report only the newest, or re-used --profile-dirs
+    # would silently sum several captures into one op table
+    run_dirs = sorted(glob.glob(os.path.join(trace_dir, "plugins", "profile", "*")))
+    if run_dirs:
+        hits = sorted(glob.glob(os.path.join(run_dirs[-1], "*.xplane.pb")))
         if hits:
+            if len(run_dirs) > 1:
+                print(f"[trace_report] {len(run_dirs)} captures under "
+                      f"{trace_dir}; reporting the newest: "
+                      f"{os.path.basename(run_dirs[-1])}", file=sys.stderr)
             return hits
+    hits = sorted(glob.glob(os.path.join(trace_dir, "*.xplane.pb")))
+    if hits:
+        return hits
     raise FileNotFoundError(f"no *.xplane.pb under {trace_dir}")
 
 
