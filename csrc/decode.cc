@@ -139,13 +139,15 @@ int vipers_decode_eval(const uint8_t* data, size_t len, int resize, int crop,
   std::vector<uint8_t> img;
   int w = 0, h = 0;
   if (!decode_rgb(data, len, resize, &img, &w, &h)) return 1;
+  // long side truncates (torchvision resize semantics: int(size*long/short));
+  // double matches Python float division before the trunc
   int ow, oh;
   if (w <= h) {
     ow = resize;
-    oh = static_cast<int>(resize * static_cast<float>(h) / w + 0.5f);
+    oh = static_cast<int>(resize * static_cast<double>(h) / w);
   } else {
     oh = resize;
-    ow = static_cast<int>(resize * static_cast<float>(w) / h + 0.5f);
+    ow = static_cast<int>(resize * static_cast<double>(w) / h);
   }
   std::vector<uint8_t> resized(static_cast<size_t>(ow) * oh * 3);
   resize_bilinear(img.data(), h, w, resized.data(), oh, ow);

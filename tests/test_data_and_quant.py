@@ -494,6 +494,26 @@ def test_vit_quant_exclude_keeps_einsum_projections_float():
 
 # ------------------------------------------------------------- native decode
 
+def test_resize_shorter_truncates_like_torchvision():
+    """torchvision's shorter-side resize TRUNCATES the long side
+    (`int(size * long / short)`, F_pil.resize) — rounding would shift the
+    center crop on ~half of aspect ratios vs reference preprocessing."""
+    from PIL import Image
+
+    from vipers.data.preprocess import resize_shorter
+
+    cases = [  # (w, h, size) -> torchvision-exact output (w, h)
+        ((64, 99), 32, (32, 49)),    # 32*99/64 = 49.546 -> 49, NOT 50
+        ((99, 64), 32, (49, 32)),
+        ((500, 375), 256, (341, 256)),  # classic VOC aspect
+        ((375, 500), 256, (256, 341)),
+        ((100, 100), 64, (64, 64)),
+    ]
+    for (w, h), size, want in cases:
+        img = Image.new("RGB", (w, h))
+        assert resize_shorter(img, size).size == want, (w, h, size)
+
+
 def test_native_decoder_matches_shapes_and_falls_back(tmp_path):
     from PIL import Image
 

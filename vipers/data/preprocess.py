@@ -46,11 +46,16 @@ PIL_INTERP = {
 
 def resize_shorter(img: Image.Image, size: int,
                    interpolation: str = "bilinear") -> Image.Image:
+    # torchvision semantics: the long side TRUNCATES (`int(size * long /
+    # short)`, torchvision F_pil.resize / _compute_resized_output_size) —
+    # rounding instead shifts the center crop by a pixel on ~half of all
+    # aspect ratios, so every evaluated pixel would differ from a reference
+    # checkpoint's preprocessing.
     w, h = img.size
     if w <= h:
-        nw, nh = size, int(round(size * h / w))
+        nw, nh = size, int(size * h / w)
     else:
-        nw, nh = int(round(size * w / h)), size
+        nw, nh = int(size * w / h), size
     return img.resize((nw, nh), PIL_INTERP[interpolation])
 
 
@@ -184,10 +189,11 @@ def eval_preprocess(batch_u8, resize: int = 256, crop: int = 224,
     canonical size; arbitrary-size images go through ``eval_decode`` on host.
     """
     n, h, w, c = batch_u8.shape
+    # long side truncates, matching resize_shorter / torchvision
     if h <= w:
-        nh, nw = resize, int(round(resize * w / h))
+        nh, nw = resize, int(resize * w / h)
     else:
-        nh, nw = int(round(resize * h / w)), resize
+        nh, nw = int(resize * h / w), resize
     x = jax.image.resize(batch_u8.astype(jnp.float32), (n, nh, nw, c), "bilinear", antialias=True)
     top, left = (nh - crop) // 2, (nw - crop) // 2
     x = jax.lax.dynamic_slice(x, (0, top, left, 0), (n, crop, crop, c))
