@@ -151,9 +151,15 @@ int vipers_decode_eval(const uint8_t* data, size_t len, int resize, int crop,
   }
   std::vector<uint8_t> resized(static_cast<size_t>(ow) * oh * 3);
   resize_bilinear(img.data(), h, w, resized.data(), oh, ow);
-  int top = (oh - crop) / 2;
-  int left = (ow - crop) / 2;
-  if (top < 0 || left < 0) return 2;
+  if (oh < crop || ow < crop) return 2;
+  // torchvision center_crop: int(round(d / 2.0)) with Python ROUND-HALF-EVEN
+  // — for odd d that is d/2 bumped up only when the floor is odd
+  auto crop_origin = [](int d) {
+    int k = d / 2;
+    return (d % 2) ? k + (k & 1) : k;
+  };
+  int top = crop_origin(oh - crop);
+  int left = crop_origin(ow - crop);
   for (int y = 0; y < crop; ++y) {
     std::memcpy(out + static_cast<size_t>(y) * crop * 3,
                 resized.data() + ((static_cast<size_t>(top) + y) * ow + left) * 3,

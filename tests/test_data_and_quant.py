@@ -514,6 +514,42 @@ def test_resize_shorter_truncates_like_torchvision():
         assert resize_shorter(img, size).size == want, (w, h, size)
 
 
+def test_center_crop_rounds_half_even_like_torchvision():
+    """torchvision F.center_crop origin is int(round(d/2.0)) — Python
+    banker's rounding, one off plain floor when d mod 4 in {2, 3}."""
+    from vipers.data.preprocess import center_crop
+
+    arr = np.arange(20 * 24 * 3, dtype=np.uint8).reshape(20, 24, 3)
+    # h=20, crop=14 -> d=6, round(3.0)=3; w=24 -> d=10, round(5.0)=5
+    out = center_crop(arr, 14)
+    np.testing.assert_array_equal(out, arr[3:17, 5:19])
+    # h=20, crop=13 -> d=7, round(3.5)=4 (half-even); w d=11, round(5.5)=6
+    out = center_crop(arr, 13)
+    np.testing.assert_array_equal(out, arr[4:17, 6:19])
+    # h=20, crop=15 -> d=5, round(2.5)=2 (half-even down); w d=9, round(4.5)=4
+    out = center_crop(arr, 15)
+    np.testing.assert_array_equal(out, arr[2:17, 4:19])
+
+
+def test_device_normalize_matches_torch_op_order():
+    """ConvertImageDtype then Normalize: ((x/255) - mean) / std. XLA
+    strength-reduces both divisions to reciprocal multiplies (~1 ulp
+    relative error each), so agreement with torch's true-division result
+    is a few ulp of the pre-subtraction magnitude (the x/255-mean
+    cancellation amplifies RELATIVE error near zero, so the bound is
+    absolute: a few ulp at |x/255|<=1 divided by std~0.23 is ~2e-6)."""
+    import torch
+
+    from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD, make_device_normalize
+
+    rng = np.random.default_rng(3)
+    batch = rng.integers(0, 256, size=(2, 8, 8, 3), dtype=np.uint8)
+    ours = np.asarray(make_device_normalize()(batch))
+    t = torch.from_numpy(batch).to(torch.float32) / 255.0
+    t = ((t - torch.tensor(IMAGENET_MEAN)) / torch.tensor(IMAGENET_STD)).numpy()
+    np.testing.assert_allclose(ours, t, rtol=0, atol=2e-6)
+
+
 def test_native_decoder_matches_shapes_and_falls_back(tmp_path):
     from PIL import Image
 

@@ -60,9 +60,12 @@ def resize_shorter(img: Image.Image, size: int,
 
 
 def center_crop(arr: np.ndarray, crop: int) -> np.ndarray:
+    # torchvision F.center_crop: int(round((h - crop) / 2.0)) — Python
+    # round-half-even, which lands one pixel off a plain floor whenever
+    # (h - crop) mod 4 in {2, 3}
     h, w = arr.shape[:2]
-    top = (h - crop) // 2
-    left = (w - crop) // 2
+    top = int(round((h - crop) / 2.0))
+    left = int(round((w - crop) / 2.0))
     return arr[top : top + crop, left : left + crop]
 
 
@@ -141,12 +144,15 @@ def make_device_normalize(
     random_erase_prob: float = 0.0,
 ):
     """Jitted uint8(N,H,W,C) -> normalized float(N,H,W,C) (+RandomErasing)."""
-    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
-    std_a = jnp.asarray(std, jnp.float32) * 255.0
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
 
     @jax.jit
     def fn(batch_u8, rng: Optional[jax.Array] = None):
-        x = (batch_u8.astype(jnp.float32) - mean_a) / std_a
+        # exact torch op order — ConvertImageDtype (x/255) then Normalize
+        # ((x-mean)/std) — for bit parity with reference preprocessing;
+        # folding into (x - 255*mean)/(255*std) drifts ~1 ulp
+        x = (batch_u8.astype(jnp.float32) / 255.0 - mean_a) / std_a
         if random_erase_prob > 0.0 and rng is not None:
             x = _random_erase(x, rng, random_erase_prob)
         return x.astype(dtype)
@@ -195,11 +201,12 @@ def eval_preprocess(batch_u8, resize: int = 256, crop: int = 224,
     else:
         nh, nw = int(resize * h / w), resize
     x = jax.image.resize(batch_u8.astype(jnp.float32), (n, nh, nw, c), "bilinear", antialias=True)
-    top, left = (nh - crop) // 2, (nw - crop) // 2
+    top = int(round((nh - crop) / 2.0))  # torchvision center_crop rounding
+    left = int(round((nw - crop) / 2.0))
     x = jax.lax.dynamic_slice(x, (0, top, left, 0), (n, crop, crop, c))
-    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
-    std_a = jnp.asarray(std, jnp.float32) * 255.0
-    return (x - mean_a) / std_a
+    mean_a = jnp.asarray(mean, jnp.float32)
+    std_a = jnp.asarray(std, jnp.float32)
+    return (x / 255.0 - mean_a) / std_a
 
 
 def lost_pad_to_patch_multiple(img_hwc: np.ndarray, patch_size: int):
