@@ -352,3 +352,196 @@ def test_lost_workers_zero_is_synchronous(monkeypatch, tmp_path):
     # image_path mode skips the dataset scan; the spy intercepts before decode
     ddriver.run_lost(args)
     assert seen["workers"] == 1
+
+
+# ----------------------------------------------- round-3 review-pass fixes
+
+def test_ptq_calibration_probes_masked_params(tmp_path, monkeypatch):
+    """PTQ calibration must observe the PRUNED network: probe_vars passed to
+    ptq_calibrate carry mask-applied params (raw params keep stale nonzero
+    values at pruned slots and would mis-calibrate activation ranges)."""
+    import argparse
+
+    from PIL import Image
+
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.train import quantize as qz
+    from vipers.train.driver import build_session
+
+    root = tmp_path / "ds"
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 2), ("val", 2)):
+        for cls in ("a", "b"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray(rng.integers(
+                    0, 255, size=(40, 40, 3), dtype=np.uint8)).save(
+                        d / f"{i}.jpg")
+
+    cfg = TrainConfig(
+        model="resnet18", data_path=str(root), num_classes=2,
+        train_crop_size=32, val_resize_size=40, val_crop_size=32,
+        batch_size=2, workers=1, pruning_method="snip", target_sparsity=0.5,
+        optim=OptimConfig(opt="sgd", lr=0.01, epochs=1),
+        seed=0, output_dir=str(tmp_path / "out"), print_freq=0,
+    )
+    s = build_session(cfg)
+    from vipers.pruning import magnitude_prune
+
+    masks = magnitude_prune(s.state.params, s.state.masks, amount=0.5)
+    # raw init params are nonzero at pruned slots (masks are forward-only),
+    # which is exactly the staleness the probe must not see
+    tree = {
+        "params": s.state.params,
+        "masks": {"/".join(k): np.asarray(v) for k, v in masks.items()},
+        "epoch": np.int32(0),
+    }
+    if s.state.batch_stats is not None:
+        tree["batch_stats"] = s.state.batch_stats
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, tree)
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_calibrate(module, probe_vars, observers, batches, n, exclude):
+        captured["probe"] = probe_vars
+        raise _Stop
+
+    monkeypatch.setattr(qz, "ptq_calibrate", fake_calibrate)
+    import dataclasses
+
+    ns = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)
+          if f.name != "optim"}
+    ns.update({f.name: getattr(cfg.optim, f.name)
+               for f in dataclasses.fields(cfg.optim)})
+    ns.update(mode="ptq", calibration_batches=1, resume=ckpt)
+    args = argparse.Namespace(**ns)
+    with pytest.raises(_Stop):
+        qz.run_quantize(args)
+
+    probe = captured["probe"]["params"]
+    from vipers.pruning.masks import _flat
+
+    flat_params = _flat(probe)
+    hit = 0
+    for path, m in masks.items():
+        m = np.asarray(m)
+        if not m.all():
+            vals = np.asarray(flat_params[path])[~m]
+            assert np.all(vals == 0.0), f"unmasked probe at {path}"
+            hit += 1
+    assert hit > 0  # the assertion above actually ran
+
+
+def test_resume_reapplies_session_shardings(tmp_path, monkeypatch):
+    """resume_session must re-apply the session's TP/DP placements after
+    swapping in host-restored arrays (state_sharder)."""
+    from vipers.train import driver
+
+    calls = {"n": 0}
+
+    class FakeState:
+        def __init__(self):
+            self.params = {"w": jnp.ones((2,))}
+            self.masks = {}
+            self.opt_state = None
+            self.batch_stats = None
+            self.step = jnp.zeros((), jnp.int32)
+            self.ema_params = None
+            self.ema_batch_stats = None
+
+        def replace(self, **kw):
+            new = FakeState()
+            new.__dict__.update(self.__dict__)
+            new.__dict__.update(kw)
+            return new
+
+    def sharder(st):
+        calls["n"] += 1
+        return st
+
+    s = types.SimpleNamespace(state=FakeState(), state_sharder=sharder)
+    from vipers.core.checkpoint import save_checkpoint
+
+    ckpt = str(tmp_path / "c")
+    save_checkpoint(ckpt, {"params": {"w": np.zeros((2,), np.float32)},
+                           "epoch": np.int32(3)})
+    epoch = driver.resume_session(s, ckpt)
+    assert epoch == 4 and calls["n"] == 1
+
+
+def test_vit_train_guards_mismatched_eval_crop(tmp_path):
+    """ViT/swin pos-embeddings are sized at construction; a val crop that
+    differs from the train crop must fail fast, not after a full epoch."""
+    from vipers.train.driver import build_session
+
+    cfg = TrainConfig(
+        model="vit_s_16", data_path=str(tmp_path), num_classes=2,
+        train_crop_size=176, val_crop_size=224,
+        optim=OptimConfig(opt="sgd", lr=0.01, epochs=1),
+        output_dir=str(tmp_path / "o"),
+    )
+    with pytest.raises(SystemExit, match="val-crop-size"):
+        build_session(cfg)
+
+
+def test_eval_sweep_session_sized_by_val_crop(tmp_path):
+    """The evaluate sweep only ever sees val-crop batches, so fixed-size
+    families must be constructed (and initialized) at val_crop_size."""
+    from PIL import Image
+
+    from vipers.train.evaluate_models import _eval_only_session
+
+    rng = np.random.default_rng(0)
+    for cls in ("a", "b"):
+        d = tmp_path / "val" / cls
+        d.mkdir(parents=True)
+        Image.fromarray(rng.integers(0, 255, size=(40, 40, 3),
+                                     dtype=np.uint8)).save(d / "0.jpg")
+    cfg = TrainConfig(
+        model="vit_s_16", data_path=str(tmp_path), num_classes=2,
+        train_crop_size=224, val_resize_size=40, val_crop_size=32,
+        optim=OptimConfig(opt="sgd", lr=0.01, epochs=1),
+        output_dir=str(tmp_path / "o"),
+    )
+    s = _eval_only_session(cfg, with_val=True)
+    from vipers.pruning.masks import _flat
+
+    # 32px / patch 16 -> 2x2 grid + CLS = 5 tokens
+    seq = next(v.shape[1] for k, v in _flat(s.state.params).items()
+               if k[-1] == "pos_embedding")
+    assert seq == 5
+
+
+def test_packed_flash_interpret_reaches_kernel(monkeypatch):
+    """flash_attention_packed(interpret=True) must run the Pallas kernel in
+    interpret mode off-TPU (not silently return the einsum reference)."""
+    import importlib
+
+    fa = importlib.import_module("vipers.ops.flash_attention")
+
+    b, h, t, hd = 2, 8, 64, 16
+    d = h * hd
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(b, t, 3 * d)), jnp.float32)
+    valid = jnp.ones((b, t), bool)
+
+    called = {"kernel": 0}
+    orig = fa._packed_flash
+
+    def spy(*a, **kw):
+        called["kernel"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fa, "_packed_flash", spy)
+    out = fa.flash_attention_packed(qkv, valid, num_heads=h, interpret=True)
+    assert called["kernel"] == 1
+
+    ref = fa.flash_attention_packed(qkv, valid, num_heads=h, interpret=False)
+    assert called["kernel"] == 1  # off-TPU non-interpret stays on the einsum
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)

@@ -476,7 +476,10 @@ def flash_attention_packed(qkv, valid=None, *, num_heads: int,
     d = three_d // 3
     hd = d // num_heads
     scale = (hd ** -0.5) if scale is None else scale
-    if jax.devices()[0].platform != "tpu":
+    if not interpret and jax.devices()[0].platform != "tpu":
+        # interpret=True must still reach the kernel off-TPU (Pallas
+        # interpret mode exists exactly for that) — otherwise the public
+        # wrapper silently validates the einsum against itself
         q, k, v = _unpack_bhtd(qkv, num_heads)
         mask = valid[:, None, None, :] if valid is not None else None
         out, _ = attention_reference(q, k, v, scale=scale, mask=mask)

@@ -58,6 +58,10 @@ class Session:
     writer: MetricsWriter
     train_ds: ImageFolder
     val_ds: ImageFolder
+    # re-applies the session's device placements (TP/DP shardings) to a
+    # TrainState whose leaves were replaced with host arrays — resume must
+    # call it or --model-parallel placements are silently lost
+    state_sharder: Optional[object] = None
 
 
 def build_session(cfg: TrainConfig) -> Session:
@@ -77,6 +81,18 @@ def build_session(cfg: TrainConfig) -> Session:
         model_kw["image_size"] = size
     elif "input_size" in builder_params:
         model_kw["input_size"] = size
+    if (("image_size" in model_kw or "input_size" in model_kw)
+            and cfg.val_crop_size != cfg.train_crop_size):
+        # pos-embeddings are sized at construction: the epoch-end eval
+        # would crash after a full epoch of training. Fail fast instead
+        # (the torch reference hard-codes 224 for BOTH and asserts —
+        # `vision_transformer.py:282-283`).
+        raise SystemExit(
+            f"{cfg.model}: --val-crop-size ({cfg.val_crop_size}) must equal "
+            f"--train-crop-size ({cfg.train_crop_size}) — this family's "
+            "pos-embeddings are sized at construction; pass matching crop "
+            "sizes (CNN families accept any eval size)"
+        )
     spec = build_model(cfg.model, **model_kw)
     rng = jax.random.PRNGKey(cfg.seed)
     init_rng, run_rng = jax.random.split(rng)
@@ -204,6 +220,7 @@ def build_session(cfg: TrainConfig) -> Session:
         compute_dtype, use_ema=True,
     )
 
+    state_sharder = None
     if cfg.data_parallel or cfg.model_parallel > 1:
         # In-process multi-device training (vipers train --data-parallel
         # [--model-parallel k]): batches shard over the mesh's data axis,
@@ -247,19 +264,23 @@ def build_session(cfg: TrainConfig) -> Session:
             return (None if tree is None
                     else jax.device_put(tree, sh))
 
-        state = state.replace(
-            params=jax.device_put(state.params, param_sh),
-            masks={p: jax.device_put(m, _sh_of(p))
-                   for p, m in state.masks.items()},
-            # optimizer/EMA state replicated (momentum of TP-sharded params
-            # could shard too; replication is correct and keeps optax's
-            # tree opaque)
-            opt_state=_put(state.opt_state, repl),
-            batch_stats=_put(state.batch_stats, repl),
-            ema_params=_put(state.ema_params, repl),
-            ema_batch_stats=_put(state.ema_batch_stats, repl),
-            step=jax.device_put(state.step, repl),
-        )
+        def _shard_state(st):
+            return st.replace(
+                params=jax.device_put(st.params, param_sh),
+                masks={p: jax.device_put(m, _sh_of(p))
+                       for p, m in st.masks.items()},
+                # optimizer/EMA state replicated (momentum of TP-sharded
+                # params could shard too; replication is correct and keeps
+                # optax's tree opaque)
+                opt_state=_put(st.opt_state, repl),
+                batch_stats=_put(st.batch_stats, repl),
+                ema_params=_put(st.ema_params, repl),
+                ema_batch_stats=_put(st.ema_batch_stats, repl),
+                step=jax.device_put(st.step, repl),
+            )
+
+        state = _shard_state(state)
+        state_sharder = _shard_state
         _shard_io = batch_sharder(mesh)
         n_data = mesh.shape["data"]
 
@@ -289,7 +310,7 @@ def build_session(cfg: TrainConfig) -> Session:
         cfg=cfg, spec=spec, tx=tx, state=state, train_step=train_step,
         eval_step=eval_step, eval_step_ema=eval_step_ema, normalize=normalize,
         mixup=mixup, rng=run_rng, writer=writer,
-        train_ds=train_ds, val_ds=val_ds,
+        train_ds=train_ds, val_ds=val_ds, state_sharder=state_sharder,
     )
 
 
@@ -518,6 +539,10 @@ def resume_session(s: Session, path: str) -> int:
         ema_params=tree.get("ema_params", s.state.ema_params),
         ema_batch_stats=tree.get("ema_batch_stats", s.state.ema_batch_stats),
     )
+    if s.state_sharder is not None:
+        # restore handed back host arrays; re-apply the session's TP/DP
+        # device placements or --model-parallel is silently lost on resume
+        s.state = s.state_sharder(s.state)
     start_epoch = int(tree.get("epoch", -1)) + 1
     print(f"Resumed from {path} at epoch {start_epoch} "
           f"(sparsity {float(tree.get('sparsity', 0.0)):.2f}%)")

@@ -81,8 +81,22 @@ def _eval_only_session(cfg: TrainConfig, with_val: bool = False):
     model_kw = {"num_classes": cfg.num_classes}
     if cfg.resnet_dilate != 1 and cfg.model.startswith("resnet"):
         model_kw["dilate"] = cfg.resnet_dilate
+    # a sweep only ever evaluates, so fixed-pos-embedding families (ViT,
+    # swin) must be constructed at the EVAL crop — the size every batch
+    # actually has — not the training crop
+    import inspect
+
+    from vipers.core.registry import get_model_builder
+
+    builder_params = inspect.signature(
+        get_model_builder(cfg.model)).parameters
+    size = (cfg.val_crop_size, cfg.val_crop_size)
+    if "image_size" in builder_params:
+        model_kw["image_size"] = size
+    elif "input_size" in builder_params:
+        model_kw["input_size"] = size
     spec = build_model(cfg.model, **model_kw)
-    h = w = cfg.train_crop_size
+    h = w = cfg.val_crop_size
     from vipers.core.registry import init_variables
 
     variables = init_variables(

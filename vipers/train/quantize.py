@@ -651,7 +651,14 @@ def run_quantize(args) -> int:
     module = s.spec.module
     exclude = s.spec.quant_exclude
     h = w = cfg.train_crop_size
-    probe_vars = {"params": s.state.params}
+    # Calibration must observe the PRUNED network: masks are forward-only,
+    # so raw params keep stale nonzero values at pruned slots; probing with
+    # them would collect activation ranges for a different network than the
+    # one the int8 program executes (the torch reference's prune hooks mask
+    # inside forward, so its calibration sees the pruned net too).
+    from vipers.pruning.masks import apply_masks as _apply_masks
+
+    probe_vars = {"params": _apply_masks(s.state.params, s.state.masks)}
     if s.state.batch_stats is not None:
         probe_vars["batch_stats"] = s.state.batch_stats
     sites = observer_sites(
