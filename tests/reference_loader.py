@@ -46,6 +46,64 @@ def _stub(name: str, **attrs) -> types.ModuleType:
     return mod
 
 
+class ShimVOCDetection:
+    """Functional stand-in for ``torchvision.datasets.VOCDetection`` with the
+    real class's on-disk contract: ``root/VOCdevkit/VOC{year}`` holding
+    JPEGImages/, Annotations/ and ImageSets/Main/{image_set}.txt, items are
+    ``(transform(PIL image), parse_voc_xml(annotation))``. The XML parser
+    reproduces torchvision's nested-dict shape (repeated tags become lists;
+    the annotation node's ``object`` entry is ALWAYS a list, even with zero
+    or one object). This lets the reference's `datasets.Dataset` and the
+    standalone `main_corloc_evaluation.py` run their REAL logic in-loop."""
+
+    def __init__(self, root, year="2007", image_set="train", transform=None,
+                 download=False, **kw):
+        base = os.path.join(root, "VOCdevkit", f"VOC{year}")
+        setfile = os.path.join(base, "ImageSets", "Main", image_set + ".txt")
+        with open(setfile) as f:
+            ids = [line.strip().split()[0] for line in f if line.strip()]
+        self.images = [os.path.join(base, "JPEGImages", i + ".jpg") for i in ids]
+        self.targets = [os.path.join(base, "Annotations", i + ".xml") for i in ids]
+        self.transform = transform
+
+    def __len__(self):
+        return len(self.images)
+
+    def __getitem__(self, index):
+        from PIL import Image
+        import xml.etree.ElementTree as ET
+
+        img = Image.open(self.images[index]).convert("RGB")
+        target = self.parse_voc_xml(ET.parse(self.targets[index]).getroot())
+        if self.transform is not None:
+            img = self.transform(img)
+        return img, target
+
+    @classmethod
+    def parse_voc_xml(cls, node):
+        import collections
+
+        voc_dict = {}
+        children = list(node)
+        if children:
+            def_dic = collections.defaultdict(list)
+            for dc in map(cls.parse_voc_xml, children):
+                for ind, v in dc.items():
+                    def_dic[ind].append(v)
+            if node.tag == "annotation":
+                def_dic["object"] = [def_dic["object"]]
+            voc_dict = {
+                node.tag: {
+                    ind: v[0] if len(v) == 1 else v for ind, v in def_dic.items()
+                }
+            }
+        if node.text:
+            text = node.text.strip()
+            if not children:
+                voc_dict[node.tag] = text
+        return voc_dict
+
+
 def install_shims() -> None:
     """Register import shims for torchvision / skimage / tqdm / wandb so the
     reference modules import; idempotent."""
@@ -78,7 +136,7 @@ def install_shims() -> None:
                 InterpolationMode=_InterpolationMode)
     v2 = _stub("torchvision.transforms.v2",
                __getattr__=_any_transform_getattr)
-    tvd = _stub("torchvision.datasets")
+    tvd = _stub("torchvision.datasets", VOCDetection=ShimVOCDetection)
     tvm = _stub("torchvision.models")
     tv.transforms = tvt
     tv.datasets = tvd

@@ -81,6 +81,10 @@ def parse_voc_xml(path: str) -> Dict:
     ann = node_to_dict(root)
     if "object" in ann and not isinstance(ann["object"], list):
         ann["object"] = [ann["object"]]
+    # torchvision's parser emits "object" unconditionally for the annotation
+    # node (an empty list when the image has no objects) — keep that shape so
+    # extract_gt_VOC sees an empty GT rather than a KeyError
+    ann.setdefault("object", [])
     return {"annotation": ann}
 
 

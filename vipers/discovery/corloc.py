@@ -64,39 +64,65 @@ class CorLocAccumulator:
         return txt
 
 
+def _canonical_image_key(key) -> str:
+    """Detectron ``image_id``s are ints while VOC names are zero-padded
+    strings; the reference matches them NUMERICALLY
+    (`main_corloc_evaluation.py:111-117`: ``int(pred["image_id"]) ==
+    int(name_ind)``). Canonicalize digit-like keys through int so
+    ``image_id: 5`` finds image ``000005.jpg``."""
+    s = str(key)
+    return str(int(s)) if s.lstrip("-").isdigit() else s
+
+
 def evaluate_predictions(
     preds_path: str,
     dataset: DiscoveryDataset,
     detectron_format: bool = False,
 ) -> float:
-    """Re-score saved predictions against GT
-    (`main_corloc_evaluation.py:33-152`)."""
-    if detectron_format or preds_path.endswith(".json"):
+    """Re-score saved predictions against GT, with the reference evaluator's
+    exact counting semantics (`main_corloc_evaluation.py:83-152`):
+
+    * zero-GT images are skipped only under ``no_hard`` (`:100-105`);
+      without it they count (and inevitably miss);
+    * detectron images with no prediction count as misses (`:120-125`);
+    * a boxes_OD pkl missing an image's entry raises, like the reference's
+      ``predictions[im_name]`` (`:107`) — silent undercounts stay loud.
+
+    Verified against the reference script run in-loop
+    (`tests/test_reference_corloc_script.py`)."""
+    detectron = detectron_format or preds_path.endswith(".json")
+    if detectron:
         with open(preds_path) as f:
             dets = json.load(f)
         by_img: Dict[str, list] = {}
         for d in dets:
-            by_img.setdefault(str(d["image_id"]), []).append(d)
-        # most-confident box per image (`:127-139`)
-        preds = {}
-        for k, ds in by_img.items():
-            best = max(ds, key=lambda d: d.get("score", 0.0))
-            x, y, w, h = best["bbox"]
-            preds[k] = [x, y, x + w, y + h]
+            by_img.setdefault(_canonical_image_key(d["image_id"]), []).append(d)
     else:
         with open(preds_path, "rb") as f:
             preds = pickle.load(f)
 
     hits = cnt = 0
     for _path, im_name in dataset:
-        key = im_name if im_name in preds else os.path.splitext(im_name)[0]
-        if key not in preds:
-            continue
         gt, _cls = dataset.extract_gt(im_name)
-        if gt is None or len(gt) == 0:
+        if gt is not None and len(gt) == 0 and dataset.no_hard:
             continue
+        if detectron:
+            # VOC keys drop the extension (`:110-112`); most-confident box
+            # per image (`:127-139`)
+            name_ind = (os.path.splitext(im_name)[0]
+                        if dataset.name.startswith("VOC") else im_name)
+            cand = by_img.get(_canonical_image_key(name_ind), [])
+            if not cand:
+                cnt += 1
+                continue
+            best = max(cand, key=lambda d: d.get("score", 0.0))
+            x, y, w, h = best["bbox"]
+            pred = [x, y, x + w, y + h]
+        else:
+            key = im_name if im_name in preds else os.path.splitext(im_name)[0]
+            pred = preds[key]
         cnt += 1
-        if corloc_hit(preds[key], gt):
+        if corloc_hit(pred, gt):
             hits += 1
     corloc = 100.0 * hits / max(cnt, 1)
     print(f"corloc: {corloc:.2f} ({hits}/{cnt})")
