@@ -164,6 +164,21 @@ def test_kmeans_and_whiten_match_scipy_in_loop():
     np.testing.assert_array_equal(np.asarray(labels), ref_labels)
 
 
+def test_cluster_input_matches_reference_expression():
+    """`cluster_boxes` feeds kmeans exactly what the reference does
+    (`cluster_for_OD.py:189-191`): vq.whiten(x) row-L2-normalized."""
+    from scipy.cluster.vq import whiten as scipy_whiten
+
+    from vipers.discovery.cluster import cluster_input
+
+    x = np.random.default_rng(3).normal(size=(40, 384)).astype(np.float32)
+    ref = scipy_whiten(x)
+    ref = ref / np.linalg.norm(ref, axis=1)[:, None]
+    np.testing.assert_allclose(
+        np.asarray(cluster_input(jnp.asarray(x))), ref, rtol=2e-5, atol=1e-6
+    )
+
+
 # ----------------------------------------------------------- quantization
 
 def test_fake_quant_ste_and_roundtrip():

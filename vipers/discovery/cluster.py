@@ -1,9 +1,10 @@
 """Class-agnostic box clustering into pseudo-labels.
 
 Counterpart of `/root/reference/cluster_for_OD.py:120-201`: crop each
-predicted box, resize to 256 (center region), embed with a frozen DINO ViT
-CLS feature, L2-normalize, whiten + k-means into ``nb_clusters``
-pseudo-labels for class-aware detection training. Features are cached as a
+predicted box, resize to 256 BICUBIC, embed with a frozen DINO ViT CLS
+feature, L2-normalize, then whiten + row-L2-normalize + k-means into
+``nb_clusters`` pseudo-labels for class-aware detection training
+(`:186-191`). Features are cached as a
 pickle like the reference (`:169-183`).
 """
 
@@ -34,6 +35,14 @@ def _make_embed_fn(spec, variables):
         return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
 
     return fwd
+
+
+def cluster_input(feats):
+    """What the reference feeds kmeans2: whitened, row-L2-normalized
+    features (`cluster_for_OD.py:189-191`:
+    ``vq.whiten(x) / np.linalg.norm(vq.whiten(x), axis=1)[:, None]``)."""
+    white = whiten(feats)
+    return white / jnp.linalg.norm(white, axis=1, keepdims=True)
 
 
 def cluster_boxes(
@@ -81,7 +90,11 @@ def cluster_boxes(
             x1, y1, x2, y2 = (int(round(v)) for v in preds[name])
             img = Image.open(os.path.join(img_dir, name)).convert("RGB")
             crop = img.crop((x1, y1, max(x2, x1 + 1), max(y2, y1 + 1)))
-            crop = crop.resize((256, 256), Image.BILINEAR)
+            # the reference resizes the crop short-side-256 BICUBIC and
+            # forwards the variable-size result (`cluster_for_OD.py:146-148`);
+            # for one jitted static-shape program we resize to 256x256 BICUBIC
+            # (square crops are unchanged; aspect distortion is documented)
+            crop = crop.resize((256, 256), Image.BICUBIC)
             arr = np.asarray(crop, np.float32) / 255.0
             crops.append((arr - mean) / std)
         embed = _make_embed_fn(spec, variables)
@@ -95,7 +108,7 @@ def cluster_boxes(
             with open(cache_path, "wb") as f:
                 pickle.dump(feats, f)
 
-    white = whiten(jnp.asarray(feats))
+    white = cluster_input(jnp.asarray(feats))
     k = min(nb_clusters, len(names))
     _cent, labels = kmeans2(jax.random.PRNGKey(seed), white, k=k)
     return {name: int(l) for name, l in zip(names, np.asarray(labels))}
