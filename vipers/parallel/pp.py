@@ -33,7 +33,7 @@ from typing import TYPE_CHECKING, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 if TYPE_CHECKING:  # annotation-only: keep the package import flax-free
     from vipers.models.vit import ViTConfig
@@ -214,6 +214,15 @@ def pp_vit_apply(params, x, *, cfg: "ViTConfig", mesh: Mesh,
         lambda a: a.reshape((num_stages, per_stage) + a.shape[1:]), stacked
     )
 
+    # Pin the batch layout once at entry.  Without this, inputs that
+    # arrive sharded for a DIFFERENT mesh (e.g. the eval loader's
+    # (data, model) layout) let GSPMD propagate a conflicting choice into
+    # the microbatch reshape around the shard_map, and the partitioner
+    # falls back to "involuntary full rematerialization" (replicate +
+    # repartition) on every pipeline boundary instead of one clean
+    # reshard here.
+    batch_spec = P(data_axis) if data_axis else P()
+    x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, batch_spec))
     h = _embed(outer, x, cfg)
     n, t, d = h.shape
     dd = mesh.shape[data_axis] if data_axis else 1
@@ -237,10 +246,16 @@ def pp_vit_apply(params, x, *, cfg: "ViTConfig", mesh: Mesh,
         while n % mb or mb % dd:
             mb -= dd
     xmb = h.reshape(n // mb, mb, t, d)
+    xmb = jax.lax.with_sharding_constraint(
+        xmb, NamedSharding(mesh, P(None, data_axis) if data_axis else P())
+    )
     out = _pipeline_encoder(stacked, xmb, mesh=mesh, axis=axis,
                             num_heads=cfg.num_heads, remat=remat,
                             data_axis=data_axis)
-    return _head(outer, out.reshape(n, t, d), cfg)
+    out = jax.lax.with_sharding_constraint(
+        out.reshape(n, t, d), NamedSharding(mesh, batch_spec)
+    )
+    return _head(outer, out, cfg)
 
 
 def make_pp_train_step(cfg: "ViTConfig", tx, num_classes: int, mesh: Mesh,
