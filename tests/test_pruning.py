@@ -225,3 +225,42 @@ def test_masked_training_weights_stay_zero(rng):
     zeros = np.asarray(p["dense"]["kernel"])[::2]
     assert np.all(zeros == 0.0)
     assert np.any(np.asarray(p["dense"]["kernel"])[1::2] != 0.0)
+
+
+def test_magnitude_prune_scopes_match_legacy_semantics(rng):
+    """original_train.py prunes ONLY Conv2d (resnets) or ONLY Linear
+    (transformers) per iteration (`/root/reference/original_train.py:206-227`);
+    scope="conv"/"linear" reproduces that against torch's own
+    global_unstructured restricted to the same module set."""
+    torch.manual_seed(2)
+    tconv = tnn.Conv2d(3, 6, 3)
+    tfc = tnn.Linear(20, 7)
+    params = {
+        "conv": {"kernel": jnp.asarray(
+            tconv.weight.detach().numpy().transpose(2, 3, 1, 0))},
+        "fc": {"kernel": jnp.asarray(tfc.weight.detach().numpy().T)},
+    }
+    masks = init_masks(params)
+
+    # conv scope: the linear mask must be untouched
+    tprune.global_unstructured(
+        [(tconv, "weight")], pruning_method=tprune.L1Unstructured, amount=0.3
+    )
+    masks = magnitude_prune(params, masks, amount=0.3, scope="conv")
+    t_conv_mask = tconv.weight_mask.detach().numpy().astype(bool)
+    assert np.array_equal(
+        np.asarray(masks[("conv", "kernel")]).transpose(3, 2, 0, 1), t_conv_mask
+    )
+    assert np.asarray(masks[("fc", "kernel")]).all()
+
+    # linear scope on the same mask tree
+    tprune.global_unstructured(
+        [(tfc, "weight")], pruning_method=tprune.L1Unstructured, amount=0.4
+    )
+    masks = magnitude_prune(params, masks, amount=0.4, scope="linear")
+    t_fc_mask = tfc.weight_mask.detach().numpy().astype(bool)
+    assert np.array_equal(np.asarray(masks[("fc", "kernel")]).T, t_fc_mask)
+    assert (~np.asarray(masks[("conv", "kernel")])).sum() == (~t_conv_mask).sum()
+
+    with pytest.raises(ValueError):
+        magnitude_prune(params, masks, amount=0.1, scope="bogus")
