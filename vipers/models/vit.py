@@ -268,6 +268,47 @@ class EncoderBlock(nn.Module):
         return x + z, ln1, attn
 
 
+def _auto_seq_pad(seq_len: int, dtype, train: bool, need_attn: bool, cfg):
+    """One-shot 128-multiple token padding for TRAINING forwards where a
+    Pallas attention kernel will engage.  Both kernels pad q/k/v to a 128
+    multiple internally with identical masking, so pre-padding once at the
+    embedding is compute-identical per call — but it removes the pad+slice
+    HBM round trips XLA otherwise emits around every kernel invocation
+    (profiled at 8.7% pad + part of 5.1% copy of the bf16 train-step
+    device time at T=197, docs/PERF.md).  Inference stays unpadded: the
+    einsum path (T < flash threshold) would pay real extra FLOPs, and the
+    LOST driver already pads its flash-path forwards explicitly."""
+    if not train or need_attn or seq_len % 128 == 0:
+        return None
+    if cfg.attention_dropout_rate > 0:
+        return None  # einsum path (dropout needs the probs) — don't pad
+    from vipers.parallel.sp import sequence_axis
+
+    if sequence_axis() is not None:
+        return None
+    from vipers.ops.flash_attention import flash_min_t
+
+    pad_t = -(-seq_len // 128) * 128
+    min_t = flash_min_t()
+    if seq_len < min_t <= pad_t:
+        # Padding would push training across the flash threshold onto the
+        # library kernel's two-pass backward — measured slower than the
+        # einsum at short T (docs/PERF.md).  Leave the gate decision to
+        # the true sequence length.
+        return None
+    if seq_len >= min_t:
+        return 128  # library flash kernel path
+    from vipers.ops.attention_train import (
+        attention_train_enabled,
+        fused_attention_supported,
+    )
+
+    hd = cfg.hidden_dim // cfg.num_heads
+    if fused_attention_supported(seq_len, hd) and attention_train_enabled(dtype):
+        return 128
+    return None
+
+
 @dataclasses.dataclass(frozen=True)
 class ViTConfig:
     patch_size: int = 16
@@ -315,6 +356,9 @@ class VisionTransformer(nn.Module):
             raise ValueError(f"input {h}x{w} not divisible by patch size {p}")
         gh, gw = h // p, w // p
         seq_len = gh * gw + 1
+        if seq_pad_multiple is None and not self.is_initializing():
+            seq_pad_multiple = _auto_seq_pad(seq_len, x.dtype, train,
+                                             need_attn, c)
 
         # Patchify: conv stride=patch (`vision_transformer.py:279-298`).
         x = nn.Conv(
