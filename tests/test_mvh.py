@@ -109,20 +109,22 @@ def test_mvh_runner_and_csv(tmp_path):
     path = write_mvh_csv(results, "resnet18", 3, str(tmp_path))
     assert path.endswith("resnet18_pruning_step_3.csv")
     lines = open(path).read().strip().splitlines()
-    # reference row structure: header + rows 1..18 (17 = reserved)
-    assert len(lines) == 19
-    assert lines[1].startswith("edge,")
-    assert lines[16].startswith("sketch,")
-    assert lines[17].startswith("reserved,")
-    assert lines[18].startswith("stylized,")
+    # toolbox row structure: header + rows 1..19 ([17]=sketch top-5, which
+    # mvh_performance_plot skips; [19]=stylized top-5)
+    assert len(lines) == 20
+    assert lines[1].startswith("resnet18,edge,accuracy (top-1),")
+    assert lines[16].startswith("resnet18,sketch,accuracy (top-1),")
+    assert lines[17].startswith("resnet18,sketch,accuracy (top-5),")
+    assert lines[18].startswith("resnet18,stylized,accuracy (top-1),")
+    assert lines[19].startswith("resnet18,stylized,accuracy (top-5),")
     # last column of a parametric row is the across-level mean; CSV values
     # are 0-1 fractions (toolbox convention) while eval_mvh returns percent
     cols = lines[5].split(",")  # contrast
-    assert cols[0] == "contrast"
+    assert cols[1] == "contrast"
     assert float(cols[-1]) == pytest.approx(
         float(np.mean(results["contrast"])) / 100.0
     )
-    assert all(0.0 <= float(v) <= 1.0 for v in cols[1:])
+    assert all(0.0 <= float(v) <= 1.0 for v in cols[3:])
 
     # the plot layer can read it back
     from vipers.viz.plots import plot_mvh
@@ -226,6 +228,9 @@ def test_stimuli_eval_fn_16_category_decision(tmp_path, rng):
                               stimuli_root=str(root))
     acc = ev(str(d))
     assert acc == pytest.approx(50.0)  # 3/6 (all predicted cat)
+    # top-5 of the 16-category decision: dog ranks 2nd (only cat scores
+    # higher), so every image lands in the top 5
+    assert acc.top5 == pytest.approx(100.0)
     assert calls and calls[0][1:] == (32, 32, 3)
 
     # without a stimuli-root override, the PACKAGED WordNet-derived map

@@ -142,3 +142,109 @@ def test_reference_mvh_plot_consumes_vipers_csvs(tmp_path, capsys):
         for dirpath, _dirs, files in os.walk(os.path.dirname(save_dir)):
             found.extend(os.path.join(dirpath, f) for f in files)
         assert found, "reference mvh plot wrote no artifact"
+
+
+def test_reference_mvh_plot2_consumes_vipers_csvs(tmp_path, capsys):
+    """`mvh_performance_plot_2.main` matches CSV rows by the toolbox
+    `row[1] + ' ' + row[2]` benchmark/metric names — including the
+    sketch/stylized `accuracy (top-5)` rows — across all four models'
+    paper sweeps (27/26/8/14 steps). A name mismatch on ANY of its 19
+    test names leaves `values` empty and `statistics.mean` raises, so
+    completion proves every benchmark row matched
+    (`mvh_performance_plot_2.py:19-65`)."""
+    import argparse
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    mpp2 = load_reference_module("mvh_performance_plot_2")
+    from vipers.train.mvh import MVH_ORDER, StimulusAccuracy, write_mvh_csv
+    from vipers.viz.plots import MVH_MAX_PRUNE
+
+    with redirect_scratch_io(str(tmp_path / "scratch")) as mapper:
+        base_dir = os.path.dirname(mapper("/scratch/x"))
+        for model, steps in MVH_MAX_PRUNE.items():
+            for step in range(steps):
+                results = {}
+                for i, name in enumerate(MVH_ORDER):
+                    v = 40.0 + step + i
+                    results[name] = (
+                        StimulusAccuracy(v, v + 10.0)
+                        if name in ("sketch", "stylized") else [v]
+                    )
+                write_mvh_csv(results, model, step, base_dir)
+        mpp2.main(argparse.Namespace(model_name="resnet50", max_prune=26))
+        capsys.readouterr()
+        pngs = [f for f in os.listdir(base_dir) if f.endswith(".png")]
+        assert len(pngs) == 19  # one figure per benchmark/metric name
+
+
+def test_reference_triple_and_rn50_plots_consume_vipers_csvs(
+    tmp_path, capsys, monkeypatch
+):
+    """`mvh_triple_comparison` (fixed row indices 2/4/10 = silhouette/
+    colour/false-colour) and `mvh_performance_rn50_vs_rn18` (row 11 =
+    rotation) read vipers CSVs and plot exactly the intended benchmark
+    series — verified by capturing the values each script hands to
+    `plt.plot` (`mvh_triple_comparison.py:29-38`,
+    `mvh_performance_rn50_vs_rn18.py:29-45`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    mtc = load_reference_module("mvh_triple_comparison")
+    mrr = load_reference_module("mvh_performance_rn50_vs_rn18")
+    from vipers.train.mvh import MVH_ORDER, write_mvh_csv
+
+    offsets = {"resnet18": 50.0, "resnet50": 30.0}
+    with redirect_scratch_io(str(tmp_path / "scratch")) as mapper:
+        base_dir = os.path.dirname(mapper("/scratch/tesi_magistrale/x"))
+        for model, off in offsets.items():
+            for step in range(26):
+                results = {
+                    name: [off + step + i]
+                    for i, name in enumerate(MVH_ORDER)
+                }
+                write_mvh_csv(results, model, step, base_dir)
+
+        captured = []
+        real_plot = plt.plot
+
+        def spy_plot(*args, **kwargs):
+            captured.append((list(args[0]), kwargs.get("label")))
+            return real_plot(*args, **kwargs)
+
+        monkeypatch.setattr(plt, "plot", spy_plot)
+        mtc.main()
+        triple = {label: vals for vals, label in captured}
+        captured.clear()
+        mrr.main()
+        rn = {label: vals for vals, label in captured}
+        capsys.readouterr()
+
+    def expect(bench, off):
+        i = MVH_ORDER.index(bench)
+        return [(off + step + i) / 100.0 for step in range(26)]
+
+    assert triple["silhouette"] == pytest.approx(expect("silhouette", 50.0))
+    assert triple["colour"] == pytest.approx(expect("colour", 50.0))
+    assert triple["false_colour"] == pytest.approx(
+        expect("false-colour", 50.0)
+    )
+    assert rn["ResNet18 on rotation"] == pytest.approx(
+        expect("rotation", 50.0)
+    )
+    assert rn["ResNet50 on rotation"] == pytest.approx(
+        expect("rotation", 30.0)
+    )
+    p1 = mapper(
+        "/scratch/tesi_magistrale/model_vs_human_performances/"
+        "resnet18/resnet18_multiple_tasks.pdf"
+    )
+    p2 = mapper(
+        "/scratch/tesi_magistrale/model_vs_human_performances/"
+        "comparison/resnet18_vs_resnet50_rotation.pdf"
+    )
+    assert os.path.getsize(p1) > 0 and os.path.getsize(p2) > 0

@@ -38,13 +38,21 @@ MVH_ORDER = [
     "uniform-noise",
 ]
 
-# Row order of the reference-consumed CSV (mvh_performance_plot.py:71-87):
-# linereader[1]=edge ... [16]=sketch, [17] skipped, [18]=stylized.
+# Row order of the modelvshuman-toolbox CSV all four reference plot
+# scripts consume: by row index with [17]=sketch-top5 skipped
+# (`mvh_performance_plot.py:68-87`), by `row[1]+' '+row[2]` benchmark/metric
+# name (`mvh_performance_plot_2.py:54-65` — fixing row[1]/row[2] as the
+# benchmark and `accuracy (top-k)` columns), rows 2/4/10
+# (`mvh_triple_comparison.py:29-38`), row 11
+# (`mvh_performance_rn50_vs_rn18.py:29-45`). (benchmark, top-k) pairs;
+# sketch/stylized carry separate top-5 rows like the toolbox reports.
 REFERENCE_CSV_ROWS = [
-    "edge", "silhouette", "cue-conflict", "colour", "contrast", "high-pass",
-    "low-pass", "phase-scrambling", "power-equalisation", "false-colour",
-    "rotation", "eidolonI", "eidolonII", "eidolonIII", "uniform-noise",
-    "sketch", None, "stylized",
+    ("edge", 1), ("silhouette", 1), ("cue-conflict", 1), ("colour", 1),
+    ("contrast", 1), ("high-pass", 1), ("low-pass", 1),
+    ("phase-scrambling", 1), ("power-equalisation", 1), ("false-colour", 1),
+    ("rotation", 1), ("eidolonI", 1), ("eidolonII", 1), ("eidolonIII", 1),
+    ("uniform-noise", 1), ("sketch", 1), ("sketch", 5), ("stylized", 1),
+    ("stylized", 5),
 ]
 
 
@@ -225,6 +233,19 @@ def imagenet_to_16_matrix(stimuli_root: Optional[str] = None) -> np.ndarray:
     return m
 
 
+class StimulusAccuracy(float):
+    """Top-1 accuracy (percent) that also carries the top-5 accuracy of the
+    16-category decision: the toolbox CSV has separate `accuracy (top-5)`
+    rows for sketch/stylized (`mvh_performance_plot_2.py:36,38`)."""
+
+    top5: float
+
+    def __new__(cls, top1: float, top5: float):
+        self = super().__new__(cls, top1)
+        self.top5 = float(top5)
+        return self
+
+
 def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
                          resize: int = 256, crop: int = 224,
                          stimuli_root: Optional[str] = None):
@@ -258,7 +279,7 @@ def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
             for img_path, cls_idx in ds.samples
             if cat_of_class[cls_idx] >= 0  # skip non-category dirs
         ]
-        top1 = n = 0
+        top1 = top5 = n = 0
         with ThreadPoolExecutor(8) as exe:  # decode overlaps device compute
             for start in range(0, len(work), batch_size):
                 chunk = work[start : start + batch_size]
@@ -274,8 +295,12 @@ def make_stimuli_eval_fn(logits_fn, batch_size: int = 32,
                 cat_scores = (p @ agg) / agg_count[None]
                 pred = cat_scores.argmax(-1)
                 top1 += int((pred == labels).sum())
+                label_score = cat_scores[np.arange(len(labels)), labels]
+                rank = (cat_scores > label_score[:, None]).sum(-1)
+                top5 += int((rank < 5).sum())
                 n += len(labels)
-        return 100.0 * top1 / max(n, 1)
+        n = max(n, 1)
+        return StimulusAccuracy(100.0 * top1 / n, 100.0 * top5 / n)
 
     return eval_dir
 
@@ -294,12 +319,11 @@ def write_mvh_csv(results: Dict[str, Union[float, List[float]]],
         return v / 100.0
 
     with open(path, "w") as f:
-        f.write("benchmark,accuracy_per_level...,mean\n")  # row 0: header
-        for name in REFERENCE_CSV_ROWS:
-            if name is None:  # row 17: reserved (reference plot skips it)
-                f.write("reserved,nan\n")
-                continue
+        f.write("model,benchmark,metric,accuracy_per_level...,mean\n")
+        for name, topk in REFERENCE_CSV_ROWS:
             val = results.get(name, float("nan"))
+            if topk == 5:  # StimulusAccuracy carries it; plain float -> nan
+                val = getattr(val, "top5", float("nan"))
             if isinstance(val, (list, tuple)):
                 levels = [frac(v) for v in val]
                 cols = levels + [
@@ -307,5 +331,6 @@ def write_mvh_csv(results: Dict[str, Union[float, List[float]]],
                 ]
             else:
                 cols = [frac(val)]
-            f.write(name + "," + ",".join(str(v) for v in cols) + "\n")
+            f.write(f"{model},{name},accuracy (top-{topk}),"
+                    + ",".join(str(v) for v in cols) + "\n")
     return path

@@ -125,13 +125,22 @@ def plot_mass_rank(results_dir: str, model: str, out_path: str,
 
 
 def read_mvh_csv(path: str) -> Dict[str, float]:
-    """One {model}_pruning_step_N.csv: benchmark rows -> accuracy."""
+    """One {model}_pruning_step_N.csv: benchmark rows -> accuracy (last
+    column). Reads the toolbox row layout `model,benchmark,accuracy
+    (top-k),...,value` (what `write_mvh_csv` emits); top-5 rows get an
+    "@5" key suffix so they never shadow the top-1 value. The legacy
+    benchmark-first layout is still accepted."""
     out = {}
     with open(path) as f:
         for i, line in enumerate(f.read().strip().splitlines()):
-            parts = line.replace(";", ",").split(",")
-            name = parts[0].strip() if not _is_float(parts[0]) else MVH_BENCHMARKS[i % len(MVH_BENCHMARKS)]
-            if name in ("reserved", "benchmark"):  # header / skipped row 17
+            parts = [p.strip() for p in line.replace(";", ",").split(",")]
+            if len(parts) >= 3 and parts[1] in MVH_BENCHMARKS:
+                name = parts[1] + ("@5" if "top-5" in parts[2] else "")
+            elif parts[0] in MVH_BENCHMARKS:
+                name = parts[0]
+            elif _is_float(parts[0]):
+                name = MVH_BENCHMARKS[i % len(MVH_BENCHMARKS)]
+            else:  # header / legacy reserved row
                 continue
             vals = [float(p) for p in parts if _is_float(p)]
             if vals:
