@@ -1,0 +1,343 @@
+"""Structured slimming (`vipers slim`) tests.
+
+The reference harvests sparsity only as mask reparametrization
+(`/root/reference/train.py:241-344`); vipers additionally converts it into
+PHYSICALLY smaller matmuls (pruning/structured.py). The centerpiece here is
+the module's exactness contract: when every unit with a nonzero downstream
+projection is kept, the slim model computes the SAME function as the
+masked model (up to f32 reduction regrouping at the smaller width).
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from vipers.models.vit import ViTConfig, VisionTransformer
+from vipers.pruning import apply_masks
+from vipers.pruning.structured import (
+    SlimReport,
+    _keep_count,
+    arch_sidecar,
+    head_scores,
+    mlp_neuron_scores,
+    slim_vit,
+)
+
+CFG = ViTConfig(patch_size=4, num_layers=2, num_heads=4, hidden_dim=32,
+                mlp_dim=64, num_classes=10)
+IMG = (16, 16)  # 4x4 grid + cls = 17 tokens
+
+
+def _tiny(rng):
+    module = VisionTransformer(cfg=CFG, image_size=IMG)
+    variables = module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *IMG, 3)), train=False
+    )
+    x = jnp.asarray(rng.normal(size=(2, *IMG, 3)).astype(np.float32))
+    return module, variables, x
+
+
+def _inert_masks(params, drop_neurons, drop_heads, hd):
+    """Masks that make specific MLP neurons / heads provably inert by
+    zeroing their DOWNSTREAM projections (fc2 rows / out rows)."""
+    flat = dict(traverse_util.flatten_dict(params))
+    masks = {}
+    for layer, idx in drop_neurons.items():
+        p = (layer, "mlp", "fc2", "kernel")
+        m = np.ones(flat[p].shape, bool)
+        m[np.asarray(idx), :] = False
+        masks[p] = jnp.asarray(m)
+    for layer, heads in drop_heads.items():
+        p = (layer, "attention", "out", "kernel")
+        m = np.ones(flat[p].shape, bool)
+        for a in heads:
+            m[a * hd:(a + 1) * hd, :] = False
+        masks[p] = jnp.asarray(m)
+    return masks
+
+
+def _forward(module, variables, x):
+    logits, aux = module.apply(variables, x, train=False)
+    return logits, aux["cls"]
+
+
+def test_slim_equals_masked_model_exactly(rng):
+    """The exactness contract: drop exactly the inert units -> identical
+    logits (the structural claim that makes `vipers slim` a lossless
+    transform of a structurally-masked checkpoint)."""
+    module, variables, x = _tiny(rng)
+    hd = CFG.hidden_dim // CFG.num_heads
+    drop_neurons = {  # per-layer DIFFERENT selections, same count (32/64)
+        "encoder_layer_0": np.arange(0, 64, 2),
+        "encoder_layer_1": np.r_[np.arange(10, 40), 1, 63],
+    }
+    drop_heads = {"encoder_layer_0": [1], "encoder_layer_1": [3]}
+    masks = _inert_masks(variables["params"], drop_neurons, drop_heads, hd)
+
+    masked_vars = {"params": apply_masks(variables["params"], masks)}
+    ref_logits, ref_cls = _forward(module, masked_vars, x)
+
+    out_vars, new_masks, overrides, report = slim_vit(
+        variables, masks, CFG, mlp_keep=0.5, heads_keep=0.75, round_to=1
+    )
+    assert overrides == {"mlp_dim": 32, "num_heads": 3, "head_dim": hd}
+    slim_mod = VisionTransformer(
+        cfg=dataclasses.replace(CFG, **overrides), image_size=IMG
+    )
+    slim_logits, slim_cls = _forward(slim_mod, out_vars, x)
+
+    np.testing.assert_allclose(slim_logits, ref_logits, rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(slim_cls, ref_cls, rtol=2e-5, atol=2e-5)
+
+    # The kept sets are exactly the non-inert units.
+    for layer, idx in drop_neurons.items():
+        kept = report.kept_neurons[layer]
+        assert np.array_equal(kept, np.setdiff1d(np.arange(64), idx))
+    for layer, heads in drop_heads.items():
+        kept = report.kept_heads[layer]
+        assert np.array_equal(kept, np.setdiff1d(np.arange(4), heads))
+    assert report.params_after < report.params_before
+
+
+def test_slim_param_and_mask_shapes(rng):
+    """Slimmed tree rebuilds through a module at the override widths, and
+    surviving masks are sliced to the kept units."""
+    module, variables, x = _tiny(rng)
+    flat = dict(traverse_util.flatten_dict(variables["params"]))
+    # An unstructured mask on fc1 must come out sliced along the neuron axis.
+    p1 = ("encoder_layer_0", "mlp", "fc1", "kernel")
+    m1 = np.ones(flat[p1].shape, bool)
+    m1[0, :] = False
+    masks = {p1: jnp.asarray(m1)}
+
+    out_vars, new_masks, overrides, report = slim_vit(
+        variables, masks, CFG, mlp_keep=0.5, heads_keep=0.5, round_to=1
+    )
+    slim_mod = VisionTransformer(
+        cfg=dataclasses.replace(CFG, **overrides), image_size=IMG
+    )
+    ref_shapes = jax.tree_util.tree_map(
+        jnp.shape,
+        slim_mod.init(jax.random.PRNGKey(0), jnp.zeros((1, *IMG, 3)),
+                      train=False)["params"],
+    )
+    got_shapes = jax.tree_util.tree_map(jnp.shape, out_vars["params"])
+    assert ref_shapes == got_shapes
+    assert new_masks[p1].shape == (32, 32)  # (hidden, kept mlp neurons)
+    # forward runs at the slim widths
+    logits, _ = slim_mod.apply(out_vars, x, train=False)
+    assert logits.shape == (2, 10)
+
+
+def test_saliency_zero_iff_inert(rng):
+    module, variables, _ = _tiny(rng)
+    hd = CFG.hidden_dim // CFG.num_heads
+    masks = _inert_masks(
+        variables["params"], {"encoder_layer_0": [5, 7]},
+        {"encoder_layer_0": [2]}, hd,
+    )
+    flat = dict(traverse_util.flatten_dict(variables["params"]))
+    ns = mlp_neuron_scores(flat, masks, "encoder_layer_0")
+    assert ns[5] == 0.0 and ns[7] == 0.0
+    assert (np.delete(ns, [5, 7]) > 0).all()
+    hs = head_scores(flat, masks, "encoder_layer_0", CFG.num_heads, hd)
+    assert hs[2] == 0.0 and (np.delete(hs, [2]) > 0).all()
+    # A head with zero v-slice AND v-bias is inert even with live out rows.
+    qkv = np.array(flat[("encoder_layer_0", "attention", "qkv", "kernel")])
+    d = qkv.shape[0]
+    v = qkv.reshape(d, 3, CFG.num_heads, hd)
+    v[:, 2, 1, :] = 0.0
+    flat2 = dict(flat)
+    flat2[("encoder_layer_0", "attention", "qkv", "kernel")] = (
+        v.reshape(d, -1)
+    )
+    b = np.array(flat[("encoder_layer_0", "attention", "qkv", "bias")])
+    b.reshape(3, CFG.num_heads, hd)[2, 1, :] = 0.0
+    flat2[("encoder_layer_0", "attention", "qkv", "bias")] = b
+    hs2 = head_scores(flat2, {}, "encoder_layer_0", CFG.num_heads, hd)
+    assert hs2[1] == 0.0
+
+
+def test_keep_count_lane_alignment():
+    # plain fraction, no alignment
+    assert _keep_count(64, 0.5, 1, 1) == 32
+    # neurons align the WIDTH itself to 128
+    assert _keep_count(3072, 0.5, 1, 128) == 1536
+    assert _keep_count(3072, 0.49, 1, 128) == 1536  # 1506 -> next 128-mult
+    # heads: unit=head_dim=64 -> keep even head counts
+    assert _keep_count(12, 0.5, 64, 128) == 6
+    assert _keep_count(12, 0.4, 64, 128) == 6  # 4.8 -> 5 -> 6
+    # floor: one aligned group; ceiling: total
+    assert _keep_count(12, 0.01, 64, 128) == 2
+    assert _keep_count(12, 0.999, 64, 128) == 12
+    assert _keep_count(12, None, 64, 128) == 12
+    # unit not dividing round_to: no group constraint
+    assert _keep_count(10, 0.33, 48, 128) == 4
+
+
+def _register_tiny():
+    """A tiny torchvision-layout ViT in the registry (once per session)."""
+    from vipers.core.registry import (
+        ModelSpec,
+        get_model_builder,
+        register_model,
+    )
+
+    try:
+        get_model_builder("vit_test_tiny")
+    except (KeyError, ValueError):
+        @register_model("vit_test_tiny")
+        def _build(num_classes: int = 10, **_kw):
+            cfg = dataclasses.replace(CFG, num_classes=num_classes)
+            return ModelSpec(
+                name="vit_test_tiny",
+                module=VisionTransformer(cfg=cfg, image_size=IMG),
+                input_size=IMG, num_classes=num_classes,
+                prune_exclude=("qkv",), patch_size=CFG.patch_size,
+                family="vit",
+            )
+
+
+def test_slim_cli_roundtrip(tmp_path):
+    """trained checkpoint -> `vipers slim` -> sidecar -> rebuilt module
+    loads the slim tree and runs (the full product path `vipers lost
+    --checkpoint <slim>` takes)."""
+    from vipers.cli.main import main
+    from vipers.core.checkpoint import restore_checkpoint, save_checkpoint
+    from vipers.core.registry import build_model
+
+    _register_tiny()
+    spec = build_model("vit_test_tiny", num_classes=10)
+    variables = spec.module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, *IMG, 3)), train=False
+    )
+    src = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(src, {"params": variables["params"]})
+
+    rc = main([
+        "slim", "--model", "vit_test_tiny", "--checkpoint", src,
+        "--num-classes", "10", "--mlp-keep", "0.5", "--heads-keep", "0.5",
+        "--round-to", "1", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = os.path.join(tmp_path, "vit_test_tiny_slim_m32_h2")
+    assert os.path.isdir(out)
+    overrides = arch_sidecar(out)
+    assert overrides == {"mlp_dim": 32, "num_heads": 2, "head_dim": 8}
+    with open(out + ".slim.json") as f:
+        assert json.load(f)["model"] == "vit_test_tiny"
+
+    slim_spec = build_model(
+        "vit_test_tiny", num_classes=10, arch_overrides=overrides
+    )
+    tree = restore_checkpoint(out)
+    logits, aux = slim_spec.module.apply(
+        {"params": tree["params"]},
+        jnp.zeros((1, *IMG, 3)), train=False,
+    )
+    assert logits.shape == (1, 10)
+    assert aux["cls"].shape == (1, CFG.hidden_dim)
+
+    # keep-all fractions: explicit nonzero exit, nothing written
+    rc = main([
+        "slim", "--model", "vit_test_tiny", "--checkpoint", src,
+        "--num-classes", "10", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 1
+
+
+def test_slim_rejects_non_vit_tree():
+    with pytest.raises(ValueError, match="torchvision ViT"):
+        slim_vit({"params": {"conv1": {"kernel": np.ones((3, 3, 3, 8))}}},
+                 {}, CFG, mlp_keep=0.5)
+
+
+def _slim_checkpoint(tmp_path, num_classes=2):
+    """A slimmed vit_test_tiny checkpoint + sidecar on disk."""
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.registry import build_model
+
+    _register_tiny()
+    spec = build_model("vit_test_tiny", num_classes=num_classes)
+    variables = spec.module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, *IMG, 3)), train=False
+    )
+    cfg2 = dataclasses.replace(CFG, num_classes=num_classes)
+    out_vars, _m, overrides, _r = slim_vit(
+        variables, {}, cfg2, mlp_keep=0.5, heads_keep=0.5, round_to=1
+    )
+    path = os.path.join(tmp_path, "slimck")
+    save_checkpoint(path, {"params": out_vars["params"]})
+    with open(path + ".slim.json", "w") as f:
+        json.dump({"model": "vit_test_tiny", "arch_overrides": overrides}, f)
+    return path, overrides
+
+
+@pytest.mark.slow
+def test_finetune_resumes_slim_checkpoint(tmp_path):
+    """`vipers train --resume <slim ckpt>` rebuilds the module at the slim
+    widths and restores — the standard recover-accuracy fine-tune loop
+    after structured pruning."""
+    from PIL import Image
+
+    from vipers.core.config import TrainConfig
+    from vipers.train.driver import build_session, resume_session
+    from vipers.train.optim import OptimConfig
+
+    rng = np.random.default_rng(0)
+    for split, n in (("train", 4), ("val", 2)):
+        for cls in ("a", "b"):
+            d = tmp_path / "ds" / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray(rng.integers(
+                    0, 255, size=(20, 20, 3), dtype=np.uint8
+                )).save(d / f"{i}.jpg")
+
+    path, overrides = _slim_checkpoint(tmp_path)
+    cfg = TrainConfig(
+        model="vit_test_tiny", data_path=str(tmp_path / "ds"), num_classes=2,
+        train_crop_size=16, val_resize_size=20, val_crop_size=16,
+        batch_size=2, workers=1, pruning_method="snip", target_sparsity=0.5,
+        optim=OptimConfig(opt="sgd", lr=0.01, weight_decay=0.0, epochs=1,
+                          lr_scheduler="steplr"),
+        seed=0, output_dir=str(tmp_path / "out"), print_freq=0,
+        resume=path,
+    )
+    s = build_session(cfg)
+    assert s.spec.module.cfg.mlp_dim == overrides["mlp_dim"]
+    assert s.spec.module.cfg.num_heads == overrides["num_heads"]
+    resume_session(s, path)
+    fc1 = s.state.params["encoder_layer_0"]["mlp"]["fc1"]["kernel"]
+    assert fc1.shape == (CFG.hidden_dim, overrides["mlp_dim"])
+
+
+def test_explain_driver_loads_slim_checkpoint(tmp_path):
+    from vipers.explain.driver import _load_model
+
+    path, overrides = _slim_checkpoint(tmp_path, num_classes=10)
+    spec, variables = _load_model("vit_test_tiny", checkpoint=path)
+    assert spec.module.cfg.mlp_dim == overrides["mlp_dim"]
+    logits, _ = spec.module.apply(
+        variables, jnp.zeros((1, *IMG, 3)), train=False
+    )
+    assert logits.shape[-1] == 10
+
+
+def test_arch_sidecar_absent():
+    assert arch_sidecar("") is None
+    assert arch_sidecar("/nonexistent/path") is None
+
+
+def test_build_model_rejects_overrides_without_cfg():
+    from vipers.core.registry import build_model
+
+    with pytest.raises(ValueError, match="arch_overrides"):
+        build_model("resnet18", num_classes=10,
+                    arch_overrides={"mlp_dim": 8})

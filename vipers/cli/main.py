@@ -204,6 +204,25 @@ def main(argv=None):
                        help="epochs before freezing BN statistics "
                             "(train_quantization.py:123-125)")
 
+    slim = sub.add_parser(
+        "slim",
+        help="structured slimming: physically remove MLP neurons / "
+             "attention heads so sparsity becomes MXU throughput "
+             "(pruning/structured.py; no reference counterpart)",
+    )
+    slim.add_argument("--model", required=True)
+    slim.add_argument("--checkpoint", required=True,
+                      help="orbax dir or imported .pth (masked weights ok)")
+    slim.add_argument("--num-classes", type=int, default=1000)
+    slim.add_argument("--mlp-keep", type=float, default=None,
+                      help="fraction of MLP hidden neurons to keep")
+    slim.add_argument("--heads-keep", type=float, default=None,
+                      help="fraction of attention heads to keep")
+    slim.add_argument("--round-to", type=int, default=128,
+                      help="align slimmed widths to this lane multiple "
+                           "(128 = TPU native; 1 disables)")
+    slim.add_argument("--output-dir", default=".")
+
     clus = sub.add_parser("cluster", help="k-means pseudo-labels for discovered boxes")
     clus.add_argument("--preds", "--pred-file", dest="preds", required=True)
     clus.add_argument("--nb-clusters", type=int, default=20)
@@ -311,6 +330,10 @@ def main(argv=None):
         from vipers.train.quantize import run_quantize
 
         return run_quantize(args)
+    if args.cmd == "slim":
+        from vipers.pruning.structured import run_slim_cli
+
+        return run_slim_cli(args)
     if args.cmd == "cluster":
         from vipers.discovery.cluster import run_cluster_cli
 

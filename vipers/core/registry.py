@@ -126,7 +126,28 @@ def get_model_builder(name: str) -> Callable[..., ModelSpec]:
 
 
 def build_model(name: str, **kwargs) -> ModelSpec:
-    return get_model_builder(name)(**kwargs)
+    """Construct a registered model.
+
+    ``arch_overrides`` (optional dict) rebuilds the module with replaced
+    config fields (e.g. ``{"num_heads": 4, "head_dim": 64, "mlp_dim":
+    768}``) — how structurally slimmed checkpoints
+    (pruning/structured.py, written with a ``slim.json`` sidecar) get a
+    module whose parameter shapes match. Only models that carry a config
+    dataclass as ``module.cfg`` (the ViT families) support this."""
+    arch = kwargs.pop("arch_overrides", None)
+    spec = get_model_builder(name)(**kwargs)
+    if arch:
+        cfg = getattr(spec.module, "cfg", None)
+        if cfg is None:
+            raise ValueError(
+                f"model {name!r} does not support arch_overrides "
+                "(no module.cfg dataclass)"
+            )
+        spec = dataclasses.replace(
+            spec,
+            module=spec.module.clone(cfg=dataclasses.replace(cfg, **arch)),
+        )
+    return spec
 
 
 _IMPORTED = False

@@ -554,7 +554,6 @@ def run_lost(args) -> int:
         model_kw["patch_size"] = args.patch_size
     if "resnet" in args.model and getattr(args, "resnet_dilate", 1) != 1:
         model_kw["dilate"] = args.resnet_dilate  # `main_lost.py:231-238`
-    spec = build_model(args.model, **model_kw)
 
     pruning_iteration = getattr(args, "pruning_iteration", None)
     if (getattr(args, "models_dir", "") and pruning_iteration is not None
@@ -564,6 +563,16 @@ def run_lost(args) -> int:
             args.models_dir, args.model, arch, pruning_iteration
         )
         print(f"checkpoint: {args.checkpoint}")
+
+    from vipers.pruning.structured import arch_sidecar
+
+    arch_overrides = arch_sidecar(getattr(args, "checkpoint", ""))
+    if arch_overrides:
+        # structurally slimmed checkpoint (`vipers slim`): rebuild the
+        # module at the slim widths so parameter shapes match
+        model_kw["arch_overrides"] = arch_overrides
+        print(f"slim architecture: {arch_overrides}")
+    spec = build_model(args.model, **model_kw)
     iteration = (
         pruning_iteration if pruning_iteration is not None else args.iteration
     )

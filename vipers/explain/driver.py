@@ -27,7 +27,12 @@ from vipers.pruning.masks import apply_masks
 
 
 def _load_model(model_name: str, checkpoint: str = "", seed: int = 0):
-    spec = build_model(model_name)
+    from vipers.pruning.structured import arch_sidecar
+
+    arch = arch_sidecar(checkpoint)
+    spec = build_model(
+        model_name, **({"arch_overrides": arch} if arch else {})
+    )
     rng = jax.random.PRNGKey(seed)
     h, w = spec.input_size
     from vipers.core.registry import init_variables

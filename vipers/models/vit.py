@@ -65,18 +65,25 @@ class MultiHeadAttention(nn.Module):
 
     num_heads: int
     dropout_rate: float = 0.0
+    # Per-head width. None => hidden_dim // num_heads (the standard tying).
+    # Structurally slimmed models (pruning/structured.py) remove whole
+    # heads, so h*hd < d — the projections become rectangular while each
+    # surviving head keeps its original width.
+    head_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None,
                  need_attn: bool = True):
         n, t, d = x.shape
         h = self.num_heads
-        hd = d // h
-        # Parameters stay Dense-shaped ((D, 3D) qkv kernel in q|k|v column
-        # order, (D, D) out kernel) so checkpoints, masks, and the torch
-        # importer are untouched; only the APPLICATION layout differs.
-        qkv_kernel, qkv_bias = _ProjParams(3 * d, name="qkv")(d)
-        out_kernel, out_bias = _ProjParams(d, name="out")(d)
+        hd = self.head_dim or d // h
+        inner = h * hd
+        # Parameters stay Dense-shaped ((D, 3*inner) qkv kernel in q|k|v
+        # column order, (inner, D) out kernel) so checkpoints, masks, and
+        # the torch importer are untouched; only the APPLICATION layout
+        # differs.
+        qkv_kernel, qkv_bias = _ProjParams(3 * inner, name="qkv")(d)
+        out_kernel, out_bias = _ProjParams(d, name="out")(inner)
         scale = float(hd) ** -0.5  # static python scalar: jit-safe
 
         # Blockwise Pallas attention where it pays: beats XLA's
@@ -109,7 +116,7 @@ class MultiHeadAttention(nn.Module):
 
         from vipers.ops.flash_attention import packed_layout_supported
 
-        if (use_flash and packed_layout_supported(d, h)
+        if (use_flash and inner == d and packed_layout_supported(d, h)
                 and os.environ.get("VIPERS_PACKED_ATTENTION") == "1"):
             # Experimental token-major packed path (docs/PERF.md round 3):
             # ONE plain MXU matmul with head-pair-permuted weight columns
@@ -226,6 +233,7 @@ class EncoderBlock(nn.Module):
     mlp_dim: int
     dropout_rate: float = 0.0
     attention_dropout_rate: float = 0.0
+    head_dim: Optional[int] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False, token_mask=None, tap_delta=None,
@@ -237,7 +245,8 @@ class EncoderBlock(nn.Module):
             # `explainations_evaluation_metrics.py:931-952`).
             ln1 = ln1 + tap_delta
         y, attn = MultiHeadAttention(
-            self.num_heads, self.attention_dropout_rate, name="attention"
+            self.num_heads, self.attention_dropout_rate,
+            head_dim=self.head_dim, name="attention"
         )(ln1, train=train, token_mask=token_mask, need_attn=need_attn)
         y = nn.Dropout(self.dropout_rate, deterministic=not train)(y)
         x = x + y
@@ -303,7 +312,7 @@ def _auto_seq_pad(seq_len: int, dtype, train: bool, need_attn: bool, cfg):
         fused_attention_supported,
     )
 
-    hd = cfg.hidden_dim // cfg.num_heads
+    hd = cfg.head_dim or cfg.hidden_dim // cfg.num_heads
     if fused_attention_supported(seq_len, hd) and attention_train_enabled(dtype):
         return 128
     return None
@@ -320,6 +329,10 @@ class ViTConfig:
     dropout_rate: float = 0.0
     attention_dropout_rate: float = 0.0
     representation_size: Optional[int] = None
+    # Per-head width override; None => hidden_dim // num_heads. Set by
+    # structured head slimming (pruning/structured.py), where surviving
+    # heads keep their width while num_heads shrinks.
+    head_dim: Optional[int] = None
 
 
 class VisionTransformer(nn.Module):
@@ -407,6 +420,7 @@ class VisionTransformer(nn.Module):
                 c.mlp_dim,
                 c.dropout_rate,
                 c.attention_dropout_rate,
+                head_dim=c.head_dim,
                 name=f"encoder_layer_{i}",
             )(x, train=train, token_mask=token_mask,
               tap_delta=tap_delta if i == c.num_layers - 1 else None,

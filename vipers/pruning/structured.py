@@ -1,0 +1,273 @@
+"""Structured slimming: turn pruning into PHYSICALLY smaller matmuls.
+
+Unstructured masks never speed up a TPU: the effective weight is
+``w * mask`` and the MXU multiplies the zeros at full dense cost. This
+module removes whole MLP neurons and whole attention heads from a
+(possibly mask-pruned) ViT, emitting a smaller parameter tree plus the
+config overrides (``mlp_dim``, ``num_heads``, ``head_dim``) that rebuild
+a matching module via ``build_model(..., arch_overrides=...)``.
+
+Exactness contract (tested): a dropped unit whose DOWNSTREAM projection
+is zero contributes exactly nothing to the network output —
+
+* an MLP neuron ``j`` is inert iff ``fc2.kernel[j, :] == 0`` (whatever
+  ``gelu(x @ W1[:, j] + b1[j])`` is, it multiplies a zero row);
+* a head ``a`` is inert iff its ``out``-projection rows are zero, or its
+  v-projection kernel slice AND v bias are zero (then ``attn @ v == 0``).
+
+So when the keep-set covers every unit with a nonzero downstream
+projection, the slim model computes the SAME function as the masked
+model (up to f32 reduction regrouping at the smaller width). Below that,
+slimming is the standard L2-saliency structured approximation.
+
+The reference has no counterpart — its pruning is torch mask
+reparametrization only (`/root/reference/train.py:241-344`); this is the
+TPU-native way to harvest sparsity as throughput.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from flax import traverse_util
+
+Path = Tuple[str, ...]
+
+
+@dataclasses.dataclass
+class SlimReport:
+    """What slimming did: per-layer kept unit indices + param counts."""
+
+    mlp_dim: int
+    num_heads: int
+    head_dim: int
+    kept_neurons: Dict[str, np.ndarray]
+    kept_heads: Dict[str, np.ndarray]
+    params_before: int
+    params_after: int
+
+    @property
+    def param_reduction(self) -> float:
+        return 1.0 - self.params_after / max(self.params_before, 1)
+
+
+def _eff(flat, masks, path):
+    w = np.asarray(flat[path])
+    m = masks.get(path)
+    return w * np.asarray(m, w.dtype) if m is not None else w
+
+
+def _layers(flat):
+    names = sorted(
+        {p[0] for p in flat if p[0].startswith("encoder_layer_")},
+        key=lambda s: int(s.rsplit("_", 1)[1]),
+    )
+    if not names:
+        raise ValueError(
+            "no encoder_layer_* params: structured slimming targets the "
+            "torchvision ViT family (the models the reference actually "
+            "prunes, `/root/reference/train.py:241-344`); DINO backbones "
+            "are frozen feature extractors and are never mask-pruned"
+        )
+    return names
+
+
+def mlp_neuron_scores(flat, masks, layer: str) -> np.ndarray:
+    """L2 saliency per hidden neuron: ``||fc2_row|| * sqrt(||fc1_col||^2 +
+    b1^2)`` on mask-applied weights. Exactly zero iff the neuron is inert
+    (zero fc2 row) or feeds nothing in (zero fc1 col+bias — then its
+    output is the constant ``gelu(b1)=gelu(0)=0`` only when b1==0, which
+    the second factor encodes)."""
+    w1 = _eff(flat, masks, (layer, "mlp", "fc1", "kernel"))
+    b1 = np.asarray(flat[(layer, "mlp", "fc1", "bias")], np.float32)
+    w2 = _eff(flat, masks, (layer, "mlp", "fc2", "kernel"))
+    up = np.sqrt((w1.astype(np.float32) ** 2).sum(0) + b1**2)
+    down = np.sqrt((w2.astype(np.float32) ** 2).sum(1))
+    return down * up
+
+
+def head_scores(flat, masks, layer: str, h: int, hd: int) -> np.ndarray:
+    """L2 saliency per head: ``||out_rows|| * sqrt(||v_kernel||^2 +
+    ||v_bias||^2)``. Zero iff the head is provably inert (see module
+    docstring) — q/k only shape the softmax, they cannot make a head with
+    zero v and zero out rows contribute."""
+    qkv = _eff(flat, masks, (layer, "attention", "qkv", "kernel"))
+    qkv_b = np.asarray(flat[(layer, "attention", "qkv", "bias")], np.float32)
+    out = _eff(flat, masks, (layer, "attention", "out", "kernel"))
+    d = qkv.shape[0]
+    v = qkv.reshape(d, 3, h, hd)[:, 2].astype(np.float32)  # (d, h, hd)
+    vb = qkv_b.reshape(3, h, hd)[2]  # (h, hd)
+    o = out.reshape(h, hd, -1).astype(np.float32)
+    v_mass = np.sqrt((v**2).sum(axis=(0, 2)) + (vb**2).sum(axis=1))
+    out_mass = np.sqrt((o**2).sum(axis=(1, 2)))
+    return out_mass * v_mass
+
+
+def _keep_count(total: int, keep: Optional[float], unit: int,
+                round_to: int) -> int:
+    """Units to keep: ``ceil(total*keep)`` rounded UP so the resulting
+    width (``count*unit``) is a ``round_to`` multiple (MXU lane
+    alignment); never below one aligned group, never above ``total``."""
+    if keep is None or keep >= 1.0:
+        return total
+    want = int(np.ceil(total * keep))
+    per = max(round_to // unit, 1) if (round_to % unit == 0) else 1
+    want = int(np.ceil(want / per) * per)
+    return min(max(want, per), total)
+
+
+def _top_idx(scores: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the k largest scores, in ascending index order (a
+    deterministic permutation-free layout for the slim kernels)."""
+    idx = np.argpartition(-scores, k - 1)[:k] if k < len(scores) else \
+        np.arange(len(scores))
+    return np.sort(idx)
+
+
+def slim_vit(
+    variables: dict,
+    masks: Dict[Path, "np.ndarray"],
+    cfg,
+    mlp_keep: Optional[float] = None,
+    heads_keep: Optional[float] = None,
+    round_to: int = 128,
+):
+    """Slim a ViT parameter tree (and its masks) by whole units.
+
+    Args:
+      variables: ``{"params": ...}`` tree (ViT layout, `models/vit.py`).
+      masks: ``{path_tuple: bool array}`` unstructured masks (may be
+        empty); saliencies are computed on mask-applied weights and kept
+        masks are sliced to the kept units.
+      cfg: the model's ``ViTConfig``.
+      mlp_keep / heads_keep: fraction of MLP neurons / heads to keep
+        (None = keep all). The kept count is uniform across layers (one
+        static shape per program); the SELECTION is per-layer.
+      round_to: align slimmed widths to this lane multiple (128 = v5e
+        native lane count; pass 1 to disable).
+
+    Returns ``(variables, masks, overrides, SlimReport)`` where
+    ``overrides`` plugs into ``build_model(name, arch_overrides=...)``.
+    """
+    params = variables["params"]
+    flat = dict(traverse_util.flatten_dict(params))
+    layers = _layers(flat)
+    h = cfg.num_heads
+    hd = cfg.head_dim or cfg.hidden_dim // cfg.num_heads
+    m_total = cfg.mlp_dim
+
+    keep_m = _keep_count(m_total, mlp_keep, 1, round_to)
+    keep_h = _keep_count(h, heads_keep, hd, round_to)
+
+    params_before = sum(int(np.prod(v.shape)) for v in flat.values())
+    new_flat = dict(flat)
+    new_masks = dict(masks)
+    kept_neurons, kept_heads = {}, {}
+
+    def _slice(path, take, axis):
+        arr = np.asarray(new_flat[path])
+        new_flat[path] = np.take(arr, take, axis=axis)
+        if path in new_masks:
+            new_masks[path] = np.take(
+                np.asarray(new_masks[path]), take, axis=axis
+            )
+
+    for layer in layers:
+        if keep_m < m_total:
+            idx = _top_idx(mlp_neuron_scores(flat, masks, layer), keep_m)
+            kept_neurons[layer] = idx
+            _slice((layer, "mlp", "fc1", "kernel"), idx, 1)
+            _slice((layer, "mlp", "fc1", "bias"), idx, 0)
+            _slice((layer, "mlp", "fc2", "kernel"), idx, 0)
+        if keep_h < h:
+            hidx = _top_idx(head_scores(flat, masks, layer, h, hd), keep_h)
+            kept_heads[layer] = hidx
+            d = flat[(layer, "attention", "qkv", "kernel")].shape[0]
+            # qkv columns are q|k|v contiguous; within each, head-major.
+            col = (
+                np.arange(3)[:, None, None] * (h * hd)
+                + hidx[None, :, None] * hd
+                + np.arange(hd)[None, None, :]
+            ).reshape(-1)
+            _slice((layer, "attention", "qkv", "kernel"), col, 1)
+            _slice((layer, "attention", "qkv", "bias"), col, 0)
+            row = (hidx[:, None] * hd + np.arange(hd)[None, :]).reshape(-1)
+            _slice((layer, "attention", "out", "kernel"), row, 0)
+
+    params_after = sum(int(np.prod(v.shape)) for v in new_flat.values())
+    overrides = {}
+    if keep_m < m_total:
+        overrides["mlp_dim"] = keep_m
+    if keep_h < h:
+        overrides["num_heads"] = keep_h
+        overrides["head_dim"] = hd
+    out_vars = dict(variables)
+    out_vars["params"] = traverse_util.unflatten_dict(new_flat)
+    report = SlimReport(
+        mlp_dim=keep_m, num_heads=keep_h, head_dim=hd,
+        kept_neurons=kept_neurons, kept_heads=kept_heads,
+        params_before=params_before, params_after=params_after,
+    )
+    return out_vars, new_masks, overrides, report
+
+
+def arch_sidecar(checkpoint_path: str) -> Optional[dict]:
+    """``arch_overrides`` recorded next to a slimmed checkpoint
+    (``{dir}.slim.json``, written by ``run_slim_cli``), or None. Drivers
+    pass the dict to ``build_model(..., arch_overrides=...)`` so the
+    module's parameter shapes match the slim tree."""
+    if not checkpoint_path:
+        return None
+    p = str(checkpoint_path).rstrip("/")
+    for cand in (p + ".slim.json", os.path.join(p, "slim.json")):
+        if os.path.exists(cand):
+            with open(cand) as f:
+                return json.load(f).get("arch_overrides") or None
+    return None
+
+
+def run_slim_cli(args) -> int:
+    """``vipers slim``: trained (masked) checkpoint -> physically smaller
+    checkpoint + ``.slim.json`` sidecar that ``vipers lost --checkpoint``
+    picks up automatically."""
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import load_lost_checkpoint
+
+    spec = build_model(args.model, num_classes=args.num_classes)
+    variables, masks, _obs = load_lost_checkpoint(
+        args.checkpoint, spec, None
+    )
+    out_vars, new_masks, overrides, report = slim_vit(
+        variables, masks, spec.module.cfg,
+        mlp_keep=args.mlp_keep, heads_keep=args.heads_keep,
+        round_to=args.round_to,
+    )
+    if not overrides:
+        print("nothing to slim: keep fractions leave every unit "
+              "(pass --mlp-keep/--heads-keep < 1)")
+        return 1
+    os.makedirs(args.output_dir, exist_ok=True)
+    name = f"{args.model}_slim_m{report.mlp_dim}_h{report.num_heads}"
+    path = os.path.join(args.output_dir, name)
+    tree = {"params": out_vars["params"]}
+    if out_vars.get("batch_stats") is not None:
+        tree["batch_stats"] = out_vars["batch_stats"]
+    if new_masks:
+        tree["masks"] = {
+            "/".join(k): np.asarray(v) for k, v in new_masks.items()
+        }
+    save_checkpoint(path, tree)
+    with open(path + ".slim.json", "w") as f:
+        json.dump({"model": args.model, "arch_overrides": overrides}, f)
+    print(
+        f"slimmed {args.model}: mlp_dim {report.mlp_dim}, "
+        f"num_heads {report.num_heads} (head_dim {report.head_dim}), "
+        f"params {report.params_before} -> {report.params_after} "
+        f"(-{100 * report.param_reduction:.1f}%)\nwrote {path}"
+    )
+    return 0

@@ -71,6 +71,15 @@ def build_session(cfg: TrainConfig) -> Session:
     if cfg.resnet_dilate != 1 and cfg.model.startswith("resnet"):
         # dilated evaluation sweeps (`evaluate_models.py:373-379`)
         model_kw["dilate"] = cfg.resnet_dilate
+    from vipers.pruning.structured import arch_sidecar
+
+    arch = arch_sidecar(getattr(cfg, "resume", "") or "")
+    if arch:
+        # resuming a structurally slimmed checkpoint (`vipers slim`):
+        # rebuild the module at the slim widths so fine-tuning (the
+        # standard recover-accuracy step after structured pruning) works
+        model_kw["arch_overrides"] = arch
+        print(f"slim architecture: {arch}")
     # ViT/swin pos-embeddings are sized at construction; build the model at
     # the training crop so non-224 runs work (the torch reference hard-codes
     # 224 and asserts on it — `vision_transformer.py:282-283`).
