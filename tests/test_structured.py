@@ -330,6 +330,133 @@ def test_explain_driver_loads_slim_checkpoint(tmp_path):
     assert logits.shape[-1] == 10
 
 
+# ---------------------------------------------------------------- VGG family
+
+def _vgg_inert_masks(params, drop_channels, drop_fc, fc1_group):
+    """Masks zeroing the DOWNSTREAM projection of specific conv channels
+    (conv_{i+1} in-slices / fc1 row groups) and fc units (next fc rows)."""
+    flat = dict(traverse_util.flatten_dict(params))
+    masks = {}
+    n_convs = 13
+    for i, idx in drop_channels.items():
+        if i < n_convs - 1:
+            p = (f"conv_{i + 1}", "kernel")
+            m = np.array(masks.get(p, np.ones(flat[p].shape, bool)))
+            m[:, :, np.asarray(idx), :] = False
+        else:
+            p = ("fc1", "kernel")
+            m = np.array(masks.get(p, np.ones(flat[p].shape, bool)))
+            rows = (np.asarray(idx)[:, None] * fc1_group
+                    + np.arange(fc1_group)[None, :]).reshape(-1)
+            m[rows, :] = False
+        masks[p] = jnp.asarray(m)
+    for name, idx in drop_fc.items():
+        down = {"fc1": "fc2", "fc2": "fc3"}[name]
+        p = (down, "kernel")
+        m = np.array(masks.get(p, np.ones(flat[p].shape, bool)))
+        m[np.asarray(idx), :] = False
+        masks[p] = jnp.asarray(m)
+    return masks
+
+
+def test_slim_vgg_equals_masked_model_exactly(rng):
+    """VGG channel/fc slimming exactness: drop exactly the channels whose
+    downstream slice is zero -> identical logits."""
+    from vipers.models.vgg import VGG16, VGGConfig
+
+    module = VGG16(num_classes=5)
+    variables = module.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    widths = VGGConfig().conv_widths
+    r = np.random.default_rng(7)
+    drop_channels = {
+        i: np.sort(r.choice(w, size=w // 4, replace=False))
+        for i, w in enumerate(widths)
+    }
+    drop_fc = {
+        "fc1": np.sort(r.choice(4096, size=2048, replace=False)),
+        "fc2": np.sort(r.choice(4096, size=2048, replace=False)),
+    }
+    masks = _vgg_inert_masks(variables["params"], drop_channels, drop_fc,
+                             fc1_group=1)  # 32px -> 1x1 final map
+
+    masked_vars = {"params": apply_masks(variables["params"], masks)}
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    ref_logits, _ = module.apply(masked_vars, x, train=False)
+
+    from vipers.pruning.structured import slim_vgg
+
+    out_vars, new_masks, overrides, report = slim_vgg(
+        variables, masks, VGGConfig(), conv_keep=0.75, fc_keep=0.5,
+        round_to=1,
+    )
+    assert overrides["conv_widths"] == tuple(w - w // 4 for w in widths)
+    assert overrides["fc_dims"] == (2048, 2048)
+    slim_mod = VGG16(num_classes=5, cfg=VGGConfig(**overrides))
+    slim_logits, _ = slim_mod.apply(out_vars, x, train=False)
+    np.testing.assert_allclose(slim_logits, ref_logits, rtol=1e-4, atol=1e-4)
+    assert report.params_after < report.params_before
+    # kept sets are exactly the non-inert units
+    for i, idx in drop_channels.items():
+        assert np.array_equal(
+            report.kept_neurons[f"conv_{i}"],
+            np.setdiff1d(np.arange(widths[i]), idx),
+        )
+
+
+def test_slim_vgg_headless_keeps_last_conv(rng):
+    """A headless (vgg16_bottom) tree must keep conv_12 intact — its
+    output IS the LOST feature-map contract."""
+    from vipers.models.vgg import VGG16, VGGConfig
+    from vipers.pruning.structured import slim_vgg
+
+    module = VGG16(headless=True)
+    variables = module.init(
+        jax.random.PRNGKey(4), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    out_vars, _m, overrides, _r = slim_vgg(
+        variables, {}, VGGConfig(), conv_keep=0.5, round_to=1
+    )
+    assert overrides["conv_widths"][-1] == 512  # untouched
+    assert all(w == 512 // 2 for w in overrides["conv_widths"][7:12])
+    slim_mod = VGG16(headless=True, cfg=VGGConfig(**overrides))
+    feats, _ = slim_mod.apply(
+        out_vars, jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    assert feats.shape[-1] == 512
+
+
+def test_slim_cli_vgg_roundtrip(tmp_path):
+    from vipers.cli.main import main
+    from vipers.core.checkpoint import restore_checkpoint, save_checkpoint
+    from vipers.core.registry import build_model
+    from vipers.models.vgg import VGG16
+
+    module = VGG16(num_classes=3)
+    variables = module.init(
+        jax.random.PRNGKey(5), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    src = os.path.join(tmp_path, "vggck")
+    save_checkpoint(src, {"params": variables["params"]})
+    rc = main([
+        "slim", "--model", "vgg16", "--checkpoint", src,
+        "--num-classes", "3", "--conv-keep", "0.75", "--fc-keep", "0.5",
+        "--round-to", "1", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = os.path.join(tmp_path, "vgg16_slim_c75_f50")
+    overrides = arch_sidecar(out)  # JSON round-trip: lists
+    assert overrides["fc_dims"] == [2048, 2048]
+    spec = build_model("vgg16", num_classes=3, arch_overrides=overrides)
+    assert spec.module.cfg.fc_dims == (2048, 2048)  # list->tuple coercion
+    tree = restore_checkpoint(out)
+    logits, _ = spec.module.apply(
+        {"params": tree["params"]}, jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    assert logits.shape == (1, 3)
+
+
 def test_arch_sidecar_absent():
     assert arch_sidecar("") is None
     assert arch_sidecar("/nonexistent/path") is None

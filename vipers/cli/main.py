@@ -215,9 +215,13 @@ def main(argv=None):
                       help="orbax dir or imported .pth (masked weights ok)")
     slim.add_argument("--num-classes", type=int, default=1000)
     slim.add_argument("--mlp-keep", type=float, default=None,
-                      help="fraction of MLP hidden neurons to keep")
+                      help="ViT: fraction of MLP hidden neurons to keep")
     slim.add_argument("--heads-keep", type=float, default=None,
-                      help="fraction of attention heads to keep")
+                      help="ViT: fraction of attention heads to keep")
+    slim.add_argument("--conv-keep", type=float, default=None,
+                      help="VGG: fraction of conv output channels to keep")
+    slim.add_argument("--fc-keep", type=float, default=None,
+                      help="VGG: fraction of fc1/fc2 hidden units to keep")
     slim.add_argument("--round-to", type=int, default=128,
                       help="align slimmed widths to this lane multiple "
                            "(128 = TPU native; 1 disables)")

@@ -143,6 +143,10 @@ def build_model(name: str, **kwargs) -> ModelSpec:
                 f"model {name!r} does not support arch_overrides "
                 "(no module.cfg dataclass)"
             )
+        # sidecars round-trip through JSON, which turns the tuple-valued
+        # fields (e.g. VGG conv_widths) into lists
+        arch = {k: tuple(v) if isinstance(v, list) else v
+                for k, v in arch.items()}
         spec = dataclasses.replace(
             spec,
             module=spec.module.clone(cfg=dataclasses.replace(cfg, **arch)),

@@ -2,10 +2,12 @@
 
 Unstructured masks never speed up a TPU: the effective weight is
 ``w * mask`` and the MXU multiplies the zeros at full dense cost. This
-module removes whole MLP neurons and whole attention heads from a
-(possibly mask-pruned) ViT, emitting a smaller parameter tree plus the
-config overrides (``mlp_dim``, ``num_heads``, ``head_dim``) that rebuild
-a matching module via ``build_model(..., arch_overrides=...)``.
+module removes whole units from a (possibly mask-pruned) model —
+MLP neurons and attention heads from ViTs (``slim_vit``), conv output
+channels and fc units from VGG16 (``slim_vgg``) — emitting a smaller
+parameter tree plus the config overrides (``mlp_dim``/``num_heads``/
+``head_dim`` or ``conv_widths``/``fc_dims``) that rebuild a matching
+module via ``build_model(..., arch_overrides=...)``.
 
 Exactness contract (tested): a dropped unit whose DOWNSTREAM projection
 is zero contributes exactly nothing to the network output —
@@ -215,6 +217,131 @@ def slim_vit(
     return out_vars, new_masks, overrides, report
 
 
+def conv_channel_scores(flat, masks, i: int, fc1_group: int) -> np.ndarray:
+    """L2 saliency per output channel of ``conv_i`` (VGG layout):
+    ``||downstream_in_slice|| * sqrt(||kernel_out_slice||^2 + bias^2)``.
+    Downstream is ``conv_{i+1}``'s in-channel slice, or — for the last
+    conv — the ``fc1`` row group the channel owns under torch's CHW
+    flatten (``fc1_group`` consecutive rows per channel). Exactly zero iff
+    the channel is inert: whatever ``relu(conv(x) + b)`` emits multiplies
+    a zero downstream slice."""
+    w = _eff(flat, masks, (f"conv_{i}", "kernel")).astype(np.float32)
+    b = np.asarray(flat[(f"conv_{i}", "bias")], np.float32)
+    up = np.sqrt((w**2).sum(axis=(0, 1, 2)) + b**2)
+    nxt = (f"conv_{i + 1}", "kernel")
+    if nxt in flat:
+        dw = _eff(flat, masks, nxt).astype(np.float32)
+        down = np.sqrt((dw**2).sum(axis=(0, 1, 3)))
+    else:
+        dw = _eff(flat, masks, ("fc1", "kernel")).astype(np.float32)
+        down = np.sqrt(
+            (dw.reshape(-1, fc1_group, dw.shape[1]) ** 2).sum(axis=(1, 2))
+        )
+    return down * up
+
+
+def slim_vgg(
+    variables: dict,
+    masks: Dict[Path, "np.ndarray"],
+    cfg,
+    conv_keep: Optional[float] = None,
+    fc_keep: Optional[float] = None,
+    round_to: int = 128,
+):
+    """Slim a VGG16 tree by whole conv channels and fc neurons.
+
+    VGG is a plain sequential stack, so channel removal is exact chaining:
+    slicing ``conv_i``'s output channels slices ``conv_{i+1}``'s input
+    channels (or the matching ``fc1`` row groups for the last conv — torch
+    CHW flatten puts each channel's ``H*W`` rows contiguously). The
+    exactness contract is the module docstring's: drop only channels whose
+    downstream slice is zero and the logits are unchanged. ``fc_keep``
+    slims ``fc1``/``fc2`` hidden units exactly like the ViT MLP.
+
+    Returns ``(variables, masks, overrides, SlimReport)`` with overrides
+    ``{"conv_widths": (...), "fc_dims": (...)}`` for
+    ``build_model("vgg16", arch_overrides=...)``. Headless trees (no
+    ``fc1``) keep the LAST conv intact — its output IS the LOST feature
+    map contract.
+    """
+    params = variables["params"]
+    flat = dict(traverse_util.flatten_dict(params))
+    n_convs = len(cfg.conv_widths)
+    if (f"conv_{n_convs - 1}", "kernel") not in flat:
+        raise ValueError("no conv_* params — not a VGG tree?")
+    has_fc = ("fc1", "kernel") in flat
+    fc1_group = (
+        flat[("fc1", "kernel")].shape[0] // cfg.conv_widths[-1]
+        if has_fc else 0
+    )
+
+    params_before = sum(int(np.prod(v.shape)) for v in flat.values())
+    new_flat = dict(flat)
+    new_masks = dict(masks)
+    kept = {}
+
+    def _slice(path, take, axis):
+        arr = np.asarray(new_flat[path])
+        new_flat[path] = np.take(arr, take, axis=axis)
+        if path in new_masks:
+            new_masks[path] = np.take(
+                np.asarray(new_masks[path]), take, axis=axis
+            )
+
+    conv_widths = list(cfg.conv_widths)
+    last = n_convs - 1 if has_fc else n_convs - 2
+    for i in range(last + 1):
+        total = cfg.conv_widths[i]
+        k = _keep_count(total, conv_keep, 1, round_to)
+        if k >= total:
+            continue
+        idx = _top_idx(conv_channel_scores(flat, masks, i, fc1_group), k)
+        kept[f"conv_{i}"] = idx
+        conv_widths[i] = k
+        _slice((f"conv_{i}", "kernel"), idx, 3)
+        _slice((f"conv_{i}", "bias"), idx, 0)
+        if i < n_convs - 1:
+            _slice((f"conv_{i + 1}", "kernel"), idx, 2)
+        else:
+            rows = (idx[:, None] * fc1_group
+                    + np.arange(fc1_group)[None, :]).reshape(-1)
+            _slice(("fc1", "kernel"), rows, 0)
+
+    fc_dims = list(cfg.fc_dims)
+    if has_fc:
+        for j, (name, down) in enumerate((("fc1", "fc2"), ("fc2", "fc3"))):
+            total = cfg.fc_dims[j]
+            k = _keep_count(total, fc_keep, 1, round_to)
+            if k >= total:
+                continue
+            w1 = _eff(new_flat, new_masks, (name, "kernel")).astype(np.float32)
+            b1 = np.asarray(new_flat[(name, "bias")], np.float32)
+            w2 = _eff(new_flat, new_masks, (down, "kernel")).astype(np.float32)
+            score = (np.sqrt((w2**2).sum(1))
+                     * np.sqrt((w1**2).sum(0) + b1**2))
+            idx = _top_idx(score, k)
+            kept[name] = idx
+            fc_dims[j] = k
+            _slice((name, "kernel"), idx, 1)
+            _slice((name, "bias"), idx, 0)
+            _slice((down, "kernel"), idx, 0)
+
+    params_after = sum(int(np.prod(v.shape)) for v in new_flat.values())
+    overrides = {}
+    if conv_widths != list(cfg.conv_widths):
+        overrides["conv_widths"] = tuple(conv_widths)
+    if fc_dims != list(cfg.fc_dims):
+        overrides["fc_dims"] = tuple(fc_dims)
+    out_vars = dict(variables)
+    out_vars["params"] = traverse_util.unflatten_dict(new_flat)
+    report = SlimReport(
+        mlp_dim=0, num_heads=0, head_dim=0,
+        kept_neurons=kept, kept_heads={},
+        params_before=params_before, params_after=params_after,
+    )
+    return out_vars, new_masks, overrides, report
+
+
 def arch_sidecar(checkpoint_path: str) -> Optional[dict]:
     """``arch_overrides`` recorded next to a slimmed checkpoint
     (``{dir}.slim.json``, written by ``run_slim_cli``), or None. Drivers
@@ -242,17 +369,31 @@ def run_slim_cli(args) -> int:
     variables, masks, _obs = load_lost_checkpoint(
         args.checkpoint, spec, None
     )
-    out_vars, new_masks, overrides, report = slim_vit(
-        variables, masks, spec.module.cfg,
-        mlp_keep=args.mlp_keep, heads_keep=args.heads_keep,
-        round_to=args.round_to,
-    )
+    if spec.family == "vgg":
+        out_vars, new_masks, overrides, report = slim_vgg(
+            variables, masks, spec.module.cfg,
+            conv_keep=args.conv_keep, fc_keep=args.fc_keep,
+            round_to=args.round_to,
+        )
+        tag = (f"c{int(100 * (args.conv_keep or 1))}"
+               f"_f{int(100 * (args.fc_keep or 1))}")
+    elif spec.family == "vit":
+        out_vars, new_masks, overrides, report = slim_vit(
+            variables, masks, spec.module.cfg,
+            mlp_keep=args.mlp_keep, heads_keep=args.heads_keep,
+            round_to=args.round_to,
+        )
+        tag = f"m{report.mlp_dim}_h{report.num_heads}"
+    else:
+        print(f"slim supports the vit and vgg families; model "
+              f"{args.model!r} is family {spec.family!r}")
+        return 1
     if not overrides:
         print("nothing to slim: keep fractions leave every unit "
-              "(pass --mlp-keep/--heads-keep < 1)")
+              "(pass --mlp-keep/--heads-keep or --conv-keep/--fc-keep < 1)")
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
-    name = f"{args.model}_slim_m{report.mlp_dim}_h{report.num_heads}"
+    name = f"{args.model}_slim_{tag}"
     path = os.path.join(args.output_dir, name)
     tree = {"params": out_vars["params"]}
     if out_vars.get("batch_stats") is not None:
@@ -264,9 +405,9 @@ def run_slim_cli(args) -> int:
     save_checkpoint(path, tree)
     with open(path + ".slim.json", "w") as f:
         json.dump({"model": args.model, "arch_overrides": overrides}, f)
+    arch_txt = ", ".join(f"{k} {v}" for k, v in overrides.items())
     print(
-        f"slimmed {args.model}: mlp_dim {report.mlp_dim}, "
-        f"num_heads {report.num_heads} (head_dim {report.head_dim}), "
+        f"slimmed {args.model}: {arch_txt}, "
         f"params {report.params_before} -> {report.params_after} "
         f"(-{100 * report.param_reduction:.1f}%)\nwrote {path}"
     )
