@@ -457,6 +457,109 @@ def test_slim_cli_vgg_roundtrip(tmp_path):
     assert logits.shape == (1, 3)
 
 
+# ------------------------------------------------------------- ResNet family
+
+def _resnet_inert_masks(flat, drop):
+    """Masks zeroing the downstream conv's in-slices for the dropped inner
+    channels. ``drop``: {(block, conv): idx} with conv in conv1/conv2."""
+    masks = {}
+    for (block, conv), idx in drop.items():
+        down = {"conv1": "conv2", "conv2": "conv3"}[conv]
+        p = (block, down, "kernel")
+        m = np.array(masks.get(p, np.ones(flat[p].shape, bool)))
+        m[:, :, np.asarray(idx), :] = False
+        masks[p] = jnp.asarray(m)
+    return masks
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50"])
+def test_slim_resnet_equals_masked_model_exactly(rng, name):
+    """ResNet inner-channel slimming exactness, BasicBlock (resnet18) and
+    Bottleneck (resnet50): drop exactly the channels whose downstream
+    in-slice is zero -> identical logits, incl. sliced bn running stats."""
+    from vipers.core.registry import build_model
+    from vipers.pruning.structured import slim_resnet
+
+    spec = build_model(name, num_classes=4)
+    variables = spec.module.init(
+        jax.random.PRNGKey(6), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    # randomize bn running stats so a mis-sliced batch_stats would show
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree.map(
+        lambda a: jnp.asarray(
+            np.abs(np.random.default_rng(9).normal(size=a.shape)) + 0.5,
+            a.dtype,
+        ),
+        variables["batch_stats"],
+    )
+    flat = dict(traverse_util.flatten_dict(variables["params"]))
+    r = np.random.default_rng(8)
+    drop = {}
+    for p in flat:
+        if p[0].startswith("layer") and p[1] == "conv1" and p[2] == "kernel":
+            block = p[0]
+            for conv in ("conv1", "conv2"):
+                if (block, "conv3", "kernel") not in flat and conv == "conv2":
+                    continue  # BasicBlock: only conv1's outputs are inner
+                w = flat[(block, conv, "kernel")].shape[3]
+                drop[(block, conv)] = np.sort(
+                    r.choice(w, size=w // 4, replace=False)
+                )
+    masks = _resnet_inert_masks(flat, drop)
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    masked_vars = dict(variables,
+                       params=apply_masks(variables["params"], masks))
+    ref_logits, _ = spec.module.apply(masked_vars, x, train=False)
+
+    out_vars, new_masks, overrides, report = slim_resnet(
+        variables, masks, inner_keep=0.75, round_to=1
+    )
+    slim_spec = build_model(name, num_classes=4,
+                            arch_overrides=overrides)
+    slim_logits, _ = slim_spec.module.apply(out_vars, x, train=False)
+    np.testing.assert_allclose(slim_logits, ref_logits, rtol=1e-4, atol=1e-4)
+    assert report.params_after < report.params_before
+    for (block, conv), idx in drop.items():
+        w = flat[(block, conv, "kernel")].shape[3]
+        assert np.array_equal(
+            report.kept_neurons[f"{block}/{conv}"],
+            np.setdiff1d(np.arange(w), idx),
+        )
+
+
+def test_slim_cli_resnet_roundtrip(tmp_path):
+    from vipers.cli.main import main
+    from vipers.core.checkpoint import restore_checkpoint, save_checkpoint
+    from vipers.core.registry import build_model
+
+    spec = build_model("resnet18", num_classes=3)
+    variables = spec.module.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    src = os.path.join(tmp_path, "r18ck")
+    save_checkpoint(src, {"params": variables["params"],
+                          "batch_stats": variables["batch_stats"]})
+    rc = main([
+        "slim", "--model", "resnet18", "--checkpoint", src,
+        "--num-classes", "3", "--inner-keep", "0.5",
+        "--round-to", "1", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    out = os.path.join(tmp_path, "resnet18_slim_i50")
+    overrides = arch_sidecar(out)
+    assert overrides["inner_widths"]["layer1_0"] == 32
+    spec2 = build_model("resnet18", num_classes=3,
+                        arch_overrides=overrides)
+    tree = restore_checkpoint(out)
+    logits, _ = spec2.module.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.zeros((1, 32, 32, 3)), train=False,
+    )
+    assert logits.shape == (1, 3)
+
+
 def test_arch_sidecar_absent():
     assert arch_sidecar("") is None
     assert arch_sidecar("/nonexistent/path") is None
@@ -465,6 +568,11 @@ def test_arch_sidecar_absent():
 def test_build_model_rejects_overrides_without_cfg():
     from vipers.core.registry import build_model
 
+    # mobilenet carries no module.cfg dataclass
     with pytest.raises(ValueError, match="arch_overrides"):
+        build_model("mobilenet_v2", num_classes=10,
+                    arch_overrides={"mlp_dim": 8})
+    # a cfg-bearing family still rejects fields it does not have
+    with pytest.raises(TypeError, match="mlp_dim"):
         build_model("resnet18", num_classes=10,
                     arch_overrides={"mlp_dim": 8})

@@ -222,6 +222,9 @@ def main(argv=None):
                       help="VGG: fraction of conv output channels to keep")
     slim.add_argument("--fc-keep", type=float, default=None,
                       help="VGG: fraction of fc1/fc2 hidden units to keep")
+    slim.add_argument("--inner-keep", type=float, default=None,
+                      help="ResNet: fraction of each block's residual-free "
+                           "inner channels to keep")
     slim.add_argument("--round-to", type=int, default=128,
                       help="align slimmed widths to this lane multiple "
                            "(128 = TPU native; 1 disables)")

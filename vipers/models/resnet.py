@@ -21,8 +21,9 @@ Design differences from the reference (deliberate, TPU-first):
 
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -41,12 +42,17 @@ class BasicBlock(nn.Module):
     prev_dilation: int = 1
     downsample: bool = False
     norm: ModuleDef = nn.BatchNorm
+    # Inner (conv1->bn1->relu->conv2) width; None => filters. Structured
+    # slimming (pruning/structured.py slim_resnet) shrinks ONLY this
+    # residual-free width — block in/out stay coupled through the adds.
+    inner: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(
-            self.filters, (3, 3), strides=(self.strides, self.strides),
+            self.inner or self.filters, (3, 3),
+            strides=(self.strides, self.strides),
             kernel_dilation=(self.prev_dilation, self.prev_dilation),
             padding=[(self.prev_dilation,) * 2] * 2, use_bias=False, name="conv1",
         )(x)
@@ -75,18 +81,21 @@ class Bottleneck(nn.Module):
     downsample: bool = False
     norm: ModuleDef = nn.BatchNorm
     expansion: int = 4
+    # The two residual-free widths (conv1 out, conv2 out); None => filters.
+    inner: Optional[Tuple[int, int]] = None
 
     @nn.compact
     def __call__(self, x):
+        in1, in2 = self.inner or (self.filters, self.filters)
         residual = x
-        y = nn.Conv(self.filters, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(in1, (1, 1), use_bias=False, name="conv1")(x)
         y = self.norm(name="bn1")(y)
         y = relu(y)
         # torchvision passes previous_dilation to a dilated stage's first
         # block and the new dilation afterwards (resnet._make_layer); the
         # ResNet loop below sets prev_dilation accordingly.
         y = nn.Conv(
-            self.filters, (3, 3), strides=(self.strides, self.strides),
+            in2, (3, 3), strides=(self.strides, self.strides),
             kernel_dilation=(self.prev_dilation, self.prev_dilation),
             padding=[(self.prev_dilation,) * 2] * 2, use_bias=False, name="conv2",
         )(y)
@@ -104,6 +113,16 @@ class Bottleneck(nn.Module):
         return relu(y + residual)
 
 
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    """Arch-override surface for structured slimming (slim_resnet):
+    block name -> residual-free inner width — an int for BasicBlock
+    (conv1 out), a (conv1_out, conv2_out) pair for Bottleneck. Missing
+    blocks keep the dense ``filters`` width."""
+
+    inner_widths: Optional[Dict[str, Any]] = None
+
+
 class ResNet(nn.Module):
     """ResNet with torchvision block/stage structure.
 
@@ -118,6 +137,7 @@ class ResNet(nn.Module):
     num_filters: int = 64
     replace_stride_with_dilation: Tuple[bool, bool, bool] = (False, False, False)
     headless: bool = False  # skip pool+fc, return feature map as output
+    cfg: ResNetConfig = ResNetConfig()
 
     @nn.compact
     def __call__(self, x, train: bool = False, tap_delta=None,
@@ -157,6 +177,11 @@ class ResNet(nn.Module):
             for b in range(num_blocks):
                 is_first = b == 0
                 needs_down = is_first and (stride != 1 or in_planes != planes * expansion)
+                inner = (self.cfg.inner_widths or {}).get(
+                    f"layer{stage + 1}_{b}"
+                )
+                if inner is not None and not isinstance(inner, int):
+                    inner = tuple(inner)  # JSON sidecar round-trip: lists
                 x = self.block(
                     filters=planes,
                     strides=stride if is_first else 1,
@@ -166,6 +191,7 @@ class ResNet(nn.Module):
                     prev_dilation=prev_dilation if is_first else dilation,
                     downsample=needs_down,
                     norm=norm,
+                    inner=inner,
                     name=f"layer{stage + 1}_{b}",
                 )(x)
                 if is_first:

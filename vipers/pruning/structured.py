@@ -342,6 +342,112 @@ def slim_vgg(
     return out_vars, new_masks, overrides, report
 
 
+def _resnet_inner_score(flat, masks, block: str, conv: str,
+                        down_conv: str) -> np.ndarray:
+    """L2 saliency per residual-free inner channel of a ResNet block:
+    ``||down_in_slice|| * sqrt(||conv_out_slice||^2 + bn_scale^2 +
+    bn_bias^2)``. Exactly zero iff the channel is provably inert: either
+    the downstream conv's in-slice is zero (whatever bn+relu emit
+    multiplies zeros), or the conv slice AND the bn affine are all zero
+    (bn output ``gamma*(0-mu)/sigma + beta == 0``, relu(0)=0)."""
+    bn = "bn" + conv[-1]
+    w = _eff(flat, masks, (block, conv, "kernel")).astype(np.float32)
+    g = np.asarray(flat[(block, bn, "scale")], np.float32)
+    b = np.asarray(flat[(block, bn, "bias")], np.float32)
+    up = np.sqrt((w**2).sum(axis=(0, 1, 2)) + g**2 + b**2)
+    dw = _eff(flat, masks, (block, down_conv, "kernel")).astype(np.float32)
+    down = np.sqrt((dw**2).sum(axis=(0, 1, 3)))
+    return down * up
+
+
+def slim_resnet(
+    variables: dict,
+    masks: Dict[Path, "np.ndarray"],
+    inner_keep: Optional[float] = None,
+    round_to: int = 128,
+):
+    """Slim a ResNet tree by the residual-free INNER channels of each
+    block — conv1's outputs in a BasicBlock, conv1's and conv2's in a
+    Bottleneck. Block input/output widths stay untouched: they are
+    coupled through the residual adds (the classic channel-pruning
+    constraint), so only the inner widths can shrink without touching
+    every block in a stage. bn running stats (``batch_stats``) are
+    sliced alongside the bn affine params.
+
+    Returns ``(variables, masks, overrides, SlimReport)`` with overrides
+    ``{"inner_widths": {block: int | (int, int)}}`` for
+    ``build_model("resnet18|resnet50", arch_overrides=...)``.
+    """
+    params = variables["params"]
+    flat = dict(traverse_util.flatten_dict(params))
+    blocks = sorted({p[0] for p in flat
+                     if p[0].startswith("layer") and "_" in p[0]})
+    if not blocks:
+        raise ValueError("no layer*_* params — not a ResNet tree?")
+    stats = variables.get("batch_stats")
+    flat_stats = dict(traverse_util.flatten_dict(stats)) if stats else {}
+
+    params_before = sum(int(np.prod(v.shape)) for v in flat.values())
+    new_flat = dict(flat)
+    new_masks = dict(masks)
+    kept = {}
+    inner_widths = {}
+
+    def _slice(path, take, axis):
+        arr = np.asarray(new_flat[path])
+        new_flat[path] = np.take(arr, take, axis=axis)
+        if path in new_masks:
+            new_masks[path] = np.take(
+                np.asarray(new_masks[path]), take, axis=axis
+            )
+
+    def _slim_one(block, conv, down_conv):
+        total = flat[(block, conv, "kernel")].shape[3]
+        k = _keep_count(total, inner_keep, 1, round_to)
+        if k >= total:
+            return total
+        idx = _top_idx(
+            _resnet_inner_score(flat, masks, block, conv, down_conv), k
+        )
+        kept[f"{block}/{conv}"] = idx
+        bn = "bn" + conv[-1]
+        _slice((block, conv, "kernel"), idx, 3)
+        for leaf in ("scale", "bias"):
+            _slice((block, bn, leaf), idx, 0)
+        for leaf in ("mean", "var"):
+            p = (block, bn, leaf)
+            if p in flat_stats:
+                flat_stats[p] = np.take(np.asarray(flat_stats[p]), idx, 0)
+        _slice((block, down_conv, "kernel"), idx, 2)
+        return k
+
+    for block in blocks:
+        if (block, "conv3", "kernel") in flat:  # Bottleneck
+            k1 = _slim_one(block, "conv1", "conv2")
+            k2 = _slim_one(block, "conv2", "conv3")
+            total = flat[(block, "conv1", "kernel")].shape[3]
+            if (k1, k2) != (total, total):
+                inner_widths[block] = (k1, k2)
+        else:  # BasicBlock
+            total = flat[(block, "conv1", "kernel")].shape[3]
+            k = _slim_one(block, "conv1", "conv2")
+            if k != total:
+                inner_widths[block] = k
+
+    params_after = sum(int(np.prod(v.shape)) for v in new_flat.values())
+    overrides = {"inner_widths": inner_widths} if inner_widths else {}
+    out_vars = dict(variables)
+    out_vars["params"] = traverse_util.unflatten_dict(new_flat)
+    if stats:
+        out_vars["batch_stats"] = traverse_util.unflatten_dict(flat_stats)
+    report = SlimReport(
+        mlp_dim=0, num_heads=0, head_dim=0,
+        kept_neurons=kept, kept_heads={},
+        params_before=params_before, params_after=params_after,
+    )
+    return out_vars, new_masks, overrides, report
+
+
 def arch_sidecar(checkpoint_path: str) -> Optional[dict]:
     """``arch_overrides`` recorded next to a slimmed checkpoint
     (``{dir}.slim.json``, written by ``run_slim_cli``), or None. Drivers
@@ -377,6 +483,12 @@ def run_slim_cli(args) -> int:
         )
         tag = (f"c{int(100 * (args.conv_keep or 1))}"
                f"_f{int(100 * (args.fc_keep or 1))}")
+    elif spec.family == "resnet":
+        out_vars, new_masks, overrides, report = slim_resnet(
+            variables, masks, inner_keep=args.inner_keep,
+            round_to=args.round_to,
+        )
+        tag = f"i{int(100 * (args.inner_keep or 1))}"
     elif spec.family == "vit":
         out_vars, new_masks, overrides, report = slim_vit(
             variables, masks, spec.module.cfg,
@@ -385,12 +497,13 @@ def run_slim_cli(args) -> int:
         )
         tag = f"m{report.mlp_dim}_h{report.num_heads}"
     else:
-        print(f"slim supports the vit and vgg families; model "
+        print(f"slim supports the vit, resnet, and vgg families; model "
               f"{args.model!r} is family {spec.family!r}")
         return 1
     if not overrides:
         print("nothing to slim: keep fractions leave every unit "
-              "(pass --mlp-keep/--heads-keep or --conv-keep/--fc-keep < 1)")
+              "(pass --mlp-keep/--heads-keep, --conv-keep/--fc-keep, "
+              "or --inner-keep < 1)")
         return 1
     os.makedirs(args.output_dir, exist_ok=True)
     name = f"{args.model}_slim_{tag}"
