@@ -560,6 +560,64 @@ def test_slim_cli_resnet_roundtrip(tmp_path):
     assert logits.shape == (1, 3)
 
 
+@pytest.mark.slow
+def test_eval_sweep_mixes_dense_and_slim_checkpoints(tmp_path):
+    """`vipers evaluate` over a dir holding a dense checkpoint AND a
+    `vipers slim` output evaluates both — the slim one through a
+    per-architecture session rebuilt from the sidecar."""
+    from PIL import Image
+
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.config import TrainConfig
+    from vipers.core.registry import build_model
+    from vipers.pruning.structured import slim_resnet
+    from vipers.train.evaluate_models import run_sweep, sweep_checkpoints
+    from vipers.train.optim import OptimConfig
+
+    r = np.random.default_rng(0)
+    for split, n in (("train", 2), ("val", 4)):
+        for cls in ("a", "b"):
+            d = tmp_path / "ds" / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray(r.integers(
+                    0, 255, size=(40, 40, 3), dtype=np.uint8
+                )).save(d / f"{i}.jpg")
+
+    spec = build_model("resnet18", num_classes=2)
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    out = tmp_path / "sweep"
+    out.mkdir()
+    save_checkpoint(
+        str(out / "resnet18_epoch_0_pruning_iteration_00"),
+        {"params": variables["params"],
+         "batch_stats": variables["batch_stats"]},
+    )
+    slim_vars, _m, overrides, _r = slim_resnet(
+        variables, {}, inner_keep=0.5, round_to=1
+    )
+    slim_path = str(out / "resnet18_slim_i50")
+    save_checkpoint(slim_path, {"params": slim_vars["params"],
+                                "batch_stats": slim_vars["batch_stats"]})
+    with open(slim_path + ".slim.json", "w") as f:
+        json.dump({"model": "resnet18", "arch_overrides": overrides}, f)
+
+    assert len(sweep_checkpoints(str(out), "resnet18")) == 2
+    cfg = TrainConfig(
+        model="resnet18", data_path=str(tmp_path / "ds"), num_classes=2,
+        train_crop_size=32, val_resize_size=40, val_crop_size=32,
+        batch_size=4, workers=1, pruning_method="snip", target_sparsity=0.5,
+        optim=OptimConfig(opt="sgd", lr=0.01, weight_decay=0.0, epochs=1,
+                          lr_scheduler="steplr"),
+        seed=0, output_dir=str(out), print_freq=0,
+    )
+    rows = run_sweep(cfg)
+    assert len(rows) == 2
+    assert all(np.isfinite(acc) for acc, _sp in rows)
+
+
 def test_arch_sidecar_absent():
     assert arch_sidecar("") is None
     assert arch_sidecar("/nonexistent/path") is None

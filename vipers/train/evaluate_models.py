@@ -22,6 +22,7 @@ object's VOC class index — and keep the txt contract.
 from __future__ import annotations
 
 import glob as globlib
+import json
 import os
 import re
 
@@ -64,7 +65,8 @@ def _voc_eval_batches(cfg: TrainConfig, normalize_fn,
         yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)
 
 
-def _eval_only_session(cfg: TrainConfig, with_val: bool = False):
+def _eval_only_session(cfg: TrainConfig, with_val: bool = False,
+                       arch_overrides: dict = None):
     """Model + eval step + normalize WITHOUT the training machinery a sweep
     never uses (optimizer/EMA/train ImageFolder — ``build_session`` would
     require a ``train/`` split to exist and scan it per invocation).
@@ -79,6 +81,10 @@ def _eval_only_session(cfg: TrainConfig, with_val: bool = False):
     from vipers.train.steps import TrainState, make_eval_step
 
     model_kw = {"num_classes": cfg.num_classes}
+    if arch_overrides:
+        # structurally slimmed checkpoint (`vipers slim` sidecar): rebuild
+        # the module at the slim widths so parameter shapes match
+        model_kw["arch_overrides"] = arch_overrides
     if cfg.resnet_dilate != 1 and cfg.model.startswith("resnet"):
         model_kw["dilate"] = cfg.resnet_dilate
     # a sweep only ever evaluates, so fixed-pos-embedding families (ViT,
@@ -168,6 +174,13 @@ def sweep_checkpoints(sweep_dir: str, model: str) -> list:
             set(globlib.glob(os.path.join(sweep_dir, f"{model}_epoch_*")))
             | set(globlib.glob(os.path.join(sweep_dir, model, "*_epoch_*")))
         )
+    # `vipers slim` outputs evaluate alongside whatever sweep layout is
+    # present, at their slim widths via the .slim.json sidecar (the sidecar
+    # files themselves are not checkpoints)
+    ckpts += sorted(
+        p for p in globlib.glob(os.path.join(sweep_dir, f"{model}_slim_*"))
+        if not p.endswith(".json") and p not in ckpts
+    )
     return ckpts
 
 
@@ -194,24 +207,42 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
     voc = cfg.eval_dataset == "voc"
     split = "voc" if voc else "test"
     rows = []
+    from vipers.pruning.structured import arch_sidecar
+
+    slim_sessions = {}
     with open(out_txt, "a") as f:
         for ckpt in ckpts:
-            variables, masks, _obs = load_lost_checkpoint(ckpt, s.spec, None)
-            state = s.state.replace(
+            sess = s
+            arch = arch_sidecar(ckpt)
+            if arch:
+                # slimmed iteration: a per-architecture eval session so the
+                # module's parameter shapes match the slim tree (cached —
+                # one retrace per distinct slim width in the sweep)
+                key = json.dumps(arch, sort_keys=True)
+                if key not in slim_sessions:
+                    slim_sessions[key] = _eval_only_session(
+                        cfg, with_val=not voc, arch_overrides=arch
+                    )
+                sess = slim_sessions[key]
+            variables, masks, _obs = load_lost_checkpoint(ckpt, sess.spec, None)
+            state = sess.state.replace(
                 params=variables["params"],
-                batch_stats=variables.get("batch_stats", s.state.batch_stats),
-                masks=masks or s.state.masks,
+                batch_stats=variables.get("batch_stats",
+                                          sess.state.batch_stats),
+                masks=masks or sess.state.masks,
             )
             sparsity = compute_sparsity_global(state.params, state.masks)
             if voc:
                 acc1, acc5, loss = evaluate(
-                    s.eval_step, state,
-                    _voc_eval_batches(cfg, s.normalize, voc_dataset, voc_set),
+                    sess.eval_step, state,
+                    _voc_eval_batches(cfg, sess.normalize, voc_dataset,
+                                      voc_set),
                 )
             else:
                 acc1, acc5, loss = evaluate(
-                    s.eval_step, state, _val_loader(s), normalize_fn=s.normalize,
-                    expected_samples=len(s.val_ds),
+                    sess.eval_step, state, _val_loader(sess),
+                    normalize_fn=sess.normalize,
+                    expected_samples=len(sess.val_ds),
                 )
             for name, val in (("acc1", acc1), ("acc5", acc5), ("loss", loss)):
                 f.write(f"{split}/{name} {val} custom_x_axis {sparsity}\n")
