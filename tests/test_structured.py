@@ -457,6 +457,68 @@ def test_slim_cli_vgg_roundtrip(tmp_path):
     assert logits.shape == (1, 3)
 
 
+# --------------------------------------------------------------- Swin family
+
+def test_slim_swin_equals_masked_model_exactly(rng):
+    """Swin MLP slimming exactness: res-post-norm does not break the
+    contract because fc2's OUTPUT (norm2's input) is unchanged when the
+    dropped neurons' fc2 rows are zero."""
+    from vipers.models.swin import SwinTransformerV2, SwinV2Config
+    from vipers.pruning.structured import slim_swin
+
+    cfg = SwinV2Config(patch_size=4, embed_dim=16, depths=(1, 1),
+                       num_heads=(2, 2), window_size=4, num_classes=5,
+                       stochastic_depth_prob=0.0)
+    module = SwinTransformerV2(cfg=cfg)
+    variables = module.init(
+        jax.random.PRNGKey(10), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    flat = dict(traverse_util.flatten_dict(variables["params"]))
+    r = np.random.default_rng(11)
+    masks = {}
+    drop = {}
+    for block in ("stage0_block0", "stage1_block0"):
+        w = flat[(block, "fc1", "kernel")].shape[1]
+        idx = np.sort(r.choice(w, size=w // 2, replace=False))
+        drop[block] = idx
+        p = (block, "fc2", "kernel")
+        m = np.ones(flat[p].shape, bool)
+        m[idx, :] = False
+        masks[p] = jnp.asarray(m)
+
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))
+    masked_vars = {"params": apply_masks(variables["params"], masks)}
+    ref_logits, _ = module.apply(masked_vars, x, train=False)
+
+    out_vars, _m, overrides, report = slim_swin(
+        variables, masks, cfg, mlp_keep=0.5, round_to=1
+    )
+    assert set(overrides["mlp_dims"]) == {"stage0_block0", "stage1_block0"}
+    slim_mod = SwinTransformerV2(
+        cfg=dataclasses.replace(cfg, **overrides)
+    )
+    slim_logits, _ = slim_mod.apply(out_vars, x, train=False)
+    np.testing.assert_allclose(slim_logits, ref_logits, rtol=2e-5, atol=2e-5)
+    for block, idx in drop.items():
+        w = flat[(block, "fc1", "kernel")].shape[1]
+        assert np.array_equal(report.kept_neurons[block],
+                              np.setdiff1d(np.arange(w), idx))
+
+
+def test_slim_swin_sidecar_roundtrip(tmp_path):
+    """swin mlp_dims survive the JSON sidecar and rebuild via
+    build_model(arch_overrides=...)."""
+    from vipers.core.registry import build_model
+
+    overrides = {"mlp_dims": {"stage0_block0": 192}}
+    with open(os.path.join(tmp_path, "ck.slim.json"), "w") as f:
+        json.dump({"model": "swin_v2_t", "arch_overrides": overrides}, f)
+    got = arch_sidecar(os.path.join(tmp_path, "ck"))
+    assert got == overrides
+    spec = build_model("swin_v2_t", num_classes=10, arch_overrides=got)
+    assert spec.module.cfg.mlp_dims == {"stage0_block0": 192}
+
+
 # ------------------------------------------------------------- ResNet family
 
 def _resnet_inert_masks(flat, drop):

@@ -215,7 +215,7 @@ def main(argv=None):
                       help="orbax dir or imported .pth (masked weights ok)")
     slim.add_argument("--num-classes", type=int, default=1000)
     slim.add_argument("--mlp-keep", type=float, default=None,
-                      help="ViT: fraction of MLP hidden neurons to keep")
+                      help="ViT/Swin: fraction of MLP hidden neurons to keep")
     slim.add_argument("--heads-keep", type=float, default=None,
                       help="ViT: fraction of attention heads to keep")
     slim.add_argument("--conv-keep", type=float, default=None,

@@ -27,7 +27,7 @@ nn.Linear module).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -173,6 +173,10 @@ class SwinBlockV2(nn.Module):
     shift: int
     mlp_ratio: float = 4.0
     sd_rate: float = 0.0  # stochastic depth (torchvision linearly scaled)
+    # MLP hidden width; None => int(dim * mlp_ratio). Set by structured
+    # slimming (pruning/structured.py slim_swin) — exact when the dropped
+    # neurons' fc2 rows are zero: fc2's output (norm2's input) is unchanged.
+    mlp_dim: Optional[int] = None
 
     def _drop_path(self, y, train: bool):
         if not train or self.sd_rate == 0.0:
@@ -217,7 +221,8 @@ class SwinBlockV2(nn.Module):
         # res-post-norm (SwinV2): x + norm(f(x))
         x = x + self._drop_path(nn.LayerNorm(epsilon=1e-5, name="norm1")(y), train)
 
-        z = nn.Dense(int(c * self.mlp_ratio), name="fc1")(x)
+        z = nn.Dense(self.mlp_dim or int(c * self.mlp_ratio),
+                     name="fc1")(x)
         # tanh GELU in bf16 (sub-ulp vs erf, ~27% cheaper end-to-end; see
         # models/vit.py MLPBlock note)
         z = nn.gelu(z, approximate=z.dtype == jnp.bfloat16)
@@ -253,6 +258,9 @@ class SwinV2Config:
     num_classes: int = 1000
     mlp_ratio: float = 4.0
     stochastic_depth_prob: float = 0.2  # torchvision swin_v2_t default
+    # Arch-override surface for structured slimming (slim_swin):
+    # block name -> MLP hidden width; missing blocks keep int(dim*ratio).
+    mlp_dims: Optional[Dict[str, int]] = None
 
 
 class SwinTransformerV2(nn.Module):
@@ -277,7 +285,9 @@ class SwinTransformerV2(nn.Module):
                 sd = c.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
                 x, attn, qkv = SwinBlockV2(
                     x.shape[-1], heads, c.window_size, shift,
-                    c.mlp_ratio, sd_rate=sd, name=f"stage{si}_block{bi}",
+                    c.mlp_ratio, sd_rate=sd,
+                    mlp_dim=(c.mlp_dims or {}).get(f"stage{si}_block{bi}"),
+                    name=f"stage{si}_block{bi}",
                 )(x, train=train)
                 last_attn, last_qkv = attn, qkv
                 block_id += 1

@@ -342,6 +342,75 @@ def slim_vgg(
     return out_vars, new_masks, overrides, report
 
 
+def slim_swin(
+    variables: dict,
+    masks: Dict[Path, "np.ndarray"],
+    cfg,
+    mlp_keep: Optional[float] = None,
+    round_to: int = 128,
+):
+    """Slim a Swin-V2 tree by whole MLP hidden neurons, per block.
+
+    Same exactness contract as the ViT MLP: a neuron whose ``fc2`` row is
+    zero contributes nothing — Swin's res-post-norm (``x + norm2(fc2(
+    gelu(fc1(x))))``) does not change this, because the dropped neuron
+    leaves fc2's OUTPUT (norm2's input) bit-identical. Attention heads
+    are NOT slimmed: each head owns a relative-position-bias table
+    produced by the shared cpb MLP, so head removal is not a pure
+    parameter slice (documented limitation).
+
+    Returns overrides ``{"mlp_dims": {block: width}}`` for
+    ``build_model("swin_v2_t", arch_overrides=...)``.
+    """
+    params = variables["params"]
+    flat = dict(traverse_util.flatten_dict(params))
+    blocks = sorted({p[0] for p in flat if p[0].startswith("stage")})
+    if not blocks:
+        raise ValueError("no stage*_block* params — not a Swin tree?")
+
+    params_before = sum(int(np.prod(v.shape)) for v in flat.values())
+    new_flat = dict(flat)
+    new_masks = dict(masks)
+    kept = {}
+    mlp_dims = {}
+
+    def _slice(path, take, axis):
+        arr = np.asarray(new_flat[path])
+        new_flat[path] = np.take(arr, take, axis=axis)
+        if path in new_masks:
+            new_masks[path] = np.take(
+                np.asarray(new_masks[path]), take, axis=axis
+            )
+
+    for block in blocks:
+        total = flat[(block, "fc1", "kernel")].shape[1]
+        k = _keep_count(total, mlp_keep, 1, round_to)
+        if k >= total:
+            continue
+        w1 = _eff(flat, masks, (block, "fc1", "kernel")).astype(np.float32)
+        b1 = np.asarray(flat[(block, "fc1", "bias")], np.float32)
+        w2 = _eff(flat, masks, (block, "fc2", "kernel")).astype(np.float32)
+        score = (np.sqrt((w2**2).sum(1))
+                 * np.sqrt((w1**2).sum(0) + b1**2))
+        idx = _top_idx(score, k)
+        kept[block] = idx
+        mlp_dims[block] = k
+        _slice((block, "fc1", "kernel"), idx, 1)
+        _slice((block, "fc1", "bias"), idx, 0)
+        _slice((block, "fc2", "kernel"), idx, 0)
+
+    params_after = sum(int(np.prod(v.shape)) for v in new_flat.values())
+    overrides = {"mlp_dims": mlp_dims} if mlp_dims else {}
+    out_vars = dict(variables)
+    out_vars["params"] = traverse_util.unflatten_dict(new_flat)
+    report = SlimReport(
+        mlp_dim=0, num_heads=0, head_dim=0,
+        kept_neurons=kept, kept_heads={},
+        params_before=params_before, params_after=params_after,
+    )
+    return out_vars, new_masks, overrides, report
+
+
 def _resnet_inner_score(flat, masks, block: str, conv: str,
                         down_conv: str) -> np.ndarray:
     """L2 saliency per residual-free inner channel of a ResNet block:
@@ -489,6 +558,12 @@ def run_slim_cli(args) -> int:
             round_to=args.round_to,
         )
         tag = f"i{int(100 * (args.inner_keep or 1))}"
+    elif spec.family == "swin":
+        out_vars, new_masks, overrides, report = slim_swin(
+            variables, masks, spec.module.cfg,
+            mlp_keep=args.mlp_keep, round_to=args.round_to,
+        )
+        tag = f"m{int(100 * (args.mlp_keep or 1))}"
     elif spec.family == "vit":
         out_vars, new_masks, overrides, report = slim_vit(
             variables, masks, spec.module.cfg,
@@ -497,8 +572,8 @@ def run_slim_cli(args) -> int:
         )
         tag = f"m{report.mlp_dim}_h{report.num_heads}"
     else:
-        print(f"slim supports the vit, resnet, and vgg families; model "
-              f"{args.model!r} is family {spec.family!r}")
+        print(f"slim supports the vit, swin, resnet, and vgg families; "
+              f"model {args.model!r} is family {spec.family!r}")
         return 1
     if not overrides:
         print("nothing to slim: keep fractions leave every unit "
