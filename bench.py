@@ -109,6 +109,35 @@ def bench_tpu():
                 )
                 lats.append(time.perf_counter() - t0)
             p50_ms = statistics.median(lats) * 1000.0
+
+    # `vipers slim` payoff on the same shipped pipeline (bf16): structured
+    # removal of half the MLP neurons + 2 of 6 heads, 128-lane aligned
+    # (the full A/B incl. f32 lives in tools/bench_slim.py).
+    from vipers.pruning.structured import slim_vit
+
+    slim_vars, slim_masks, overrides, _rep = slim_vit(
+        variables, masks, spec.module.cfg,
+        mlp_keep=0.5, heads_keep=0.5, round_to=128,
+    )
+    slim_spec = build_model(
+        "vit_s_16", num_classes=1000, image_size=(H, W),
+        arch_overrides=overrides,
+    )
+    ex = LostFeatureExtractor(
+        slim_spec, slim_vars, slim_masks, arch="vit", which_features="k",
+        compute_dtype=jnp.bfloat16,
+    )
+    pipe = ex.make_batched_pipeline(k_patches=K_PATCHES)
+    images, pos, tmask, vhw = ex.prepare_batch(list(imgs_np), PATCH)
+    jax.block_until_ready(pipe(ex.variables, images, pos, tmask, vhw))
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            out = pipe(ex.variables, images, pos, tmask, vhw)
+        jax.block_until_ready(out)
+        best = max(best, (BATCH * N_BATCHES) / (time.perf_counter() - t0))
+    results["slim_bf16"] = best
     return results, p50_ms
 
 
@@ -213,7 +242,10 @@ def main():
                 f,
             )
     results, p50_ms = bench_tpu()
-    value = max(results.values())
+    # Headline stays the mask-exact pipeline (same function as the
+    # reference's pruned model); the structurally slimmed rate is reported
+    # alongside, not substituted.
+    value = max(results["f32"], results["bf16"])
     # MFU: achieved model FLOP/s over the chip's bf16 peak (absolute
     # utilization — the number that matters alongside img/s/chip; the
     # vs_baseline multiplier is a torch-CPU stand-in of the reference
@@ -237,6 +269,13 @@ def main():
                 "bf16_imgs_per_sec": round(results["bf16"], 3),
                 "mfu_pct_v5e_bf16": round(
                     100.0 * results["bf16"] * flops_per_image / V5E_BF16_PEAK, 1
+                ),
+                # `vipers slim` (mlp 1536->768, heads 6->4, -42% params) on
+                # the SAME shipped pipeline — sparsity harvested as
+                # physical throughput (docs/PERF.md)
+                "slim_bf16_imgs_per_sec": round(results["slim_bf16"], 3),
+                "slim_speedup": round(
+                    results["slim_bf16"] / results["bf16"], 3
                 ),
                 "path": "vipers.discovery.LostFeatureExtractor.make_batched_pipeline (shipped)",
             }
