@@ -36,6 +36,32 @@ def _enable_compilation_cache():
 
 H, W, PATCH = 512, 384, 16
 GH, GW = H // PATCH, W // PATCH
+
+
+def measure_pipeline_throughput(spec, variables, masks, imgs_np, dtype):
+    """Best-of-3 img/s of the SHIPPED batched LOST pipeline for one model/
+    dtype (warm-up compile excluded; best-of-3 rides out the tunneled
+    chip's dispatch jitter). Shared by bench.py's dense/slim measurements
+    and tools/bench_slim.py."""
+    import jax
+
+    from vipers.discovery.driver import LostFeatureExtractor
+
+    ex = LostFeatureExtractor(
+        spec, variables, masks, arch="vit", which_features="k",
+        compute_dtype=dtype,
+    )
+    pipe = ex.make_batched_pipeline(k_patches=K_PATCHES)
+    inputs = ex.prepare_batch(list(imgs_np), PATCH)
+    jax.block_until_ready(pipe(ex.variables, *inputs))  # compile+warm
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N_BATCHES):
+            out = pipe(ex.variables, *inputs)
+        jax.block_until_ready(out)
+        best = max(best, (BATCH * N_BATCHES) / (time.perf_counter() - t0))
+    return best, ex, pipe
 # Best measured throughput point after the round-3 head-major einsum
 # projections: throughput now scales with batch (B=32 983 < B=64 1017 <
 # B=128 1068 ~ B=256 1074 img/s bf16 on v5e) — the fixed per-dispatch
@@ -59,7 +85,6 @@ def bench_tpu():
     import numpy as np
 
     from vipers.core.registry import build_model
-    from vipers.discovery.driver import LostFeatureExtractor
     from vipers.pruning import init_masks, magnitude_prune
 
     spec = build_model("vit_s_16", num_classes=1000, image_size=(H, W))
@@ -79,23 +104,9 @@ def bench_tpu():
     results = {}
     p50_ms = None
     for tag, dtype in (("f32", None), ("bf16", jnp.bfloat16)):
-        ex = LostFeatureExtractor(
-            spec, variables, masks, arch="vit", which_features="k",
-            compute_dtype=dtype,
-        )
-        pipe = ex.make_batched_pipeline(k_patches=K_PATCHES)
-        images, pos, tmask, vhw = ex.prepare_batch(list(imgs_np), PATCH)
-        out = jax.block_until_ready(
-            pipe(ex.variables, images, pos, tmask, vhw)
-        )  # compile+warm
-        best = 0.0
-        for _ in range(3):  # best-of-3: the tunneled chip's dispatch jitter
-            t0 = time.perf_counter()
-            for _ in range(N_BATCHES):
-                out = pipe(ex.variables, images, pos, tmask, vhw)
-            jax.block_until_ready(out)
-            best = max(best, (BATCH * N_BATCHES) / (time.perf_counter() - t0))
-        results[tag] = best  # single-chip
+        results[tag], ex, pipe = measure_pipeline_throughput(
+            spec, variables, masks, imgs_np, dtype
+        )  # single-chip
 
         if tag == "bf16":
             # p50 single-image latency on the headline (bf16) path
@@ -123,21 +134,9 @@ def bench_tpu():
         "vit_s_16", num_classes=1000, image_size=(H, W),
         arch_overrides=overrides,
     )
-    ex = LostFeatureExtractor(
-        slim_spec, slim_vars, slim_masks, arch="vit", which_features="k",
-        compute_dtype=jnp.bfloat16,
+    results["slim_bf16"], _ex, _pipe = measure_pipeline_throughput(
+        slim_spec, slim_vars, slim_masks, imgs_np, jnp.bfloat16
     )
-    pipe = ex.make_batched_pipeline(k_patches=K_PATCHES)
-    images, pos, tmask, vhw = ex.prepare_batch(list(imgs_np), PATCH)
-    jax.block_until_ready(pipe(ex.variables, images, pos, tmask, vhw))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(N_BATCHES):
-            out = pipe(ex.variables, images, pos, tmask, vhw)
-        jax.block_until_ready(out)
-        best = max(best, (BATCH * N_BATCHES) / (time.perf_counter() - t0))
-    results["slim_bf16"] = best
     return results, p50_ms
 
 

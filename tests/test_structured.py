@@ -680,6 +680,115 @@ def test_eval_sweep_mixes_dense_and_slim_checkpoints(tmp_path):
     assert all(np.isfinite(acc) for acc, _sp in rows)
 
 
+def test_finetune_checkpoints_carry_the_sidecar(tmp_path):
+    """Checkpoints written by a slim fine-tune session must carry the
+    .slim.json sidecar — otherwise lost/evaluate/explain rebuild the
+    dense module and crash on the slim-shaped params."""
+    from PIL import Image
+
+    from vipers.core.config import TrainConfig
+    from vipers.train.driver import _checkpoint_fn, build_session
+    from vipers.train.optim import OptimConfig
+
+    r = np.random.default_rng(0)
+    for split in ("train", "val"):
+        d = tmp_path / "ds" / split / "a"
+        d.mkdir(parents=True)
+        Image.fromarray(r.integers(0, 255, size=(20, 20, 3),
+                                   dtype=np.uint8)).save(d / "0.jpg")
+
+    path, overrides = _slim_checkpoint(tmp_path)
+    cfg = TrainConfig(
+        model="vit_test_tiny", data_path=str(tmp_path / "ds"), num_classes=2,
+        train_crop_size=16, val_resize_size=20, val_crop_size=16,
+        batch_size=1, workers=1, pruning_method="snip", target_sparsity=0.5,
+        optim=OptimConfig(opt="sgd", lr=0.01, weight_decay=0.0, epochs=1,
+                          lr_scheduler="steplr"),
+        seed=0, output_dir=str(tmp_path / "out"), print_freq=0,
+        resume=path,
+    )
+    s = build_session(cfg)
+    assert s.arch_overrides == overrides
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    _checkpoint_fn(s, "snip", 0.5)(s.state, epoch=0, sparsity=0.0)
+    saved = os.path.join(cfg.output_dir,
+                         "vit_test_tiny_epoch_0_snip_0.5")
+    assert arch_sidecar(saved) == overrides
+
+
+def test_reslim_of_slim_checkpoint_merges_sidecars(tmp_path):
+    """slim -> slim again: the second pass builds the module at the
+    input's widths and the new sidecar folds both passes together."""
+    from vipers.cli.main import main
+    from vipers.core.checkpoint import restore_checkpoint, save_checkpoint
+    from vipers.core.registry import build_model
+
+    _register_tiny()
+    spec = build_model("vit_test_tiny", num_classes=10)
+    variables = spec.module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, *IMG, 3)), train=False
+    )
+    src = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(src, {"params": variables["params"]})
+    # pass 1: heads only (4 -> 2)
+    assert main(["slim", "--model", "vit_test_tiny", "--checkpoint", src,
+                 "--num-classes", "10", "--heads-keep", "0.5",
+                 "--round-to", "1", "--output-dir", str(tmp_path)]) == 0
+    first = os.path.join(tmp_path, "vit_test_tiny_slim_m64_h2")
+    # pass 2: mlp only (64 -> 32) ON the already-slim checkpoint
+    assert main(["slim", "--model", "vit_test_tiny", "--checkpoint", first,
+                 "--num-classes", "10", "--mlp-keep", "0.5",
+                 "--round-to", "1", "--output-dir", str(tmp_path)]) == 0
+    second = os.path.join(tmp_path, "vit_test_tiny_slim_m32_h2")
+    merged = arch_sidecar(second)
+    assert merged == {"mlp_dim": 32, "num_heads": 2, "head_dim": 8}
+    spec2 = build_model("vit_test_tiny", num_classes=10,
+                        arch_overrides=merged)
+    tree = restore_checkpoint(second)
+    logits, _ = spec2.module.apply(
+        {"params": tree["params"]}, jnp.zeros((1, *IMG, 3)), train=False
+    )
+    assert logits.shape == (1, 10)
+
+
+def test_slim_carries_observers(tmp_path):
+    """quantize calibration ranges survive slimming instead of silently
+    downgrading int8 serving to dynamic quantization."""
+    from vipers.cli.main import main
+    from vipers.core.checkpoint import restore_checkpoint, save_checkpoint
+    from vipers.core.registry import build_model
+
+    _register_tiny()
+    spec = build_model("vit_test_tiny", num_classes=10)
+    variables = spec.module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, *IMG, 3)), train=False
+    )
+    src = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(src, {
+        "params": variables["params"],
+        "observers": {"encoder_layer_0/mlp/fc1": {"min": -1.5, "max": 2.5}},
+    })
+    assert main(["slim", "--model", "vit_test_tiny", "--checkpoint", src,
+                 "--num-classes", "10", "--mlp-keep", "0.5",
+                 "--round-to", "1", "--output-dir", str(tmp_path)]) == 0
+    tree = restore_checkpoint(os.path.join(tmp_path,
+                                           "vit_test_tiny_slim_m32_h4"))
+    obs = tree["observers"]["encoder_layer_0/mlp/fc1"]
+    assert float(obs["min"]) == -1.5 and float(obs["max"]) == 2.5
+
+
+def test_sweep_finds_slim_in_model_subdir(tmp_path):
+    from vipers.train.evaluate_models import sweep_checkpoints
+
+    d = tmp_path / "resnet18"
+    d.mkdir()
+    (d / "resnet18_slim_i50").mkdir()
+    with open(d / "resnet18_slim_i50.slim.json", "w") as f:
+        f.write("{}")
+    found = sweep_checkpoints(str(tmp_path), "resnet18")
+    assert found == [str(d / "resnet18_slim_i50")]
+
+
 def test_arch_sidecar_absent():
     assert arch_sidecar("") is None
     assert arch_sidecar("/nonexistent/path") is None

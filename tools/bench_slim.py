@@ -5,6 +5,7 @@ ViT-S/16 at 512x384, B=128, bf16) measured twice: the 50%-magnitude-masked
 dense model vs `vipers slim --mlp-keep 0.5 --heads-keep 0.5 --round-to 128`
 of that same checkpoint (mlp 1536->768, heads 6->4). Unstructured masks
 never speed up the MXU — this prints what physically smaller matmuls buy.
+(bench.py's nightly line carries the bf16 pair; this tool adds f32.)
 
 Run ON the TPU (not under the test env's CPU pin):
     python tools/bench_slim.py
@@ -13,35 +14,12 @@ Run ON the TPU (not under the test env's CPU pin):
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import bench  # noqa: E402  (repo-root bench.py: shapes + cache helper)
+import bench  # noqa: E402  (repo-root bench.py: shapes + timing helper)
 
-H, W, PATCH, BATCH, N_BATCHES = bench.H, bench.W, bench.PATCH, bench.BATCH, bench.N_BATCHES
-
-
-def _throughput(spec, variables, masks, imgs_np, dtype):
-    import jax
-
-    from vipers.discovery.driver import LostFeatureExtractor
-
-    ex = LostFeatureExtractor(
-        spec, variables, masks, arch="vit", which_features="k",
-        compute_dtype=dtype,
-    )
-    pipe = ex.make_batched_pipeline(k_patches=bench.K_PATCHES)
-    images, pos, tmask, vhw = ex.prepare_batch(list(imgs_np), PATCH)
-    jax.block_until_ready(pipe(ex.variables, images, pos, tmask, vhw))
-    best = 0.0
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(N_BATCHES):
-            out = pipe(ex.variables, images, pos, tmask, vhw)
-        jax.block_until_ready(out)
-        best = max(best, (BATCH * N_BATCHES) / (time.perf_counter() - t0))
-    return best
+H, W = bench.H, bench.W
 
 
 def main():
@@ -73,13 +51,15 @@ def main():
         arch_overrides=overrides,
     )
     imgs_np = np.random.default_rng(1).normal(
-        size=(BATCH, H, W, 3)).astype(np.float32)
+        size=(bench.BATCH, H, W, 3)).astype(np.float32)
 
     out = {"overrides": overrides,
            "param_reduction_pct": round(100 * report.param_reduction, 1)}
     for tag, dtype in (("bf16", jnp.bfloat16), ("f32", None)):
-        dense = _throughput(spec, variables, masks, imgs_np, dtype)
-        slim = _throughput(slim_spec, slim_vars, slim_masks, imgs_np, dtype)
+        dense, _e, _p = bench.measure_pipeline_throughput(
+            spec, variables, masks, imgs_np, dtype)
+        slim, _e, _p = bench.measure_pipeline_throughput(
+            slim_spec, slim_vars, slim_masks, imgs_np, dtype)
         out[tag] = {"dense_masked": round(dense, 1), "slim": round(slim, 1),
                     "speedup": round(slim / dense, 3)}
     print(json.dumps(out))

@@ -130,10 +130,12 @@ def build_model(name: str, **kwargs) -> ModelSpec:
 
     ``arch_overrides`` (optional dict) rebuilds the module with replaced
     config fields (e.g. ``{"num_heads": 4, "head_dim": 64, "mlp_dim":
-    768}``) — how structurally slimmed checkpoints
-    (pruning/structured.py, written with a ``slim.json`` sidecar) get a
-    module whose parameter shapes match. Only models that carry a config
-    dataclass as ``module.cfg`` (the ViT families) support this."""
+    768}`` or ``{"inner_widths": {...}}``) — how structurally slimmed
+    checkpoints (pruning/structured.py, written with a ``.slim.json``
+    sidecar) get a module whose parameter shapes match. Supported by
+    every model carrying a config dataclass as ``module.cfg``: the
+    ViT/DINO/Swin families plus ResNet (``ResNetConfig``) and VGG
+    (``VGGConfig``)."""
     arch = kwargs.pop("arch_overrides", None)
     spec = get_model_builder(name)(**kwargs)
     if arch:

@@ -517,6 +517,33 @@ def slim_resnet(
     return out_vars, new_masks, overrides, report
 
 
+def write_sidecar(checkpoint_path: str, model: str,
+                  arch_overrides: dict) -> None:
+    """Write the ``.slim.json`` sidecar next to a checkpoint so every
+    driver (``arch_sidecar`` readers) rebuilds the module at the slim
+    widths. Called by ``vipers slim`` AND by the train/quantize drivers
+    whenever they checkpoint a session that was itself resumed from a
+    slim checkpoint — otherwise the fine-tune outputs would look dense
+    and crash every downstream consumer."""
+    with open(str(checkpoint_path).rstrip("/") + ".slim.json", "w") as f:
+        json.dump({"model": model, "arch_overrides": arch_overrides}, f)
+
+
+def merge_overrides(base: Optional[dict], new: dict) -> dict:
+    """Combine an input checkpoint's existing arch overrides with a new
+    slim pass's. Scalar/tuple fields (mlp_dim, conv_widths, ...) are
+    absolute widths — the new value wins; dict-valued fields (ResNet
+    inner_widths, Swin mlp_dims) merge per block so blocks untouched by
+    the new pass keep their earlier widths."""
+    out = dict(base or {})
+    for k, v in new.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = {**out[k], **v}
+        else:
+            out[k] = v
+    return out
+
+
 def arch_sidecar(checkpoint_path: str) -> Optional[dict]:
     """``arch_overrides`` recorded next to a slimmed checkpoint
     (``{dir}.slim.json``, written by ``run_slim_cli``), or None. Drivers
@@ -540,8 +567,15 @@ def run_slim_cli(args) -> int:
     from vipers.core.registry import build_model
     from vipers.discovery.driver import load_lost_checkpoint
 
-    spec = build_model(args.model, num_classes=args.num_classes)
-    variables, masks, _obs = load_lost_checkpoint(
+    # an already-slim input (e.g. slim -> fine-tune -> slim again): build
+    # the module at the INPUT's widths so saliency reshapes match the tree,
+    # and fold its overrides into the new sidecar below
+    input_arch = arch_sidecar(args.checkpoint)
+    spec = build_model(
+        args.model, num_classes=args.num_classes,
+        **({"arch_overrides": input_arch} if input_arch else {}),
+    )
+    variables, masks, observers = load_lost_checkpoint(
         args.checkpoint, spec, None
     )
     if spec.family == "vgg":
@@ -580,6 +614,7 @@ def run_slim_cli(args) -> int:
               "(pass --mlp-keep/--heads-keep, --conv-keep/--fc-keep, "
               "or --inner-keep < 1)")
         return 1
+    overrides = merge_overrides(input_arch, overrides)
     os.makedirs(args.output_dir, exist_ok=True)
     name = f"{args.model}_slim_{tag}"
     path = os.path.join(args.output_dir, name)
@@ -590,9 +625,14 @@ def run_slim_cli(args) -> int:
         tree["masks"] = {
             "/".join(k): np.asarray(v) for k, v in new_masks.items()
         }
+    if observers:
+        # quantize calibration ranges: activation sites keep their names
+        # across slimming, and for an exact-keep slim the distributions are
+        # identical — carrying them beats silently downgrading int8
+        # serving to dynamic quantization (re-calibrate for deep slims)
+        tree["observers"] = observers
     save_checkpoint(path, tree)
-    with open(path + ".slim.json", "w") as f:
-        json.dump({"model": args.model, "arch_overrides": overrides}, f)
+    write_sidecar(path, args.model, overrides)
     arch_txt = ", ".join(f"{k} {v}" for k, v in overrides.items())
     print(
         f"slimmed {args.model}: {arch_txt}, "

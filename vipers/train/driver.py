@@ -62,6 +62,10 @@ class Session:
     # TrainState whose leaves were replaced with host arrays — resume must
     # call it or --model-parallel placements are silently lost
     state_sharder: Optional[object] = None
+    # set when the session was resumed from a `vipers slim` checkpoint:
+    # every checkpoint this session writes must carry the same .slim.json
+    # sidecar or downstream consumers rebuild the dense module and crash
+    arch_overrides: Optional[dict] = None
 
 
 def build_session(cfg: TrainConfig) -> Session:
@@ -320,6 +324,7 @@ def build_session(cfg: TrainConfig) -> Session:
         eval_step=eval_step, eval_step_ema=eval_step_ema, normalize=normalize,
         mixup=mixup, rng=run_rng, writer=writer,
         train_ds=train_ds, val_ds=val_ds, state_sharder=state_sharder,
+        arch_overrides=arch,
     )
 
 
@@ -430,6 +435,13 @@ def _checkpoint_fn(s: Session, method: str, tag):
         else:
             name = f"{cfg.model}_epoch_{epoch}_{method}_{tag}"
             save_checkpoint(os.path.join(cfg.output_dir, name), tree)
+        if s.arch_overrides:
+            # slim fine-tune: propagate the sidecar so lost/evaluate/
+            # explain rebuild this checkpoint at the slim widths
+            from vipers.pruning.structured import write_sidecar
+
+            write_sidecar(os.path.join(cfg.output_dir, name), cfg.model,
+                          s.arch_overrides)
 
     return save
 

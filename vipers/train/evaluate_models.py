@@ -66,7 +66,7 @@ def _voc_eval_batches(cfg: TrainConfig, normalize_fn,
 
 
 def _eval_only_session(cfg: TrainConfig, with_val: bool = False,
-                       arch_overrides: dict = None):
+                       arch_overrides: dict = None, val_ds=None):
     """Model + eval step + normalize WITHOUT the training machinery a sweep
     never uses (optimizer/EMA/train ImageFolder — ``build_session`` would
     require a ``train/`` split to exist and scan it per invocation).
@@ -115,8 +115,7 @@ def _eval_only_session(cfg: TrainConfig, with_val: bool = False,
         masks=init_masks(variables["params"], exclude=spec.prune_exclude),
         opt_state=None,
     )
-    val_ds = None
-    if with_val:
+    if val_ds is None and with_val:
         from vipers.data.imagefolder import ImageFolder
 
         val_ds = ImageFolder(os.path.join(cfg.data_path, "val"),
@@ -175,10 +174,14 @@ def sweep_checkpoints(sweep_dir: str, model: str) -> list:
             | set(globlib.glob(os.path.join(sweep_dir, model, "*_epoch_*")))
         )
     # `vipers slim` outputs evaluate alongside whatever sweep layout is
-    # present, at their slim widths via the .slim.json sidecar (the sidecar
-    # files themselves are not checkpoints)
+    # present — flat OR the reference's {model}/ subdir — at their slim
+    # widths via the .slim.json sidecar (the sidecar files themselves are
+    # not checkpoints)
     ckpts += sorted(
-        p for p in globlib.glob(os.path.join(sweep_dir, f"{model}_slim_*"))
+        p
+        for pat in (os.path.join(sweep_dir, f"{model}_slim_*"),
+                    os.path.join(sweep_dir, model, "*_slim_*"))
+        for p in globlib.glob(pat)
         if not p.endswith(".json") and p not in ckpts
     )
     return ckpts
@@ -221,7 +224,8 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
                 key = json.dumps(arch, sort_keys=True)
                 if key not in slim_sessions:
                     slim_sessions[key] = _eval_only_session(
-                        cfg, with_val=not voc, arch_overrides=arch
+                        cfg, with_val=not voc, arch_overrides=arch,
+                        val_ds=s.val_ds,  # reuse the scanned dataset
                     )
                 sess = slim_sessions[key]
             variables, masks, _obs = load_lost_checkpoint(ckpt, sess.spec, None)

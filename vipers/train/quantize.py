@@ -709,6 +709,13 @@ def run_quantize(args) -> int:
             os.path.join(cfg.output_dir, "quantized_post_train_model"),
             artifact,
         )
+        if s.arch_overrides:
+            from vipers.pruning.structured import write_sidecar
+
+            write_sidecar(
+                os.path.join(cfg.output_dir, "quantized_post_train_model"),
+                cfg.model, s.arch_overrides,
+            )
         return 0
 
     # ---- QAT (`train_quantization.py:106-154`)
@@ -773,6 +780,11 @@ def run_quantize(args) -> int:
             qat_artifact,
             use_async=True,
         )
+        if s.arch_overrides:
+            from vipers.pruning.structured import write_sidecar
+
+            write_sidecar(os.path.join(cfg.output_dir, "qat_checkpoint"),
+                          cfg.model, s.arch_overrides)
     from vipers.core.checkpoint import wait_for_checkpoints
 
     wait_for_checkpoints()  # flush async saves before interpreter teardown
