@@ -31,6 +31,9 @@ def main():
                          "step at the last batch size (trace_report.py reads it)")
     ap.add_argument("--dtypes", nargs="+", default=["f32", "bf16"],
                     choices=["f32", "bf16"])
+    ap.add_argument("--slim", action="store_true",
+                    help="structurally slim first (mlp 0.5, heads 0.5, "
+                         "128-lane aligned) and measure the fine-tune step")
     args = ap.parse_args()
 
     from vipers.core.registry import build_model
@@ -49,6 +52,17 @@ def main():
         init_masks(variables["params"], exclude=spec.prune_exclude),
         amount=0.5,
     )
+    if args.slim:
+        from vipers.pruning.structured import slim_vit
+
+        variables, masks, overrides, report = slim_vit(
+            variables, masks, spec.module.cfg,
+            mlp_keep=0.5, heads_keep=0.5, round_to=128,
+        )
+        spec = build_model(args.model, num_classes=1000,
+                           image_size=(hw, hw), arch_overrides=overrides)
+        print(f"slim: {overrides} (-{100 * report.param_reduction:.1f}% "
+              "params)", flush=True)
     ocfg = OptimConfig(opt="sgd", lr=0.1, weight_decay=1e-4, epochs=10,
                        lr_scheduler="cosineannealinglr")
     schedule = make_lr_schedule(ocfg, steps_per_epoch=100)
