@@ -422,3 +422,24 @@ def test_compute_heatmaps_dino():
     assert maps["ig"].shape == (3, 32, 32)
     for v in maps.values():
         assert np.all(np.isfinite(np.asarray(v)))
+
+
+def test_heatmap_report_finds_attention_blended_files(tmp_path):
+    """The attention method saves blended_heatmap_*/attention_heatmap_*
+    (no bare heatmap_*); plot --kind heatmaps must still find its images."""
+    import os
+
+    from PIL import Image
+    import numpy as np
+
+    from vipers.viz.heatmap_report import collect_iteration_images
+
+    for it in ("00", "01"):
+        d = tmp_path / f"pruning_iteration_{it}" / "attention" / "cat"
+        d.mkdir(parents=True)
+        img = Image.fromarray(np.zeros((8, 8, 3), np.uint8))
+        img.save(d / "blended_heatmap_x.png")
+        img.save(d / "attention_heatmap_x.png")
+    found = collect_iteration_images(str(tmp_path), "attention", "cat")
+    assert len(found) == 2
+    assert all(os.path.basename(p) == "blended_heatmap_x.png" for p in found)

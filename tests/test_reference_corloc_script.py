@@ -197,3 +197,24 @@ def test_corloc_script_reference_in_loop(voc_roots, pred_files, monkeypatch,
     # different image sets (no_hard drops the all-hard image 000004)
     assert 0 < ref[1] < ref[2]
     assert ref[2] == len(IMAGES) - (1 if no_hard else 0)
+
+
+def test_corloc_skips_images_missing_from_pickle(voc_roots, pred_files):
+    """A default (non-strict) `vipers lost` run omits seed-in-background
+    images from preds.pkl; re-scoring must skip them like the driver's
+    own CorLoc counting does, not crash with KeyError."""
+    import pickle
+
+    vipers_root, _ = voc_roots
+    pkl_path, _json = pred_files
+    with open(pkl_path, "rb") as f:
+        preds = pickle.load(f)
+    dropped_key = sorted(preds)[0]
+    partial = {k: v for k, v in preds.items() if k != dropped_key}
+    partial_path = pkl_path + ".partial.pkl"
+    with open(partial_path, "wb") as f:
+        pickle.dump(partial, f)
+
+    full = _run_vipers(vipers_root, pkl_path, False, False)
+    part = _run_vipers(vipers_root, partial_path, False, False)
+    assert part[2] == full[2] - 1  # one image skipped from the count

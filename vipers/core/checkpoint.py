@@ -28,6 +28,18 @@ from flax import traverse_util
 import orbax.checkpoint as ocp
 
 
+# The reference's sweep checkpoint filename contracts
+# (`main_lost.py:344-356`, `evaluate_models.py:230`): CNNs use a literal
+# "model" stem, ViTs the model name; both live under `{dir}/{model}/`.
+# Single-sourced here for discovery/driver._templated_checkpoint (resolve
+# one iteration at the reference's fixed epochs) and
+# train/evaluate_models.sweep_checkpoints (glob a whole sweep).
+def reference_sweep_stem(model: str, vit: bool, epoch="*", iteration="*"):
+    it = f"{iteration:02d}" if isinstance(iteration, int) else iteration
+    stem = model if vit else "model"
+    return f"{stem}_epoch_{epoch}_pruning_iteration_{it}"
+
+
 # ------------------------------ orbax -------------------------------------
 
 _ASYNC: Optional["ocp.AsyncCheckpointer"] = None

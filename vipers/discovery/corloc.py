@@ -101,7 +101,7 @@ def evaluate_predictions(
         with open(preds_path, "rb") as f:
             preds = pickle.load(f)
 
-    hits = cnt = 0
+    hits = cnt = missing = 0
     for _path, im_name in dataset:
         gt, _cls = dataset.extract_gt(im_name)
         if gt is not None and len(gt) == 0 and dataset.no_hard:
@@ -120,11 +120,23 @@ def evaluate_predictions(
             pred = [x, y, x + w, y + h]
         else:
             key = im_name if im_name in preds else os.path.splitext(im_name)[0]
+            if key not in preds:
+                # default (non-strict) `vipers lost` runs omit
+                # seed-in-background failures from preds.pkl; the LOST
+                # driver SKIPS those images in its own CorLoc count
+                # (driver.py failure collection) — match that instead of
+                # crashing the whole re-score
+                missing += 1
+                continue
             pred = preds[key]
         cnt += 1
         if corloc_hit(pred, gt):
             hits += 1
     corloc = 100.0 * hits / max(cnt, 1)
+    if missing:
+        print(f"warning: {missing} image(s) had no prediction in the "
+              "pickle (seed-in-background failures?) — skipped, matching "
+              "the lost driver's own CorLoc counting")
     print(f"corloc: {corloc:.2f} ({hits}/{cnt})")
     return corloc
 

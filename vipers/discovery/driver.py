@@ -519,10 +519,12 @@ def _templated_checkpoint(models_dir: str, model: str, arch: str,
     `{models_dir}/{model}/`. The reference branches on `'vit' in arch`,
     which covers the DINO archs (vit_small/vit_base) too — match that via
     the model name as well."""
-    if "vit" in arch or "vit" in model:
-        fname = f"{model}_epoch_299_pruning_iteration_{iteration:02d}"
-    else:
-        fname = f"model_epoch_89_pruning_iteration_{iteration:02d}"
+    from vipers.core.checkpoint import reference_sweep_stem
+
+    vit = "vit" in arch or "vit" in model
+    fname = reference_sweep_stem(
+        model, vit, epoch=299 if vit else 89, iteration=iteration
+    )
     base = os.path.join(models_dir, model, fname)
     for cand in (base + ".pth", base):  # .pth import or orbax dir
         if os.path.exists(cand):

@@ -143,6 +143,13 @@ def _heatmap_kit(spec, variables, h: int, w: int, nt_samples: int,
         variables=variables, pos=pos, fwd=fwd, cam_fn=cam_fn, gbp=gbp,
         sg=sg, token_grid=token_grid, is_vit=is_vit,
     )
+    # One live checkpoint per module: a pruning-iteration sweep loads a
+    # fresh variables tree per iteration, and each kit's closures pin the
+    # WHOLE tree (device buffers) alive — keeping stale iterations around
+    # until the count cap would hold several full models on chip.
+    for k in [k for k in _KIT_CACHE
+              if k[0] == key[0] and k[1] != key[1]]:
+        _KIT_CACHE.pop(k)
     _KIT_CACHE[key] = kit
     while len(_KIT_CACHE) > _KIT_CACHE_MAX:
         _KIT_CACHE.pop(next(iter(_KIT_CACHE)))

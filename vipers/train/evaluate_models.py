@@ -154,10 +154,12 @@ def sweep_checkpoints(sweep_dir: str, model: str) -> list:
 
     Sorted by pruning iteration; falls back to any ``*_epoch_*`` checkpoints
     of the model when no iteration-templated ones exist."""
+    from vipers.core.checkpoint import reference_sweep_stem
+
     patterns = [
-        os.path.join(sweep_dir, model, "model_epoch_*_pruning_iteration_*"),
-        os.path.join(sweep_dir, model, f"{model}_epoch_*_pruning_iteration_*"),
-        os.path.join(sweep_dir, f"{model}_epoch_*_pruning_iteration_*"),
+        os.path.join(sweep_dir, model, reference_sweep_stem(model, vit=False)),
+        os.path.join(sweep_dir, model, reference_sweep_stem(model, vit=True)),
+        os.path.join(sweep_dir, reference_sweep_stem(model, vit=True)),
     ]
     found = []
     for pat in patterns:

@@ -37,16 +37,28 @@ def collect_iteration_images(root: str, method: str, cls: str,
                              pattern: str = "heatmap_*") -> List[str]:
     """Find per-iteration heatmap files saved by the explain driver under
     ``{root}/pruning_iteration_{NN}/{method}/{cls}/``; falls back to a flat
-    ``{root}/{method}/{cls}`` layout (single iteration)."""
+    ``{root}/{method}/{cls}`` layout (single iteration).
+
+    The attention method writes ``blended_heatmap_*``/``attention_
+    heatmap_*`` instead of a bare ``heatmap_*`` (the reference's two-file
+    attention rendering), so the default pattern falls back to the
+    blended overlay when the bare name finds nothing."""
+    def _hits(d):
+        for pat in (pattern, "blended_" + pattern):
+            got = sorted(globlib.glob(os.path.join(d, method, cls, pat)))
+            if got:
+                return got
+        return []
+
     out = []
     it_dirs = sorted(globlib.glob(os.path.join(root, "pruning_iteration_*")))
     if it_dirs:
         for d in it_dirs:
-            hits = sorted(globlib.glob(os.path.join(d, method, cls, pattern)))
+            hits = _hits(d)
             if hits:
                 out.append(hits[0])
     else:
-        out = sorted(globlib.glob(os.path.join(root, method, cls, pattern)))
+        out = _hits(root)
     return out
 
 
