@@ -789,6 +789,91 @@ def test_sweep_finds_slim_in_model_subdir(tmp_path):
     assert found == [str(d / "resnet18_slim_i50")]
 
 
+@pytest.mark.slow
+def test_lost_driver_slim_checkpoint_box_exactness(tmp_path):
+    """`vipers lost --checkpoint <slim>` end-to-end: on an exact-keep slim
+    checkpoint the discovered boxes equal the masked dense checkpoint's,
+    box for box (the sidecar pickup + the exactness contract composed
+    through the full shipped driver)."""
+    import argparse
+    import pickle
+
+    from PIL import Image
+
+    from vipers.core.checkpoint import save_checkpoint
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import run_lost
+    from vipers.pruning.structured import write_sidecar
+
+    root = tmp_path / "voc"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    r = np.random.default_rng(0)
+    names = []
+    for i in range(2):
+        h, w = 96, 128
+        arr = r.integers(0, 60, size=(h, w, 3), dtype=np.uint8)
+        arr[16:56, 32 + 8 * i:80 + 8 * i] = 220
+        name = f"im{i:03d}"
+        names.append(name)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{name}.jpg")
+        (root / "Annotations" / f"{name}.xml").write_text(
+            f"<annotation><filename>{name}.jpg</filename>"
+            f"<size><width>{w}</width><height>{h}</height><depth>3</depth>"
+            "</size><object><name>thing</name><truncated>0</truncated>"
+            "<difficult>0</difficult><bndbox><xmin>33</xmin><ymin>17</ymin>"
+            "<xmax>80</xmax><ymax>56</ymax></bndbox></object></annotation>"
+        )
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text(
+        "\n".join(names))
+
+    spec = build_model("vit_s_16", num_classes=1000)
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    hd = 384 // 6
+    drop_neurons = {f"encoder_layer_{i}": np.arange(0, 1536, 2)
+                    for i in range(12)}
+    drop_heads = {f"encoder_layer_{i}": [1, 4] for i in range(12)}
+    masks = _inert_masks(variables["params"], drop_neurons, drop_heads, hd)
+
+    dense_ck = str(tmp_path / "dense")
+    save_checkpoint(dense_ck, {
+        "params": variables["params"],
+        "masks": {"/".join(k): np.asarray(v) for k, v in masks.items()},
+    })
+    out_vars, new_masks, overrides, _rep = slim_vit(
+        variables, masks, spec.module.cfg,
+        mlp_keep=0.5, heads_keep=4 / 6, round_to=1,
+    )
+    assert overrides == {"mlp_dim": 768, "num_heads": 4, "head_dim": hd}
+    slim_ck = str(tmp_path / "slim")
+    save_checkpoint(slim_ck, {
+        "params": out_vars["params"],
+        "masks": {"/".join(k): np.asarray(v) for k, v in new_masks.items()},
+    })
+    write_sidecar(slim_ck, "vit_s_16", overrides)
+
+    def _lost(ckpt, out):
+        args = argparse.Namespace(
+            model="vit_s_16", arch="vit", dataset="VOC07", set="trainval",
+            data_path=str(root), checkpoint=ckpt, patch_size=16,
+            which_features="k", k_patches=100, dinoseg=False, dinoseg_head=4,
+            no_hard=False, output_dir=str(tmp_path / out), iteration=0,
+            visualize=None,
+        )
+        assert run_lost(args) == 0
+        with open(tmp_path / out / "preds.pkl", "rb") as f:
+            return pickle.load(f)
+
+    dense_preds = _lost(dense_ck, "dense_out")
+    slim_preds = _lost(slim_ck, "slim_out")
+    assert set(dense_preds) == set(slim_preds) and len(dense_preds) == 2
+    for k in dense_preds:
+        np.testing.assert_array_equal(dense_preds[k], slim_preds[k])
+
+
 def test_arch_sidecar_absent():
     assert arch_sidecar("") is None
     assert arch_sidecar("/nonexistent/path") is None
