@@ -41,8 +41,14 @@ def main():
     from vipers.train.optim import OptimConfig, make_lr_schedule, make_optimizer
     from vipers.train.steps import TrainState, make_train_step
 
+    import inspect
+
+    from vipers.core.registry import get_model_builder
+
     hw = args.image_size
-    spec = build_model(args.model, num_classes=1000, image_size=(hw, hw))
+    size_kw = ("image_size" if "image_size" in inspect.signature(
+        get_model_builder(args.model)).parameters else "input_size")
+    spec = build_model(args.model, num_classes=1000, **{size_kw: (hw, hw)})
     variables = spec.module.init(
         jax.random.PRNGKey(0), jnp.zeros((1, hw, hw, 3), jnp.float32),
         train=False,
@@ -53,16 +59,22 @@ def main():
         amount=0.5,
     )
     if args.slim:
-        from vipers.pruning.structured import slim_vit
+        from vipers.pruning import structured
 
-        variables, masks, overrides, report = slim_vit(
-            variables, masks, spec.module.cfg,
-            mlp_keep=0.5, heads_keep=0.5, round_to=128,
-        )
+        if spec.family == "resnet":
+            variables, masks, overrides, report = structured.slim_resnet(
+                variables, masks, inner_keep=0.5, round_to=128)
+        elif spec.family == "swin":
+            variables, masks, overrides, report = structured.slim_swin(
+                variables, masks, spec.module.cfg,
+                mlp_keep=0.5, round_to=128)
+        else:
+            variables, masks, overrides, report = structured.slim_vit(
+                variables, masks, spec.module.cfg,
+                mlp_keep=0.5, heads_keep=0.5, round_to=128)
         spec = build_model(args.model, num_classes=1000,
-                           image_size=(hw, hw), arch_overrides=overrides)
-        print(f"slim: {overrides} (-{100 * report.param_reduction:.1f}% "
-              "params)", flush=True)
+                           arch_overrides=overrides, **{size_kw: (hw, hw)})
+        print(f"slim: -{100 * report.param_reduction:.1f}% params", flush=True)
     ocfg = OptimConfig(opt="sgd", lr=0.1, weight_decay=1e-4, epochs=10,
                        lr_scheduler="cosineannealinglr")
     schedule = make_lr_schedule(ocfg, steps_per_epoch=100)
