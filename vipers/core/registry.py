@@ -149,9 +149,14 @@ def build_model(name: str, **kwargs) -> ModelSpec:
         # fields (e.g. VGG conv_widths) into lists
         arch = {k: tuple(v) if isinstance(v, list) else v
                 for k, v in arch.items()}
+        new_cfg = dataclasses.replace(cfg, **arch)
+        extra = spec.extra
+        if extra and "num_heads" in arch and "num_heads" in extra:
+            # keep the LOST driver's qkv-scramble metadata in sync with
+            # the slim head count (spec.extra mirrors cfg at build time)
+            extra = {**extra, "num_heads": arch["num_heads"]}
         spec = dataclasses.replace(
-            spec,
-            module=spec.module.clone(cfg=dataclasses.replace(cfg, **arch)),
+            spec, module=spec.module.clone(cfg=new_cfg), extra=extra,
         )
     return spec
 
