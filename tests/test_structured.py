@@ -505,6 +505,58 @@ def test_slim_swin_equals_masked_model_exactly(rng):
                               np.setdiff1d(np.arange(w), idx))
 
 
+@pytest.mark.slow
+def test_swin_lost_features_identical_after_exact_slim(rng):
+    """Swin LOST branch x exact-keep slim: the last block's window qkv
+    (the LOST feature contract) is bit-compatible between the masked
+    dense model and the slim one."""
+    from vipers.core.registry import ModelSpec
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.models.swin import SwinTransformerV2, SwinV2Config
+    from vipers.pruning.structured import slim_swin
+
+    cfg = SwinV2Config(patch_size=4, embed_dim=16, depths=(1, 1),
+                       num_heads=(2, 2), window_size=4, num_classes=0,
+                       stochastic_depth_prob=0.0)
+    module = SwinTransformerV2(cfg=cfg)
+    variables = module.init(
+        jax.random.PRNGKey(12), jnp.zeros((1, 32, 32, 3)), train=False
+    )
+    flat = dict(traverse_util.flatten_dict(variables["params"]))
+    masks = {}
+    for block in ("stage0_block0", "stage1_block0"):
+        w = flat[(block, "fc1", "kernel")].shape[1]
+        p = (block, "fc2", "kernel")
+        m = np.ones(flat[p].shape, bool)
+        m[np.arange(0, w, 2), :] = False
+        masks[p] = jnp.asarray(m)
+
+    def _spec(mod, heads):
+        return ModelSpec(name="swin_tiny_test", module=mod,
+                         input_size=(32, 32), num_classes=0,
+                         prune_exclude=("qkv",), patch_size=4,
+                         family="swin", extra={"num_heads": heads})
+
+    img = rng.normal(size=(32, 32, 3)).astype(np.float32)
+    img[8:24, 8:24] += 2.0
+    dense_ex = LostFeatureExtractor(_spec(module, 2), variables, masks,
+                                    arch="swin", which_features="k")
+    f_dense, dims_d, _vd, _sc, attn_d = dense_ex.extract(img, 4)
+
+    out_vars, new_masks, overrides, _rep = slim_swin(
+        variables, masks, cfg, mlp_keep=0.5, round_to=1
+    )
+    slim_mod = SwinTransformerV2(cfg=dataclasses.replace(cfg, **overrides))
+    slim_ex = LostFeatureExtractor(_spec(slim_mod, 2), out_vars, new_masks,
+                                   arch="swin", which_features="k")
+    f_slim, dims_s, _vs, _sc2, attn_s = slim_ex.extract(img, 4)
+    assert dims_d == dims_s
+    np.testing.assert_allclose(np.asarray(f_slim), np.asarray(f_dense),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(attn_s), np.asarray(attn_d),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_slim_swin_sidecar_roundtrip(tmp_path):
     """swin mlp_dims survive the JSON sidecar and rebuild via
     build_model(arch_overrides=...)."""
