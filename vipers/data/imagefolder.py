@@ -68,6 +68,13 @@ class ImageFolderLoader:
     Yields (images_u8 (B,H,W,C), labels (B,)) numpy pairs; the last partial
     batch is dropped when ``drop_last`` (train) and kept otherwise (eval,
     matching torch DataLoader defaults in `/root/reference/train.py:576-586`).
+
+    ``rank``/``world`` (multi-process DP): per-sample augmentation rngs are
+    keyed on the *global* stream position (batch-interleaved layout, see
+    `data.sampler.shard_indices_for_host(batch_size=...)`), so the global
+    batch assembled across processes carries exactly the augmentations a
+    single-process run would have drawn — repeated-augmentation samples
+    (same index, different position) still get distinct rngs.
     """
 
     def __init__(
@@ -79,6 +86,8 @@ class ImageFolderLoader:
         num_workers: int = 8,
         drop_last: bool = False,
         seed: int = 0,
+        rank: int = 0,
+        world: int = 1,
     ):
         self.dataset = dataset
         self.indices = list(indices)
@@ -87,6 +96,8 @@ class ImageFolderLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.seed = seed
+        self.rank = rank
+        self.world = world
 
     def __len__(self):
         n = len(self.indices)
@@ -101,6 +112,13 @@ class ImageFolderLoader:
 
         def decode_one(args):
             pos, idx = args
+            if idx < 0:
+                # sentinel padding row (multi-process eval tails,
+                # data.sampler pad_with_sentinel): zero image, label -1 —
+                # masked out of loss/top-k/counts by the eval step
+                path, _ = self.dataset.samples[0]
+                probe = self.decode_fn(path, np.random.default_rng(0))
+                return np.zeros_like(probe), -1
             path, label = self.dataset.samples[idx]
             rng = np.random.default_rng((self.seed, pos, idx))
             return self.decode_fn(path, rng), label
@@ -114,7 +132,9 @@ class ImageFolderLoader:
                     bpos, batch = next(it)
                 except StopIteration:
                     return False
-                futs = [pool.submit(decode_one, (bpos * bs + j, i)) for j, i in enumerate(batch)]
+                # global stream position: batch-interleaved across ranks
+                base = bpos * bs * self.world + self.rank * bs
+                futs = [pool.submit(decode_one, (base + j, i)) for j, i in enumerate(batch)]
                 pending.append(futs)
                 return True
 

@@ -57,14 +57,38 @@ def shard_indices_for_host(
     seed: int = 0,
     shuffle: bool = True,
     drop_last: bool = False,
+    batch_size: int = 0,
+    pad_with_sentinel: bool = False,
 ):
     """torch DistributedSampler semantics: pad (repeat from front) to a
-    multiple of world size unless drop_last, then stride by rank."""
+    multiple of world size unless drop_last, then stride by rank.
+
+    ``batch_size`` (multi-process only): switch from per-sample striding to
+    *batch-interleaved blocks* — host ``rank``'s b-th batch is
+    ``perm[b*G + rank*B : b*G + (rank+1)*B]`` (G = B*num_replicas), so the
+    global batch assembled across processes (`parallel/mesh.batch_sharder`)
+    equals, element for element and in order, the b-th batch a
+    single-process run would draw from the same permutation.  That makes
+    multi-process DP training numerically identical to the single-process
+    global-batch run (the DDP-equivalence the reference gets from
+    DistributedSampler + gradient all-reduce, `/root/reference/train.py:606`)
+    and is what `tests/test_multiprocess.py` pins down.
+    """
     if shuffle:
         g = np.random.default_rng(seed + epoch)
         indices = g.permutation(n).tolist()
     else:
         indices = list(range(n))
+    if batch_size and num_replicas > 1:
+        G = batch_size * num_replicas
+        total = (n // G) * G if drop_last else -(-n // G) * G
+        if total == 0:
+            total = G  # tiny dataset: keep one (padded) global batch
+        while len(indices) < total:
+            indices += indices[: total - len(indices)]
+        indices = indices[:total]
+        arr = np.asarray(indices).reshape(-1, num_replicas, batch_size)
+        return arr[:, rank, :].reshape(-1).tolist()
     if drop_last:
         per = n // num_replicas
         total = per * num_replicas
@@ -72,5 +96,12 @@ def shard_indices_for_host(
     else:
         per = int(math.ceil(n / num_replicas))
         total = per * num_replicas
-        indices += indices[: total - len(indices)]
+        if pad_with_sentinel:
+            # -1 rows become zero-image/label=-1 in the loader and are
+            # masked out by the eval step — multi-process eval stays exact
+            # instead of inheriting torch DistributedSampler's
+            # duplicate-sample bias (`/root/reference/train.py:127-137`)
+            indices += [-1] * (total - len(indices))
+        else:
+            indices += indices[: total - len(indices)]
     return indices[rank:total:num_replicas]

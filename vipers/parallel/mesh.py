@@ -122,18 +122,48 @@ def replicate(mesh: Mesh):
 
 
 def batch_sharder(mesh: Mesh):
-    """(images, labels) -> device_put onto the mesh's data axis; ragged
-    tail batches (batch % data-degree != 0) replicate instead — their
-    shape forces a recompile anyway, and GSPMD handles the replicated
-    layout without uneven-shard placement."""
+    """(images, labels) -> global arrays on the mesh's data axis.
+
+    Single process: plain ``device_put`` onto ``P("data")``; ragged tail
+    batches (batch % data-degree != 0) replicate instead — their shape
+    forces a recompile anyway, and GSPMD handles the replicated layout
+    without uneven-shard placement.
+
+    Multi-process (``jax.process_count() > 1``): each process's loader
+    yields a *host-local* shard (`data.sampler.shard_indices_for_host`), so
+    ``device_put`` onto a global mesh would be wrong — the global batch is
+    assembled with ``jax.make_array_from_process_local_data`` instead (the
+    TPU-native analogue of DDP's implicit per-rank batch placement,
+    `/root/reference/train.py:606`).  Ragged local tails are padded to the
+    per-process shard multiple with ``label = -1`` sentinel rows, which the
+    eval step masks out of loss/top-k/sample counts (`train.steps
+    make_eval_step`) so multi-process eval sums stay exact.
+    """
     import jax.numpy as jnp
 
     data_sh = shard_batch(mesh)
     repl = replicate(mesh)
     n_data = mesh.shape[mesh.axis_names[0]]
+    nproc = jax.process_count()
 
     def shard_io(batch):
         images, labels = batch
+        if nproc > 1:
+            images = np.asarray(images)
+            labels = np.asarray(labels)
+            per_proc = max(n_data // nproc, 1)
+            pad = -images.shape[0] % per_proc
+            if pad:
+                images = np.concatenate(
+                    [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+                )
+                labels = np.concatenate(
+                    [labels, np.full((pad,) + labels.shape[1:], -1, labels.dtype)]
+                )
+            return (
+                jax.make_array_from_process_local_data(data_sh, images),
+                jax.make_array_from_process_local_data(data_sh, labels),
+            )
         images, labels = jnp.asarray(images), jnp.asarray(labels)
         sh = data_sh if images.shape[0] % n_data == 0 else repl
         return jax.device_put(images, sh), jax.device_put(labels, sh)
@@ -175,3 +205,38 @@ def sharding_like(mesh: Mesh, tree, spec_tree=None):
     if spec_tree is not None:
         return spec_tree
     return jax.tree.map(lambda _: replicate(mesh), tree)
+
+
+def host_replicated_tree(tree):
+    """Materialize a pytree of (possibly cross-process) jax.Arrays as host
+    numpy on every process.
+
+    Under a multi-process runtime, leaves living on a global mesh are not
+    fully addressable by any one process, so rank-0 checkpointing
+    (`/root/reference/utils.py:240-242` save_on_master) cannot simply
+    ``device_get`` them.  This all-gathers such leaves to a fully-replicated
+    layout with one compiled identity (a collective — EVERY process must
+    call this, before any rank gate) and reads the local copy.  Leaves that
+    are already host arrays or fully addressable pass through via
+    ``device_get``.  Single-process: returns the tree's host copy untouched.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    if jax.process_count() == 1:
+        return tree
+    idxs = [
+        i for i, x in enumerate(leaves)
+        if isinstance(x, jax.Array) and not x.is_fully_addressable
+    ]
+    if idxs:
+        mesh = Mesh(np.asarray(jax.devices()), ("all",))
+        repl = NamedSharding(mesh, P())
+        gathered = jax.jit(
+            lambda xs: xs, out_shardings=(repl,) * len(idxs)
+        )(tuple(leaves[i] for i in idxs))
+        for i, g in zip(idxs, gathered):
+            leaves[i] = np.asarray(g.addressable_data(0))
+    leaves = [
+        np.asarray(jax.device_get(x)) if isinstance(x, jax.Array) else x
+        for x in leaves
+    ]
+    return jax.tree.unflatten(treedef, leaves)

@@ -66,6 +66,10 @@ class Session:
     # every checkpoint this session writes must carry the same .slim.json
     # sidecar or downstream consumers rebuild the dense module and crash
     arch_overrides: Optional[dict] = None
+    # multi-device/multi-process batch placement (parallel/mesh.batch_sharder);
+    # host-local batches that bypass the wrapped step fns (the SNIP saliency
+    # batch) must go through it too, or masks diverge across processes
+    shard_io: Optional[object] = None
 
 
 def build_session(cfg: TrainConfig) -> Session:
@@ -125,7 +129,10 @@ def build_session(cfg: TrainConfig) -> Session:
                            cache_dir=cfg.cache_dataset)
     val_ds = ImageFolder(os.path.join(cfg.data_path, "val"),
                          cache_dir=cfg.cache_dataset)
-    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    # one optimizer step consumes a GLOBAL batch (batch_size per process);
+    # schedules must count global steps or multi-process LR curves compress
+    steps_per_epoch = max(
+        len(train_ds) // (cfg.batch_size * jax.process_count()), 1)
 
     schedule = make_lr_schedule(cfg.optim, steps_per_epoch)
     # No masks_fn here: the step fn masks grads AND final updates with the
@@ -234,7 +241,8 @@ def build_session(cfg: TrainConfig) -> Session:
     )
 
     state_sharder = None
-    if cfg.data_parallel or cfg.model_parallel > 1:
+    shard_io = None
+    if cfg.data_parallel or cfg.model_parallel > 1 or jax.process_count() > 1:
         # In-process multi-device training (vipers train --data-parallel
         # [--model-parallel k]): batches shard over the mesh's data axis,
         # ViT params optionally tensor-parallel over the model axis; XLA
@@ -242,6 +250,12 @@ def build_session(cfg: TrainConfig) -> Session:
         # falls out for free (batch statistics reduce over the global jit
         # batch). Mutually exclusive with --pipeline-parallel (use
         # --pp-data for DP x PP).
+        #
+        # Multi-PROCESS runs (launched under torchrun-style env + rendezvous,
+        # mesh.maybe_initialize_distributed) take this branch automatically:
+        # the mesh spans the global device set and batch_sharder assembles
+        # each global batch from the per-host loader shards — the analogue
+        # of the reference's DDP wrap (`/root/reference/train.py:606`).
         if cfg.pipeline_parallel > 1:
             raise SystemExit(
                 "--data-parallel/--model-parallel cannot combine with "
@@ -294,19 +308,21 @@ def build_session(cfg: TrainConfig) -> Session:
 
         state = _shard_state(state)
         state_sharder = _shard_state
-        _shard_io = batch_sharder(mesh)
+        shard_io = batch_sharder(mesh)
         n_data = mesh.shape["data"]
 
         def _wrap_step(fn, with_rng):
             if with_rng:
-                return lambda st, batch, rng: fn(st, _shard_io(batch), rng)
-            return lambda st, batch: fn(st, _shard_io(batch))
+                return lambda st, batch, rng: fn(st, shard_io(batch), rng)
+            return lambda st, batch: fn(st, shard_io(batch))
 
         train_step = _wrap_step(train_step, True)
         eval_step = _wrap_step(eval_step, False)
         eval_step_ema = _wrap_step(eval_step_ema, False)
         print(f"train mesh: data={n_data} x model={cfg.model_parallel} "
-              f"over {len(devs)} devices")
+              f"over {len(devs)} devices"
+              + (f", {jax.process_count()} processes"
+                 if jax.process_count() > 1 else ""))
 
     normalize = make_device_normalize(random_erase_prob=cfg.random_erase)
     mixup = None
@@ -316,15 +332,19 @@ def build_session(cfg: TrainConfig) -> Session:
             mixup_alpha=cfg.mixup_alpha, cutmix_alpha=cfg.cutmix_alpha,
         )
 
+    # master-only side effects (`/root/reference/utils.py:236-242`): only
+    # process 0 writes the JSONL stream — two ranks appending to the same
+    # file would interleave records
     writer = MetricsWriter(
-        cfg.metrics_path or os.path.join(cfg.output_dir, "metrics.jsonl")
+        (cfg.metrics_path or os.path.join(cfg.output_dir, "metrics.jsonl"))
+        if jax.process_index() == 0 else None
     )
     return Session(
         cfg=cfg, spec=spec, tx=tx, state=state, train_step=train_step,
         eval_step=eval_step, eval_step_ema=eval_step_ema, normalize=normalize,
         mixup=mixup, rng=run_rng, writer=writer,
         train_ds=train_ds, val_ds=val_ds, state_sharder=state_sharder,
-        arch_overrides=arch,
+        arch_overrides=arch, shard_io=shard_io,
     )
 
 
@@ -340,9 +360,12 @@ def _train_loader(s: Session, epoch: int):
             epoch, seed=cfg.seed, repetitions=cfg.ra_reps,
         )
     else:
+        # batch-interleaved blocks (multi-process): the global batch
+        # assembled by batch_sharder equals the single-process batch,
+        # element for element — DDP-equivalence (see data/sampler.py)
         idx = shard_indices_for_host(
             len(s.train_ds), jax.process_count(), jax.process_index(),
-            epoch, seed=cfg.seed,
+            epoch, seed=cfg.seed, batch_size=cfg.batch_size,
         )
     # C++ decode is bilinear-only; other interpolation modes use PIL
     if cfg.native_decode and cfg.interpolation == "bilinear":
@@ -361,6 +384,7 @@ def _train_loader(s: Session, epoch: int):
     return ImageFolderLoader(
         s.train_ds, idx, cfg.batch_size, decode_fn=decode,
         num_workers=cfg.workers, drop_last=True, seed=cfg.seed + epoch,
+        rank=jax.process_index(), world=jax.process_count(),
     )
 
 
@@ -369,6 +393,7 @@ def _val_loader(s: Session):
     idx = shard_indices_for_host(
         len(s.val_ds), jax.process_count(), jax.process_index(), 0,
         seed=cfg.seed, shuffle=False,
+        pad_with_sentinel=jax.process_count() > 1,
     )
     if cfg.native_decode and cfg.interpolation == "bilinear":
         from vipers.data import native
@@ -410,8 +435,6 @@ def _checkpoint_fn(s: Session, method: str, tag):
     cfg = s.cfg
 
     def save(state, epoch, sparsity, latest=False):
-        if jax.process_index() != 0:
-            return
         tree = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -428,6 +451,17 @@ def _checkpoint_fn(s: Session, method: str, tag):
             # (steps.py make_eval_step(use_ema=True)); dropping it from the
             # checkpoint would silently reset EMA-BN stats across resume.
             tree["ema_batch_stats"] = state.ema_batch_stats
+        if jax.process_count() > 1:
+            # collective: every rank gathers cross-process leaves to host
+            # (TP shards etc.) and then EVERY rank calls the orbax save —
+            # orbax runs a global sync barrier under a multi-process
+            # runtime and its primary-host logic writes each (now host-
+            # local) leaf once.  Gating the call on rank 0 deadlocks the
+            # barrier.  This is the save_on_master split
+            # (`/root/reference/utils.py:240-242`) in orbax's idiom.
+            from vipers.parallel.mesh import host_replicated_tree
+
+            tree = host_replicated_tree(tree)
         if latest:
             # rolling latest: async so the epoch loop never blocks on IO
             name = f"{cfg.model}_checkpoint_{method}_{tag}"
@@ -454,6 +488,11 @@ def run_snip(s: Session, initial_epoch: int = 0):
     if initial_epoch == 0:
         images, labels = next(iter(_train_loader(s, 0)))
         batch = (s.normalize(images), jnp.asarray(labels))
+        if s.shard_io is not None:
+            # saliency over the GLOBAL batch: all processes compute the
+            # same threshold -> identical masks everywhere (the reference
+            # silently lets per-rank SNIP masks diverge under DDP)
+            batch = s.shard_io(batch)
         masks = snip_prune(
             _snip_loss_fn(s), s.state.params, batch, cfg.target_sparsity,
             exclude=s.spec.prune_exclude,
@@ -530,9 +569,10 @@ def run_magnitude(s: Session, resuming: bool = False, initial_epoch: int = 0):
         sparsity = compute_sparsity_global(params, masks)
         s.writer.write("prune", step=it, method="magnitude", sparsity=sparsity)
         it += 1
-    MetricsWriter.export_performance_txt(
-        os.path.join(cfg.output_dir, "performance.txt"), rows
-    )
+    if jax.process_index() == 0:
+        MetricsWriter.export_performance_txt(
+            os.path.join(cfg.output_dir, "performance.txt"), rows
+        )
     return sparsity, rows
 
 

@@ -161,7 +161,14 @@ def make_train_step(
 
 def make_eval_step(apply_fn, num_classes: int, label_smoothing: float = 0.0,
                    compute_dtype=jnp.float32, use_ema: bool = False):
-    """Jitted eval: per-batch (loss_sum, top1_correct, top5_correct, n)."""
+    """Jitted eval: per-batch (loss_sum, top1_correct, top5_correct, n).
+
+    Rows with ``label == -1`` are sentinel padding (multi-process ragged
+    tails, `parallel/mesh.batch_sharder`) and are masked out of the loss
+    sum, the top-k counts, and ``n`` — so multi-process eval sums stay
+    exact instead of inheriting torch DistributedSampler's duplicate-sample
+    bias (`/root/reference/train.py:127-137` only warns about it).
+    """
 
     def step(state: TrainState, batch):
         images, labels = batch
@@ -181,14 +188,25 @@ def make_eval_step(apply_fn, num_classes: int, label_smoothing: float = 0.0,
             variables["batch_stats"] = bs
         logits, _aux = apply_fn(variables, images.astype(compute_dtype), train=False,
                                 need_attn=False)
-        loss = cross_entropy(logits, labels, num_classes, label_smoothing)
         if labels.ndim == 2:
+            valid = jnp.max(labels, axis=1) >= 0
+            target = labels.astype(jnp.float32)
             labels = jnp.argmax(labels, axis=1)
+            safe = labels
+        else:
+            valid = labels >= 0
+            safe = jnp.maximum(labels, 0)
+            target = jax.nn.one_hot(safe, num_classes, dtype=jnp.float32)
+        if label_smoothing > 0:
+            target = target * (1.0 - label_smoothing) + label_smoothing / num_classes
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        per_example = -jnp.sum(target * logp, axis=-1)
+        loss_sum = jnp.sum(jnp.where(valid, per_example, 0.0))
         _, pred = jax.lax.top_k(logits, min(5, logits.shape[-1]))
-        correct = pred == labels[:, None]
+        correct = (pred == safe[:, None]) & valid[:, None]
         top1 = jnp.sum(correct[:, :1])
         top5 = jnp.sum(correct)
-        n = jnp.asarray(labels.shape[0], jnp.int32)
-        return {"loss_sum": loss * n, "top1": top1, "top5": top5, "n": n}
+        n = jnp.sum(valid.astype(jnp.int32))
+        return {"loss_sum": loss_sum, "top1": top1, "top5": top5, "n": n}
 
     return jax.jit(step)
