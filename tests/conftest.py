@@ -18,6 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 # Determinism / speed for tests.
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# CLI-in-process tests (golden pipeline) must not read/write the user's
+# persistent XLA cache: entries AOT-compiled under different CPU features
+# spam loader errors and risk SIGILL.
+os.environ["VIPERS_JAX_CACHE"] = "0"
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

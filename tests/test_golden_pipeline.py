@@ -1,0 +1,301 @@
+"""Golden end-to-end pipeline regression test (SURVEY §4 item 5).
+
+One slow test drives the FULL CLI chain — the miniature of the paper's
+actual experiment loop (`/root/reference/run_lost_pruning_iterations.sh:4-19`):
+
+    train (iterative magnitude, 2 pruning iterations)
+      -> slim (structured: sparsity into physically smaller MXU matmuls)
+      -> lost (per pruning iteration + the slim checkpoint)
+      -> corloc (re-score saved preds)
+      -> explain (gradcam/ig/attention heatmap artifacts)
+      -> explain-eval (RMA/RRA vs VOC segmentation masks)
+      -> plot (lost curves + mass/rank curves)
+
+on a deterministic synthetic fixture (seeded-rng PNGs for classification —
+lossless, codec-independent — plus the seeded synthetic VOC07/VOC12
+layouts the component tests use), through ``vipers.cli.main.main`` exactly
+as a user would, asserting:
+
+  * PINNED numeric top-1/sparsity (performance.txt), CorLoc
+    (results_iteration_NN.txt + `vipers corloc` re-score), and RMA/RRA
+    ({method}_{model}_pruning_iteration_NN.txt) values, and
+  * every artifact contract file exists.
+
+Everything is seeded; XLA-CPU is run-to-run deterministic on one host, so
+the pins are exact regression values for this environment — the cheapest
+guard against cross-component wiring drift.  A legitimate numeric change
+(e.g. a new augmentation default) shows up as a pin update in the same
+commit that causes it.
+"""
+
+import json
+import os
+import re
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vipers.cli.main import main as cli
+
+# ---------------------------------------------------------------- pins
+# Produced by this exact chain at seed 0 on the CI host (XLA CPU, f32).
+GOLDEN = {
+    # performance.txt rows: acc1 % and sparsity % per magnitude iteration
+    "acc1_it0": 50.0,
+    "sparsity_it0": 0.0,
+    "acc1_it1": 50.0,
+    "sparsity_it1": 50.000772,
+    # CorLoc % on the 3-image synthetic VOC07 (iterations 0/1, the slim
+    # checkpoint, and the standalone `vipers corloc` re-score of iter 1):
+    # 1 hit of 3 by fixture design (results txt rounds to 1 decimal, the
+    # re-score prints 2)
+    "corloc_iter00": 33.3,
+    "corloc_iter01": 33.3,
+    "corloc_slim": 33.3,
+    "corloc_rescore": 33.33,
+    # explain-eval means over the 3 VOC12-style pairs (RMA = mass,
+    # RRA = rank), per method
+    "gradCAM_mass": 0.187723,
+    "gradCAM_rank": 0.314732,
+    "ig_mass": 0.215313,
+    "ig_rank": 0.251116,
+    "attention_mass": 0.318068,
+    "attention_rank": 0.764509,
+}
+ABS = {  # per-key absolute tolerances
+    "acc1_it0": 0.01, "acc1_it1": 0.01,
+    "sparsity_it0": 0.01, "sparsity_it1": 0.01,
+    "corloc_iter00": 0.01, "corloc_iter01": 0.01, "corloc_slim": 0.01,
+    "corloc_rescore": 0.01,
+    # float means accumulate over images; IG integrates 50 grad steps
+    "gradCAM_mass": 5e-4, "gradCAM_rank": 5e-4,
+    "ig_mass": 5e-4, "ig_rank": 5e-4,
+    "attention_mass": 5e-4, "attention_rank": 5e-4,
+}
+MODEL = "vit_s_16"
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    """Deterministic synthetic datasets: 2-class ImageFolder (PNG),
+    VOC07 detection (boxes), VOC12 segmentation (masks)."""
+    root = tmp_path_factory.mktemp("golden")
+
+    # --- classification ImageFolder: PNGs (lossless -> codec-independent)
+    rng = np.random.default_rng(1234)
+    for split, n in (("train", 8), ("val", 4)):
+        for cls in ("class_a", "class_b"):
+            d = root / "imagefolder" / split / cls
+            d.mkdir(parents=True)
+            for i in range(n):
+                arr = rng.integers(0, 255, size=(48, 48, 3), dtype=np.uint8)
+                if cls == "class_b":
+                    arr[..., 2] = np.minimum(arr[..., 2] + 90, 255)
+                Image.fromarray(arr).save(d / f"img_{i}.png")
+
+    # --- VOC07-style detection set: bright square object per image.
+    # Sizing note: randomly-initialized ViTs rank-collapse (all token
+    # affinities positive), so LOST's M>0 component is the full valid
+    # grid and the predicted box is the (bucket-pad-clipped) whole image.
+    # The GT is sized so that is a CorLoc HIT for im000 (object covers
+    # > 50% of the image area -> IoU(img, gt) >= 0.5) and a MISS for the
+    # others — the pinned 33.33% exercises GT extraction, IoU, bucket
+    # clipping, and the results/preds contracts without pretrained
+    # weights (zero-egress host).
+    voc = root / "voc07"
+    (voc / "JPEGImages").mkdir(parents=True)
+    (voc / "Annotations").mkdir()
+    (voc / "ImageSets" / "Main").mkdir(parents=True)
+    rng = np.random.default_rng(7)
+    names = []
+    boxes = [(8, 8, 104, 80), (24, 32, 48, 40), (32, 32, 48, 40)]
+    for i in range(3):
+        h, w = 96 + 16 * i, 128
+        arr = rng.integers(0, 60, size=(h, w, 3), dtype=np.uint8)
+        y0, x0, bw, bh = boxes[i]
+        arr[y0:y0 + bh, x0:x0 + bw] = 220
+        name = f"im{i:03d}"
+        names.append(name)
+        Image.fromarray(arr).save(voc / "JPEGImages" / f"{name}.jpg")
+        (voc / "Annotations" / f"{name}.xml").write_text(
+            f"""<annotation><filename>{name}.jpg</filename>
+<size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+<object><name>thing</name><truncated>0</truncated><difficult>0</difficult>
+<bndbox><xmin>{x0 + 1}</xmin><ymin>{y0 + 1}</ymin><xmax>{x0 + bw}</xmax><ymax>{y0 + bh}</ymax></bndbox>
+</object></annotation>""")
+    (voc / "ImageSets" / "Main" / "trainval.txt").write_text("\n".join(names))
+
+    # --- VOC12-style segmentation pairs for explain-eval (dims multiple
+    # of patch 16 so the ViT pad is a no-op)
+    seg = root / "voc12"
+    (seg / "JPEGImages").mkdir(parents=True)
+    (seg / "SegmentationClass").mkdir()
+    rng = np.random.default_rng(21)
+    for i in range(3):
+        h, w = 64, 80
+        arr = rng.integers(0, 80, size=(h, w, 3), dtype=np.uint8)
+        mask = np.zeros((h, w), np.uint8)
+        y0, x0 = 12 + 4 * i, 20
+        arr[y0:y0 + 28, x0:x0 + 32] = 210
+        mask[y0:y0 + 28, x0:x0 + 32] = 255
+        Image.fromarray(arr).save(seg / "JPEGImages" / f"seg{i:03d}.jpg")
+        Image.fromarray(mask).save(seg / "SegmentationClass" / f"seg{i:03d}.png")
+
+    return str(root)
+
+
+def _read_results_txt(path):
+    assert os.path.exists(path), path
+    line = open(path).read().strip()
+    # "corloc,NN.NN,..." contract (`/root/reference/main_lost.py:699-702`)
+    return float(line.split(",")[1])
+
+
+def _read_method_txt(path):
+    assert os.path.exists(path), path
+    txt = open(path).read()
+    mass = float(re.search(r"mass[^\d]*([\d.]+)", txt, re.I).group(1))
+    rank = float(re.search(r"rank[^\d]*([\d.]+)", txt, re.I).group(1))
+    return mass, rank
+
+
+@pytest.mark.slow
+def test_golden_full_pipeline(fixture_root, tmp_path, capsys):
+    data = os.path.join(fixture_root, "imagefolder")
+    voc07 = os.path.join(fixture_root, "voc07")
+    voc12 = os.path.join(fixture_root, "voc12")
+    out = str(tmp_path / "train_out")
+    actual = {}
+
+    # ---------------------------------------------------------- 1. train
+    # iterative magnitude ("LRR") — 2 iterations: 0% -> ~50% sparsity
+    assert cli([
+        "train", "--model", MODEL, "--data-path", data,
+        "--num-classes", "2", "--batch-size", "4", "--epochs", "1",
+        "--train-crop-size", "32", "--val-resize-size", "40",
+        "--val-crop-size", "32", "--pruning-method", "magnitude",
+        "--pruning-rate", "0.5", "--pruning-threshold", "70",
+        "--lr", "0.01", "--seed", "0", "--workers", "2",
+        "--print-freq", "0", "--output-dir", out,
+    ]) in (0, None)
+
+    perf = os.path.join(out, "performance.txt")
+    assert os.path.exists(perf)
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    rows = [tuple(float(v) for v in ln.split("\t"))
+            for ln in open(perf).read().splitlines()[1:]]
+    assert len(rows) == 2
+    for it, (acc1, sp) in enumerate(rows):
+        actual[f"acc1_it{it}"] = acc1
+        actual[f"sparsity_it{it}"] = sp
+
+    ckpts = {
+        it: os.path.join(out, f"{MODEL}_epoch_0_pruning_iteration_{it:02d}")
+        for it in (0, 1)
+    }
+    for p in ckpts.values():
+        assert os.path.isdir(p), p
+
+    # ----------------------------------------------------------- 2. slim
+    slim_dir = str(tmp_path / "slim_out")
+    assert cli([
+        "slim", "--model", MODEL, "--checkpoint", ckpts[1],
+        "--num-classes", "2", "--mlp-keep", "0.5", "--heads-keep", "0.5",
+        "--round-to", "8", "--output-dir", slim_dir,
+    ]) in (0, None)
+    import glob as globlib
+    slim_ckpts = [p for p in globlib.glob(os.path.join(slim_dir, f"{MODEL}_slim_*"))
+                  if os.path.isdir(p)]
+    assert len(slim_ckpts) == 1, slim_ckpts
+    slim_ckpt = slim_ckpts[0]
+    sidecar = json.load(open(slim_ckpt + ".slim.json"))
+    assert sidecar["arch_overrides"], sidecar
+
+    # ----------------------------------------------------------- 3. lost
+    for tag, ckpt, it in [("iter00", ckpts[0], 0), ("iter01", ckpts[1], 1),
+                          ("slim", slim_ckpt, 1)]:
+        lost_out = str(tmp_path / f"lost_{tag}")
+        assert cli([
+            "lost", "--model", MODEL, "--arch", "vit",
+            "--dataset", "VOC07", "--set", "trainval",
+            "--data-path", voc07, "--checkpoint", ckpt,
+            "--output-dir", lost_out, "--iteration", str(it),
+            "--workers", "2",
+        ]) in (0, None)
+        assert os.path.exists(os.path.join(lost_out, "preds.pkl"))
+        actual[f"corloc_{tag}"] = _read_results_txt(
+            os.path.join(lost_out, f"results_iteration_{it:02d}.txt"))
+
+    # --------------------------------------------------------- 4. corloc
+    # the standalone re-scorer prints the same number the driver recorded
+    capsys.readouterr()
+    assert cli([
+        "corloc", "--preds", str(tmp_path / "lost_iter01" / "preds.pkl"),
+        "--dataset", "VOC07", "--set", "trainval", "--data-path", voc07,
+    ]) in (0, None)
+    printed = capsys.readouterr().out
+    m = re.search(r"corloc[^\d]*([\d.]+)", printed, re.IGNORECASE)
+    assert m, printed
+    actual["corloc_rescore"] = float(m.group(1))
+
+    # -------------------------------------------------------- 5. explain
+    expl_out = str(tmp_path / "expl")
+    assert cli([
+        "explain", "--model", MODEL, "--checkpoint", ckpts[1],
+        "--data-path", data, "--methods", "gradcam", "ig", "attention",
+        "--num-classes-sample", "2", "--output-dir", expl_out,
+    ]) in (0, None)
+    npys = []
+    for dirpath, _dirs, files in os.walk(expl_out):
+        npys += [os.path.join(dirpath, f) for f in files if f.endswith(".npy")]
+    assert any("gradcam" in p.lower() for p in npys), npys
+    assert any(re.search(r"\big\b|integrated", p.lower()) for p in npys), npys
+    for p in npys:  # every saved heatmap is finite and non-degenerate
+        a = np.load(p)
+        assert np.all(np.isfinite(a)) and a.size > 1
+
+    # ---------------------------------------------------- 6. explain-eval
+    ee_out = str(tmp_path / "ee")
+    assert cli([
+        "explain-eval", "--model", MODEL, "--checkpoint", ckpts[1],
+        "--voc-root", voc12, "--num-images", "3", "--iteration", "1",
+        "--output-dir", ee_out,
+    ]) in (0, None)
+    for method in ("gradCAM", "ig", "attention"):
+        mass, rank = _read_method_txt(os.path.join(
+            ee_out, f"{method}_{MODEL}_pruning_iteration_01.txt"))
+        actual[f"{method}_mass"] = mass
+        actual[f"{method}_rank"] = rank
+
+    # --------------------------------------------------------- pins gate
+    assert set(actual) == set(GOLDEN)
+    mismatches = {
+        k: (actual[k], GOLDEN[k]) for k in GOLDEN
+        if abs(actual[k] - GOLDEN[k]) > ABS[k]
+    }
+    assert not mismatches, f"pinned-value drift: {mismatches}"
+
+    # ------------------------------------------------------------ 7. plot
+    # lost curves need every iteration's results txt in ONE dir
+    plots_dir = tmp_path / "lost_all"
+    plots_dir.mkdir()
+    for tag, it in (("iter00", 0), ("iter01", 1)):
+        src = tmp_path / f"lost_{tag}" / f"results_iteration_{it:02d}.txt"
+        (plots_dir / f"results_iteration_{it:02d}.txt").write_text(
+            src.read_text())
+    lost_png = str(tmp_path / "lost_plot.png")
+    assert cli([
+        "plot", "--kind", "lost", "--model", MODEL,
+        "--results-dir", str(plots_dir), "--performance-txt", perf,
+        "--out", lost_png,
+    ]) in (0, None)
+    assert os.path.getsize(lost_png) > 0
+
+    mr_png = str(tmp_path / "mass_rank.png")
+    assert cli([
+        "plot", "--kind", "mass_rank", "--model", MODEL,
+        "--results-dir", ee_out, "--performance-txt", perf,
+        "--out", mr_png,
+    ]) in (0, None)
+    assert os.path.getsize(mr_png) > 0

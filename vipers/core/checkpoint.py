@@ -40,6 +40,43 @@ def reference_sweep_stem(model: str, vit: bool, epoch="*", iteration="*"):
     return f"{stem}_epoch_{epoch}_pruning_iteration_{it}"
 
 
+# classification-head kernel paths per family; the LAST dim is the class
+# count (resnet `fc`, vit/swin/dino `head`, vgg `fc3`, mobilenet
+# `classifier`)
+_HEAD_KEYS = ("fc", "head", "fc3", "classifier")
+
+
+def infer_num_classes(params) -> Optional[int]:
+    """Class count read off the checkpoint's own head kernel, or None for
+    headless trees.  The reference hard-wires 1000 classes everywhere
+    (`/root/reference/main_lost.py:363`, `explain.py:214-245`) because it
+    only ever trains on ImageNet; vipers checkpoints carry arbitrary
+    heads, and the LOST/explain drivers must rebuild the module at the
+    checkpoint's width or flax rejects the param shapes at apply."""
+    for key in _HEAD_KEYS:
+        node = params.get(key) if isinstance(params, dict) else None
+        if isinstance(node, dict) and "kernel" in node:
+            return int(node["kernel"].shape[-1])
+    return None
+
+
+def infer_vit_image_size(params, patch_size: int):
+    """(H, W) the checkpoint's own pos-embedding table was trained at, or
+    None when there is no table / it is not a square grid.  Lets the
+    LOST/explain loaders rebuild the module at the checkpoint's size (the
+    reference's first `interpolate_vit(base, (224,224), first=True)` load,
+    `/root/reference/main_lost.py:363-364`) instead of assuming 224 —
+    flax validates the pos-embedding param shape at apply."""
+    pos = params.get("pos_embedding") if isinstance(params, dict) else None
+    if pos is None or getattr(pos, "ndim", 0) != 3:
+        return None
+    n = int(pos.shape[1]) - 1  # minus class token
+    g = int(round(n ** 0.5))
+    if g * g != n:
+        return None
+    return (g * patch_size, g * patch_size)
+
+
 # ------------------------------ orbax -------------------------------------
 
 _ASYNC: Optional["ocp.AsyncCheckpointer"] = None

@@ -162,7 +162,15 @@ class LostFeatureExtractor:
 
         @jax.jit
         def cnn_forward(variables, img):
-            feats, _aux = module_apply(variables, img, train=False)
+            out, aux = module_apply(variables, img, train=False)
+            # headless (`*_bottom`) models return the feature map as the
+            # primary output; full classifiers expose it via aux — so a
+            # TRAINED resnet/vgg checkpoint runs LOST directly, matching
+            # the reference's Bottom-wrapper-around-checkpoint flow
+            # (`/root/reference/networks.py:96-105`, `main_lost.py:570-600`)
+            feats = aux["features"] if (
+                isinstance(aux, dict) and "features" in aux and out.ndim != 4
+            ) else out
             n, h, w, d = feats.shape
             f = feats.reshape(n, h * w, d)
             # `main_lost.py:581-584`: LayerNorm over the whole (tokens, dim)
@@ -589,6 +597,23 @@ def run_lost(args) -> int:
     if args.checkpoint:
         variables, masks, observers = load_lost_checkpoint(
             args.checkpoint, spec, variables)
+        from vipers.core.checkpoint import (infer_num_classes,
+                                            infer_vit_image_size)
+
+        # rebuild at the checkpoint's own head width / pos-table size:
+        # flax validates param shapes at apply, so a non-1000-class or
+        # non-224px checkpoint needs the module to match (the reference's
+        # first interpolate_vit load, `main_lost.py:363-364`)
+        n_cls = infer_num_classes(variables["params"])
+        if spec.family == "vit":
+            size = infer_vit_image_size(
+                variables["params"], spec.patch_size)
+            if size is not None and size != spec.input_size:
+                model_kw["image_size"] = size
+        if n_cls is not None or "image_size" in model_kw:
+            if n_cls is not None:
+                model_kw["num_classes"] = n_cls
+            spec = build_model(args.model, **model_kw)
 
     dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": "int8"}[
         getattr(args, "dtype", None) or "f32"

@@ -39,11 +39,27 @@ def _load_model(model_name: str, checkpoint: str = "", seed: int = 0):
 
     variables = init_variables(spec.module, rng, jnp.zeros((1, h, w, 3)), train=False)
     if checkpoint:
+        from vipers.core.checkpoint import infer_num_classes
         from vipers.discovery.driver import load_lost_checkpoint
 
         variables, masks, _obs = load_lost_checkpoint(checkpoint, spec, variables)
         if masks:
             variables = dict(variables, params=apply_masks(variables["params"], masks))
+        # rebuild at the checkpoint's own head width / pos-table size
+        # (flax validates param shapes at apply; the reference hard-wires
+        # 1000 ImageNet classes + a 224px base ViT)
+        from vipers.core.checkpoint import infer_vit_image_size
+
+        kw = dict({"arch_overrides": arch} if arch else {})
+        n_cls = infer_num_classes(variables["params"])
+        if n_cls is not None:
+            kw["num_classes"] = n_cls
+        if spec.family == "vit":
+            size = infer_vit_image_size(variables["params"], spec.patch_size)
+            if size is not None and size != spec.input_size:
+                kw["image_size"] = size
+        if "num_classes" in kw or "image_size" in kw:
+            spec = build_model(model_name, **kw)
     return spec, variables
 
 
