@@ -72,6 +72,56 @@ def test_eidolon_partially_coherent_disarray(rng):
     assert a.shape == img.shape and np.isfinite(a).all()
 
 
+def test_displacement_field_statistics():
+    """Eidolon-factory math fixtures (round-4 VERDICT item 5): the
+    displacement planes are grain-blurred white noise with UNIT EXPECTED
+    variance via the factory's analytic correction — blurring unit white
+    noise with a unit-integral Gaussian of width s leaves variance
+    integral(G^2) = 1/(4*pi*s^2), i.e. a 2*sqrt(pi)*s rescale."""
+    from vipers.data.distortions import _displacement_field, _gauss_kernel_1d
+
+    # 1) the exact discrete correction converges to the factory's
+    #    continuum constant 2*sqrt(pi)*grain (deterministic, pure math)
+    for grain in (5.0, 10.0):
+        k = _gauss_kernel_1d(grain, 4096)
+        # per-axis: Var after 1D blur is sum(k^2); the exact rescale
+        # 1/sum(k^2) approaches the factory's 2*sqrt(pi)*grain
+        discrete = 1.0 / float((k ** 2).sum())
+        continuum = 2.0 * np.sqrt(np.pi) * grain
+        assert abs(discrete / continuum - 1.0) < 5e-3, (grain, discrete)
+
+    # 2) unit EXPECTED variance, Monte Carlo: mean sample variance over
+    #    seeds ~ 1 (d.o.f. per 128px field at grain 5 is ~50; 30 seeds
+    #    puts the standard error ~4%, so +-15% is a 3+ sigma gate)
+    grain, h, w, n = 5.0, 128, 128, 30
+    fields = np.stack([
+        _displacement_field(np.random.default_rng(s), h, w, grain)
+        for s in range(n)
+    ])
+    mean_var = float((fields ** 2).mean())
+    assert abs(mean_var - 1.0) < 0.15, mean_var
+
+    # 3) stationary to the border (padded-plane blur = the factory's
+    #    fat-plane embedding): edge-strip variance matches the center
+    edge = np.concatenate([
+        fields[:, :8, :].ravel(), fields[:, -8:, :].ravel(),
+        fields[:, :, :8].ravel(), fields[:, :, -8:].ravel(),
+    ])
+    center = fields[:, 32:-32, 32:-32].ravel()
+    assert abs(float((edge ** 2).mean()) - float((center ** 2).mean())) < 0.2
+
+    # 4) the coherence blend c*shared + sqrt(1-c^2)*own is variance-
+    #    preserving, so per-axis RMS displacement is exactly `reach` at
+    #    every coherence (the factory's one-reach magnitude ladder)
+    for c in (0.0, 0.3, 1.0):
+        mix = np.sqrt(1.0 - c * c)
+        blended = c * fields[:10] + mix * fields[10:20]
+        assert abs(float((blended ** 2).mean()) - 1.0) < 0.2, c
+    reach = 7.0
+    rms = float(np.sqrt(((reach * fields[0]) ** 2).mean()))
+    assert abs(rms / reach - 1.0) < 0.35  # single-field sampling noise
+
+
 def test_mvh_runner_and_csv(tmp_path):
     """17-benchmark runner with a trivial 'model': eval_step counts the
     label-0 predictions of a fixed classifier on distorted batches."""
