@@ -72,6 +72,49 @@ def test_gradients_match_reference():
         assert diff < 5e-5, (name, diff)
 
 
+def test_packed_forward_matches_reference():
+    """attention_train_packed over the (3, B, H, T, hd) projection layout
+    equals the masked-einsum reference (interpret mode runs the real
+    index-map-view kernels)."""
+    rng = np.random.default_rng(4)
+    q, k, v = _qkv(rng)
+    valid = jnp.asarray(rng.random((B, T)) > 0.15)
+    qkv = jnp.stack([q, k, v])
+    out = at.attention_train_packed(qkv, valid=valid)
+    ref, _ = attention_reference(q, k, v, mask=valid[:, None, None, :])
+    assert float(jnp.max(jnp.abs(out - ref))) < 2e-5
+
+
+def test_packed_gradients_match_reference():
+    """The packed one-output backward (dqkv written slab-wise by the
+    kernel) equals stacking the reference's dq/dk/dv."""
+    rng = np.random.default_rng(5)
+    q, k, v = _qkv(rng)
+    valid = jnp.asarray(rng.random((B, T)) > 0.1)
+    g = jnp.asarray(rng.normal(size=(B, H, T, HD)).astype(np.float32))
+
+    def loss_packed(qkv):
+        return jnp.vdot(at.attention_train_packed(qkv, valid=valid), g)
+
+    def loss_ref(q, k, v):
+        out, _ = attention_reference(q, k, v, mask=valid[:, None, None, :])
+        return jnp.vdot(out, g)
+
+    gp = jax.grad(loss_packed)(jnp.stack([q, k, v]))
+    gr = jnp.stack(jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v))
+    diff = float(jnp.max(jnp.abs(gp - gr)))
+    assert diff < 5e-5, diff
+
+
+def test_packed_rejects_bad_shapes():
+    ok = jnp.zeros((3, 2, 1, 64, 64), jnp.float32)
+    with pytest.raises(ValueError, match="leading dim"):
+        at.attention_train_packed(ok[:2])
+    big = jnp.zeros((3, 1, 1, 1025, 64), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM envelope"):
+        at.attention_train_packed(big)
+
+
 def test_block_b_vmem_cap():
     """block_b * T <= 2048: the probed v5e VMEM envelope for the backward
     program (e.g. block_b=8 at T=512 OOMs on hardware)."""
@@ -124,14 +167,14 @@ def test_mha_train_wiring(monkeypatch):
     import vipers.models.vit as vit_mod
 
     calls = {"n": 0}
-    orig = at.attention_train
+    orig = at.attention_train_packed
 
     def spy(*a, **k):
         calls["n"] += 1
         return orig(*a, **k)
 
     monkeypatch.setattr(
-        "vipers.ops.attention_train.attention_train", spy
+        "vipers.ops.attention_train.attention_train_packed", spy
     )
     mha = vit_mod.MultiHeadAttention(num_heads=H)
     rng = np.random.default_rng(3)
@@ -162,7 +205,8 @@ def test_mha_need_attn_keeps_einsum(monkeypatch):
     def boom(*a, **k):  # pragma: no cover - failure path
         raise AssertionError("fused kernel ran with need_attn=True")
 
-    monkeypatch.setattr("vipers.ops.attention_train.attention_train", boom)
+    monkeypatch.setattr(
+        "vipers.ops.attention_train.attention_train_packed", boom)
     mha = vit_mod.MultiHeadAttention(num_heads=H)
     x = jnp.zeros((1, 64, H * HD), jnp.float32)
     variables = mha.init(jax.random.PRNGKey(0), x, need_attn=False)

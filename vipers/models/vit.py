@@ -146,10 +146,9 @@ class MultiHeadAttention(nn.Module):
         w = qkv_kernel.reshape(d, 3, h, hd)
         b = qkv_bias.reshape(3, h, hd)
         qkv = jnp.einsum("ntd,dshe->snhte", x, w) + b[:, None, :, None, :]
-        q, k, v = qkv[0], qkv[1], qkv[2]
 
         from vipers.ops.attention_train import (
-            attention_train, attention_train_enabled,
+            attention_train_enabled, attention_train_packed,
             fused_attention_supported,
         )
 
@@ -164,9 +163,22 @@ class MultiHeadAttention(nn.Module):
             # einsum path's 5 HBM-bound backward matmuls/layer and the
             # saved-q/k/v re-layout copies (together ~2/5 of the bf16
             # train step, docs/PERF.md round-3 train trace) disappear.
-            out = attention_train(q, k, v, valid=token_mask, scale=scale)
+            # The PACKED entry consumes the projection einsum's (3, N, h,
+            # T, hd) output whole — q/k/v are index-map views inside the
+            # kernel and dqkv comes back packed, so the three qkv[i]
+            # slice copies + their scatter-add transpose (12
+            # slice_bitcast_fusions, ~10% of the round-4 step trace)
+            # vanish too.
+            out = attention_train_packed(qkv, valid=token_mask, scale=scale)
             attn = None
-        elif use_flash:
+            out = jnp.einsum(
+                "nhte,hef->ntf", out, out_kernel.reshape(h, hd, d)
+            ) + out_bias
+            return out, attn
+
+        q, k, v = qkv[0], qkv[1], qkv[2]
+
+        if use_flash:
             from vipers.ops.flash_attention import flash_attention
 
             out = flash_attention(q, k, v, valid=token_mask, scale=scale)

@@ -111,6 +111,73 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref, valid_ref,
         ).astype(dk_ref.dtype)
 
 
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *,
+                       scale, block_b):
+    """Packed-input forward: q/k/v refs are three VIEWS of the same
+    (3, B, H, T, hd) buffer (index maps pick s=0/1/2), so the caller
+    never materializes per-tensor slices."""
+    for g in range(block_b):
+        q = q_ref[0, g, 0] * q_ref.dtype.type(scale)
+        k = k_ref[0, g, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ok = valid_ref[g]
+        s = jnp.where(ok != 0, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            (p / l).astype(v_ref.dtype), v_ref[0, g, 0],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[g, 0] = o.astype(o_ref.dtype)
+        lse_ref[g, 0] = (m + jnp.log(l))[:, 0][None, :]
+
+
+def _bwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                       valid_ref, dqkv_ref, *, scale, block_b):
+    """Packed backward: dq/dk/dv land in ONE (3, B, H, T, hd) output so
+    the qkv projection's einsum-VJP consumes it whole — no
+    stack/concat/dynamic-update-slice copies on the gradient path."""
+    dt = q_ref.dtype
+    for g in range(block_b):
+        q = q_ref[0, g, 0] * dt.type(scale)
+        k = k_ref[0, g, 0]
+        v = v_ref[0, g, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ok = valid_ref[g]
+        s = jnp.where(ok != 0, s, NEG_INF)
+        p = jnp.exp(s - lse_ref[g, 0][0][:, None])
+        do = do_ref[g, 0]
+        o = o_ref[g, 0]
+        d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=1, keepdims=True)
+        pb = p.astype(dt)
+        dqkv_ref[2, g, 0] = jax.lax.dot_general(    # dV = P^T @ dO
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dqkv_ref.dtype)
+        dp = jax.lax.dot_general(                   # dO @ V^T
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = ((dp - d) * p).astype(dt)
+        dqkv_ref[0, g, 0] = (jax.lax.dot_general(   # dQ = dS @ K, * scale
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dqkv_ref.dtype)
+        dqkv_ref[1, g, 0] = jax.lax.dot_general(    # dK = dS^T @ (Q*scale)
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dqkv_ref.dtype)
+
+
 def _pick_block_b(b: int, t: int) -> int:
     """Rows of the batch handled per program: amortizes Mosaic
     per-program overhead over several (T, hd) problems (the dots are
@@ -187,6 +254,75 @@ def _attn_vjp_bwd(scale, interpret, res, g):
 _attn.defvjp(_attn_vjp_fwd, _attn_vjp_bwd)
 
 
+def _specs_packed(bb, t, hd):
+    """Block specs over the packed (3, B, H, T, hd) buffer: ``slab(s)``
+    is a VIEW of the s-th q/k/v slab (the index map pins the leading
+    block coordinate), so the packed tensor feeds the kernel directly —
+    no per-tensor slice copies ahead of the custom call."""
+    def slab(s):
+        return pl.BlockSpec(
+            (1, bb, 1, t, hd), lambda i, j, s=s: (s, i, j, 0, 0))
+    dqkv = pl.BlockSpec((3, bb, 1, t, hd), lambda i, j: (0, i, j, 0, 0))
+    o = pl.BlockSpec((bb, 1, t, hd), lambda i, j: (i, j, 0, 0))
+    lse = pl.BlockSpec((bb, 1, 1, t), lambda i, j: (i, j, 0, 0))
+    ok = pl.BlockSpec((bb, 1, t), lambda i, j: (i, 0, 0))
+    return slab, dqkv, o, lse, ok
+
+
+def _fwd_packed(qkv, valid, scale, interpret):
+    _, b, h, t, hd = qkv.shape
+    bb = _pick_block_b(b, t)
+    slab, _, o_spec, lse_spec, ok_spec = _specs_packed(bb, t, hd)
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale, block_b=bb),
+        grid=(b // bb, h),
+        in_specs=[slab(0), slab(1), slab(2), ok_spec],
+        out_specs=[o_spec, lse_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, t, hd), qkv.dtype),
+            jax.ShapeDtypeStruct((b, h, 1, t), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qkv, qkv, qkv, valid)
+    return o, lse
+
+
+def _bwd_packed(qkv, o, lse, do, valid, scale, interpret):
+    _, b, h, t, hd = qkv.shape
+    bb = _pick_block_b(b, t)
+    slab, dqkv_spec, o_spec, lse_spec, ok_spec = _specs_packed(bb, t, hd)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale, block_b=bb),
+        grid=(b // bb, h),
+        in_specs=[slab(0), slab(1), slab(2), o_spec, lse_spec, o_spec,
+                  ok_spec],
+        out_specs=[dqkv_spec],
+        out_shape=[jax.ShapeDtypeStruct((3, b, h, t, hd), qkv.dtype)],
+        interpret=interpret,
+    )(qkv, qkv, qkv, o, lse, do, valid)[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _attn_packed(qkv, valid, scale, interpret):
+    o, _ = _fwd_packed(qkv, valid, scale, interpret)
+    return o
+
+
+def _attn_packed_vjp_fwd(qkv, valid, scale, interpret):
+    o, lse = _fwd_packed(qkv, valid, scale, interpret)
+    return o, (qkv, o, lse, valid)
+
+
+def _attn_packed_vjp_bwd(scale, interpret, res, g):
+    qkv, o, lse, valid = res
+    dqkv = _bwd_packed(qkv, o, lse, g.astype(qkv.dtype), valid, scale,
+                       interpret)
+    return dqkv, None
+
+
+_attn_packed.defvjp(_attn_packed_vjp_fwd, _attn_packed_vjp_bwd)
+
+
 def fused_attention_supported(t: int, hd: int) -> bool:
     """True when the single-block kernel applies: the padded (T, T) score
     matrix must fit in VMEM and hd must be a legal block minor dim
@@ -257,4 +393,56 @@ def attention_train(
         valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
     ok = valid[:, None, :].astype(jnp.int8)             # (B, 1, T)
     out = _attn(q, k, v, ok, scale, interpret)
+    return out[:, :, :t, :]
+
+
+def attention_train_packed(
+    qkv,
+    valid: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+):
+    """``attention_train`` over a PACKED (3, B, H, T, hd) q|k|v tensor —
+    the layout the ViT qkv projection einsum emits directly
+    (`models/vit.py` ``"ntd,dshe->snhte"``).  Same kernels and numerics;
+    what changes is the data path: the forward reads q/k/v as index-map
+    VIEWS of the packed buffer and the backward emits ONE packed dqkv,
+    so the ``q, k, v = qkv[0], qkv[1], qkv[2]`` slice copies and their
+    scatter-add transpose (round-4 train trace: 12 `slice_bitcast_fusion`
+    ops, ~10% of the bf16 B=128 step) never reach HBM in either
+    direction.  Training forwards already token-pad to a 128 multiple
+    (`ops/tokens.py`), so at train shapes NO copy of qkv is made at all.
+    """
+    s3, b, h, t, hd = qkv.shape
+    if s3 != 3:
+        raise ValueError(f"attention_train_packed: leading dim {s3} != 3")
+    if not fused_attention_supported(t, hd):
+        raise ValueError(
+            f"attention_train_packed: T={t} (pads to {_round_up(t, 128)}) "
+            f"/ hd={hd} outside the probed VMEM envelope (MAX_T={MAX_T}, "
+            "hd%8==0); use ops.flash_attention for long sequences"
+        )
+    scale = float(hd) ** -0.5 if scale is None else scale
+    if interpret is None:
+        import os
+
+        interpret = os.environ.get("VIPERS_FUSED_ATTN_INTERPRET") == "1"
+
+    if not interpret and jax.devices()[0].platform != "tpu":
+        from vipers.ops.flash_attention import attention_reference
+
+        mask = valid[:, None, None, :] if valid is not None else None
+        out, _ = attention_reference(
+            qkv[0], qkv[1], qkv[2], scale=scale, mask=mask)
+        return out
+
+    pad_t = _round_up(t, 128)
+    if valid is None:
+        valid = jnp.ones((b, t), bool)
+    if pad_t != t:
+        qkv = jnp.pad(
+            qkv, ((0, 0), (0, 0), (0, 0), (0, pad_t - t), (0, 0)))
+        valid = jnp.pad(valid, ((0, 0), (0, pad_t - t)))
+    ok = valid[:, None, :].astype(jnp.int8)             # (B, 1, T)
+    out = _attn_packed(qkv, ok, scale, interpret)
     return out[:, :, :t, :]
