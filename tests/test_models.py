@@ -270,3 +270,44 @@ def test_seq_pad_multiple_matches_unpadded():
                     np.asarray(pad_aux[key])[b][vm[b]],
                     rtol=1e-4, atol=1e-5,
                 )
+
+
+def test_swin_qkv_grid_reassembles_image_order():
+    """aux["qkv_grid"] (the --swin-all-windows LOST feature surface) must
+    equal the last block's qkv projection applied to its INPUT tokens in
+    image order — i.e. the pad/shift/window transform is fully undone.
+    Verified independently: capture the previous block's output with
+    flax intermediates and apply the qkv Dense (full bias) per token."""
+    from vipers.models.swin import SwinTransformerV2, SwinV2Config
+
+    cfg = SwinV2Config(
+        patch_size=4, embed_dim=8, depths=(1, 2), num_heads=(1, 2),
+        window_size=4, num_classes=5, stochastic_depth_prob=0.0,
+    )
+    mod = SwinTransformerV2(cfg)
+    rng = np.random.default_rng(0)
+    # 64x64 -> stage1 grid 8x8 over window 4 = 4 windows; last block has
+    # bi=1 -> shift 2 (effective: ws < padded dims on both axes)
+    x = jnp.asarray(rng.normal(size=(1, 64, 64, 3)).astype(np.float32))
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    (_, aux), state = mod.apply(
+        variables, x, train=False,
+        capture_intermediates=lambda m, name: name == "__call__",
+    )
+    x_in = state["intermediates"]["stage1_block0"]["__call__"][0][0]
+    p = variables["params"]["stage1_block1"]["attn"]["qkv"]
+    expected = x_in @ p["kernel"] + p["bias"]
+    got = aux["qkv_grid"]
+    assert got.shape == expected.shape == (1, 8, 8, 3 * 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               atol=1e-5)
+
+    # single-window geometry (stage grid == window): shift zeroed, grid is
+    # the window itself
+    x2 = jnp.asarray(rng.normal(size=(1, 32, 32, 3)).astype(np.float32))
+    v2 = mod.init(jax.random.PRNGKey(1), x2, train=False)
+    _, aux2 = mod.apply(v2, x2, train=False)
+    np.testing.assert_allclose(
+        np.asarray(aux2["qkv_grid"]).reshape(1, 16, -1),
+        np.asarray(aux2["qkv"]), atol=0,
+    )

@@ -13,6 +13,9 @@ hand-edited torchvision internals dumping qkv/attention to disk
                  sqrt(attn.shape[-2]) == the window side, `main_lost.py:517`),
                  so window order is what its pipeline actually sees
     aux["features"]: (N, H/32, W/32, 8C) final feature map (GradCAM tap)
+    aux["qkv_grid"]: (N, H/32, W/32, 3C) the same last-block qkv undone
+                 back to IMAGE token order (pad/shift/window reversed) —
+                 the beyond-reference `--swin-all-windows` LOST mode
 
 Architecture per SwinV2 (arXiv:2111.09883), torchvision config swin_v2_t:
 patch 4, dims 96, depths (2,2,6,2), heads (3,6,12,24), window 8,
@@ -276,6 +279,7 @@ class SwinTransformerV2(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
 
         last_attn = last_qkv = None
+        last_geo = None  # (h, w, shift) entering the last block
         total_blocks = sum(c.depths)
         block_id = 0
         for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
@@ -283,6 +287,7 @@ class SwinTransformerV2(nn.Module):
                 shift = 0 if bi % 2 == 0 else c.window_size // 2
                 # torchvision: stochastic depth linearly scaled over blocks
                 sd = c.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                last_geo = (x.shape[1], x.shape[2], shift)
                 x, attn, qkv = SwinBlockV2(
                     x.shape[-1], heads, c.window_size, shift,
                     c.mlp_ratio, sd_rate=sd,
@@ -293,6 +298,24 @@ class SwinTransformerV2(nn.Module):
                 block_id += 1
             if si < len(c.depths) - 1:
                 x = PatchMergingV2(name=f"merge{si}")(x)
+
+        # Image-grid re-assembly of the last block's qkv — undoing the
+        # block's pad/shift/window transform (same arithmetic as
+        # SwinBlockV2.__call__) so LOST's --swin-all-windows mode can
+        # consume the FULL last-stage token grid, not just the first
+        # window (the only regime the reference's hook flow supports,
+        # `main_lost.py:501-566`, its multi-window handling commented out
+        # at `object_discovery.py:40-50`).
+        ws = c.window_size
+        gh, gw, gshift = last_geo
+        pad_b, pad_r = (ws - gh % ws) % ws, (ws - gw % ws) % ws
+        Hp, Wp = gh + pad_b, gw + pad_r
+        sh = gshift if ws < Hp else 0
+        sw = gshift if ws < Wp else 0
+        g = _window_reverse(last_qkv, ws, Hp, Wp)
+        if sh or sw:
+            g = jnp.roll(g, (sh, sw), axis=(1, 2))
+        qkv_grid = g[:, :gh, :gw, :]
 
         if tap_delta is not None:
             x = x + tap_delta  # explainability tap (final feature map)
@@ -310,6 +333,7 @@ class SwinTransformerV2(nn.Module):
             "features": features,
             "attn": last_attn,
             "qkv": last_qkv.reshape(n, -1, last_qkv.shape[-1]),
+            "qkv_grid": qkv_grid,  # (N, H', W', 3C) image token order
         }
 
 
