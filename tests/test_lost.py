@@ -801,3 +801,170 @@ def test_cluster_cli_end_to_end(synthetic_voc, tmp_path):
     assert run_cluster_cli(args) == 0
     labels2 = pickle.load(open(out, "rb"))
     assert labels2 == labels
+
+
+# ---------------------------------------------------------------------------
+# CNN feature-grid bucketing (round 4): one compile per bucket instead of
+# one per unique image shape; `--exact-shapes` restores native-resolution
+# parity. `/root/reference/main_lost.py:570-600` runs CNNs at exact shapes.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_cnn_bucketed_noop_when_grid_aligned():
+    """resnet feature dims are ceil(px/32), so the canonical bucket input
+    for an aligned image is the image itself: zero extra pad, all-true
+    mask — features match the cnn_bucket=1 exact path to float noise, and
+    the canonical-input rule maps every bucket member to ONE signature."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+
+    spec = build_model("resnet50_bottom", input_size=(64, 64))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    img = np.random.default_rng(1).normal(size=(128, 128, 3)).astype(np.float32)
+    outs = {}
+    for cb in (1, 4):
+        ex = LostFeatureExtractor(spec, variables, arch="resnet",
+                                  which_features="k", cnn_bucket=cb)
+        f, dims, vdims, scales, _ = ex.extract(img, 16)
+        outs[cb] = (np.asarray(f, np.float32), dims, vdims, scales)
+        if cb == 4:
+            # canonical input extent for a 4-cell bucket is 4*32 = 128
+            assert ex._cnn_canon_input(4) == 128
+            # every extent in (96, 128] shares the bucket's one signature
+            assert ex._cnn_canon_input(4) >= 97
+    assert outs[1][1] == (4, 4) and outs[4][1] == (4, 4)
+    assert outs[1][2] == outs[4][2] and outs[1][3] == outs[4][3]
+    np.testing.assert_allclose(outs[4][0], outs[1][0], atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_cnn_bucketed_features_match_exact_in_interior():
+    """Bucketed run: pad cells are exactly zero, valid dims/scales preserve
+    the exact-shape geometry, and features AWAY from the pad boundary match
+    the native-resolution run closely (the boundary cells deviate because
+    conv receptive fields cross the zero pad — the documented trade)."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+
+    spec = build_model("vgg16_bottom", input_size=(64, 64))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    # 160x128 -> vgg stride 16 -> (10, 8) grid -> bucket 4 -> (12, 8)
+    img = np.random.default_rng(2).normal(size=(160, 128, 3)).astype(np.float32)
+
+    ex_exact = LostFeatureExtractor(spec, variables, arch="vgg16",
+                                    which_features="k", cnn_bucket=1)
+    f_e, dims_e, vdims_e, scales_e, _ = ex_exact.extract(img, 16)
+    ex_b = LostFeatureExtractor(spec, variables, arch="vgg16",
+                                which_features="k", cnn_bucket=4)
+    f_b, dims_b, vdims_b, scales_b, _ = ex_b.extract(img, 16)
+
+    assert dims_e == vdims_e == (10, 8)
+    assert dims_b == (12, 8) and vdims_b == (10, 8)
+    assert scales_b == scales_e  # boxes map back through the TRUE ratio
+
+    d = f_e.shape[-1]
+    grid_e = np.asarray(f_e, np.float32).reshape(10, 8, d)
+    grid_b = np.asarray(f_b, np.float32).reshape(12, 8, d)
+    # pad rows exactly zero (lost_core's valid_dims masking contract)
+    assert np.all(grid_b[10:] == 0)
+    # interior rows (>= 2 cells from the pad edge) track the exact run
+    # The deviation has two parts: conv windows crossing the zero pad
+    # (local to the bottom/right boundary — the canonical bucket input
+    # pads BOTH axes to the top of the feature step) and the
+    # slab-LayerNorm mu/var shifting with those cells (global, small).
+    # Random weights + noise images are the worst case; trained nets on
+    # natural images deviate less.  Interior = >= 2 cells from both pads.
+    itr_e, itr_b = grid_e[:8, :6], grid_b[:8, :6]
+    denom = np.abs(itr_e).max()
+    err = np.abs(itr_b - itr_e).max() / denom
+    assert err < 0.3, err
+    corr = np.corrcoef(itr_b.ravel(), itr_e.ravel())[0, 1]
+    assert corr > 0.995, corr
+
+
+@pytest.mark.slow
+def test_lost_cnn_bucketed_corloc_ab(synthetic_voc, tmp_path):
+    """run_lost default (bucketed) vs --exact-shapes on the synthetic VOC:
+    both regimes produce the contract artifacts; CorLoc agrees on the
+    fixture's unambiguous bright-square objects."""
+    import argparse
+
+    from vipers.discovery.driver import run_lost
+
+    corloc = {}
+    for tag, exact in (("bucket", False), ("exact", True)):
+        out = str(tmp_path / f"lost_cnn_{tag}")
+        args = argparse.Namespace(
+            model="resnet50_bottom", arch="resnet", dataset="VOC07",
+            set="trainval", data_path=synthetic_voc, checkpoint="",
+            patch_size=16, which_features="k", k_patches=100, dinoseg=False,
+            dinoseg_head=4, no_hard=False, output_dir=out, iteration=7,
+            visualize=None, exact_shapes=exact,
+        )
+        assert run_lost(args) == 0
+        txt = os.path.join(out, "results_iteration_07.txt")
+        assert os.path.exists(txt)
+        line = open(txt).read()  # "corloc,{x:.1f},,"
+        corloc[tag] = float(line.strip().split(",")[1])
+        import pickle
+
+        with open(os.path.join(out, "preds.pkl"), "rb") as f:
+            assert len(pickle.load(f)) == 3  # a box for every image
+    assert corloc["bucket"] == corloc["exact"], corloc
+
+
+@pytest.mark.slow
+def test_swin_all_windows_extract_ab():
+    """--swin-all-windows consumes the TRUE last-stage grid (image token
+    order, real image/feature scales).  A/B against the reference's
+    first-window regime on a MULTI-WINDOW image (256x384 -> stage-3 grid
+    8x12 over window 8): the first-window regime sees only the top-left
+    8x8 window's tokens — incl. this image's window-pad rows — while the
+    all-windows mode covers the full grid and boxes the object."""
+    from tests.torch_swin_oracle import random_torchvision_swin_sd
+    from vipers.core.checkpoint import import_torch_checkpoint, to_jax
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.discovery.lost import lost
+
+    # trained-style weights: zero-init biases make window-pad tokens
+    # degenerate inverse-degree seeds (the same reason test_lost_swin_path
+    # imports weights — faithful to the reference's hook flow)
+    sd = random_torchvision_swin_sd(seed=0, num_classes=10)
+    params, _bs, masks = import_torch_checkpoint(
+        {k: v.numpy() for k, v in sd.items()}, "swin_v2_t"
+    )
+    spec = build_model("swin_v2_t", num_classes=10)
+    variables = {"params": to_jax(params)}
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(256, 384, 3)).astype(np.float32) * 0.1
+    img[64:192, 96:288] += 3.0  # bright block well inside the grid
+
+    ex_all = LostFeatureExtractor(spec, variables, arch="swin",
+                                  which_features="k", swin_all_windows=True)
+    feats, dims, vdims, scales, _ = ex_all.extract(img, 4)
+    assert dims == vdims == (8, 12)
+    assert scales == [32.0, 32.0]
+    assert feats.shape[1] == 96
+    pred, _A, _scores, _seed = lost(
+        feats, dims, scales, (3, 256, 384), k_patches=96, valid_dims=vdims)
+    x0, y0, x1, y1 = np.asarray(pred, np.float64)
+    assert 0 <= x0 < x1 <= 384 and 0 <= y0 < y1 <= 256
+
+    # reference regime: first window only — 8x8 token grid regardless of
+    # the true 8x12 feature grid (its multi-window handling is commented
+    # out, object_discovery.py:40-50)
+    ex_ref = LostFeatureExtractor(spec, variables, arch="swin",
+                                  which_features="k")
+    feats_r, dims_r, vdims_r, scales_r, _ = ex_ref.extract(img, 4)
+    assert dims_r == (8, 8)
+    assert feats_r.shape[1] == 64

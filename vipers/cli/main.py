@@ -106,6 +106,21 @@ def main(argv=None):
     lost.add_argument("--resnet-dilate", type=int, default=1,
                       choices=[1, 2, 4],
                       help="dilated resnet feature map for the CNN path")
+    lost.add_argument("--cnn-bucket", type=int, default=4,
+                      help="CNN path: round the conv feature grid up to "
+                           "this multiple (input zero-padded; one compile "
+                           "per bucket instead of per unique image shape). "
+                           "Boundary features deviate slightly from "
+                           "native-resolution (docs/PERF.md A/B)")
+    lost.add_argument("--exact-shapes", action="store_true",
+                      help="CNN path: reference-parity regime — run every "
+                           "image at its native resolution (exact features, "
+                           "one compile per unique shape)")
+    lost.add_argument("--swin-all-windows", action="store_true",
+                      help="swin: run LOST on the FULL last-stage token "
+                           "grid in image order (beyond-reference-correct; "
+                           "default keeps the reference's first-window "
+                           "regime, main_lost.py:501-566)")
     lost.add_argument("--strict", action="store_true",
                       help="crash on seed-in-background images like the "
                            "reference (`object_discovery.py:110-112`) instead "

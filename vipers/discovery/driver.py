@@ -84,11 +84,27 @@ class LostFeatureExtractor:
                  which_features: str = "k", bucket: int = 4,
                  need_attn: bool = False, compute_dtype=None,
                  observers=None, sequence_mesh=None,
-                 sequence_axis: str = "seq"):
+                 sequence_axis: str = "seq", cnn_bucket: int = 4,
+                 swin_all_windows: bool = False):
         self.spec = spec
         self.arch = arch
         self.which = which_features
         self.bucket = bucket
+        # CNN feature-grid bucketing (round-4 ask): pad the INPUT so the
+        # conv feature grid lands on a `cnn_bucket` multiple — one compile
+        # per bucket instead of one per unique image shape (a VOC07 sweep
+        # has hundreds; at ~20 s/compile on a tunneled chip the exact-shape
+        # regime is compile-bound).  Unlike the ViT path this is NOT exact:
+        # conv receptive fields cross the zero pad, so features near the
+        # bottom/right boundary deviate (measured on CorLoc in
+        # docs/PERF.md; `--exact-shapes` / cnn_bucket=1 restores the
+        # reference's native-resolution parity regime).
+        self.cnn_bucket = cnn_bucket
+        self._fdim_cache: dict = {}
+        self._cnn_stride = None
+        # beyond-reference swin mode: LOST over the FULL last-stage token
+        # grid (aux["qkv_grid"]) instead of the first window only
+        self.swin_all_windows = swin_all_windows
         params = variables["params"]
         if masks:
             # ONE jitted program for the whole mask bake: eager per-leaf
@@ -179,6 +195,39 @@ class LostFeatureExtractor:
             var = jnp.var(f, axis=(1, 2), keepdims=True)
             return (f - mu) / jnp.sqrt(var + 1e-5), (h, w)
 
+        def _raw_cnn_feats(variables, img):
+            out, aux = module_apply(variables, img, train=False)
+            return aux["features"] if (
+                isinstance(aux, dict) and "features" in aux and out.ndim != 4
+            ) else out
+
+        self._raw_cnn_feats = _raw_cnn_feats
+
+        @jax.jit
+        def cnn_forward_bucketed(variables, img, valid_fhw):
+            """CNN features on a bucket-padded input.  ``valid_fhw`` (2,)
+            i32 — the exact-shape feature dims — is a traced ARRAY, so one
+            compile serves every image that lands in the bucket.  The
+            reference's whole-slab LayerNorm (`main_lost.py:581-584`) is
+            computed over VALID cells only (pad cells are conv-of-zeros
+            garbage, not part of the reference's slab) and pad cells are
+            zeroed for ``lost_core``'s valid_dims masking."""
+            feats = _raw_cnn_feats(variables, img)
+            n, fh, fw, d = feats.shape
+            m = (
+                (jnp.arange(fh)[:, None] < valid_fhw[0])
+                & (jnp.arange(fw)[None, :] < valid_fhw[1])
+            ).reshape(1, fh * fw, 1)
+            f = feats.reshape(n, fh * fw, d)
+            mf = m.astype(f.dtype)
+            cnt = (valid_fhw[0] * valid_fhw[1] * d).astype(f.dtype)
+            mu = jnp.sum(f * mf, axis=(1, 2), keepdims=True) / cnt
+            var = jnp.sum(jnp.square((f - mu) * mf), axis=(1, 2),
+                          keepdims=True) / cnt
+            return ((f - mu) / jnp.sqrt(var + 1e-5)) * mf, (fh, fw)
+
+        self._cnn_forward_bucketed = cnn_forward_bucketed
+
         self._vit_forward = transformer_forward
         self._dino_forward = transformer_forward
         self._cnn_forward = cnn_forward
@@ -267,6 +316,71 @@ class LostFeatureExtractor:
             self._pos_cache[key] = (jnp.asarray(full), jnp.asarray(mask))
         return self._pos_cache[key]
 
+    def _cnn_fdim(self, px: int) -> int:
+        """Feature cells along one input axis of ``px`` pixels, via
+        ``jax.eval_shape`` (trace only — no compile).  torchvision
+        resnet/vgg are h/w-separable, so a 1-D cache keyed on the pixel
+        count covers both axes; a VOC sweep probes ~dozens of values."""
+        import jax
+
+        if px not in self._fdim_cache:
+            shp = jax.eval_shape(
+                self._raw_cnn_feats, self.variables,
+                jax.ShapeDtypeStruct((1, px, 64, 3), self.compute_dtype),
+            )
+            self._fdim_cache[px] = int(shp.shape[1])
+        return self._fdim_cache[px]
+
+    def _cnn_input_for_fdim(self, px: int, target: int) -> int:
+        """Smallest-ish input extent >= px whose feature extent == target
+        (monotone in px; steps of the net's output stride)."""
+        if self._cnn_stride is None:
+            self._cnn_stride = max(
+                round(256 / max(self._cnn_fdim(512) - self._cnn_fdim(256), 1)),
+                1,
+            )
+        s = self._cnn_stride
+        out = px + (target - self._cnn_fdim(px)) * s
+        for _ in range(4):  # land anywhere inside the target step first
+            f = self._cnn_fdim(out)
+            if f == target:
+                break
+            out += (target - f) * s
+        else:
+            raise ValueError(
+                f"no input extent near {px}px maps to {target} feature cells")
+        # binary-search the SMALLEST extent on the step (the canonical-input
+        # rule needs the exact step boundary, ~log2(stride) probes)
+        lo = out - s
+        while self._cnn_fdim(lo) >= target:
+            lo -= s
+        hi = out
+        while lo + 1 < hi:
+            mid = (lo + hi) // 2
+            if self._cnn_fdim(mid) >= target:
+                hi = mid
+            else:
+                lo = mid
+        return hi
+
+    def _cnn_canon_input(self, target: int) -> int:
+        """Canonical input extent for a bucket axis: the LARGEST input that
+        maps to ``target`` feature cells (top of the feature-dim step).
+        Every image whose feature extent rounds up to ``target`` fits under
+        it, so one compile signature serves the whole bucket.  For
+        ceil(x/stride) nets (resnet) this is exactly target*stride — images
+        already on the grid get ZERO extra pad."""
+        key = ("canon", target)
+        if key not in self._fdim_cache:
+            if self._cnn_stride is None:
+                self._cnn_fdim(256)  # prime
+                self._cnn_input_for_fdim(256, self._cnn_fdim(256))
+            px = self._cnn_input_for_fdim(
+                max(target * self._cnn_stride, 33), target + 1) - 1
+            assert self._cnn_fdim(px) == target, (px, target)
+            self._fdim_cache[key] = px
+        return self._fdim_cache[key]
+
     def extract(self, img_hwc: np.ndarray, patch_size: int):
         """img_hwc: normalized float (H, W, 3), *already* padded to the
         patch multiple (tier-1). Returns (feats (1,T,D) on bucket grid,
@@ -319,16 +433,45 @@ class LostFeatureExtractor:
                 self.variables,
                 jnp.asarray(img_hwc)[None].astype(self.compute_dtype),
             )
+            nh = aux["attn"].shape[1]
+            if self.swin_all_windows:
+                # beyond-reference-correct mode: the whole last-stage
+                # token grid in image order (pad/shift/window undone by
+                # the model), true qkv split, true image/feature scales
+                grid = aux["qkv_grid"]
+                _, fh, fw, _3c = grid.shape
+                q, k, v = split_qkv_dino(
+                    grid.reshape(1, fh * fw, _3c), nh)
+                feats = np.asarray({"k": k, "q": q, "v": v}[self.which])
+                return feats, (fh, fw), (fh, fw), [h / fh, w / fw], aux["attn"]
             t_win = aux["attn"].shape[-2]
             ws = int(np.sqrt(t_win))
-            nh = aux["attn"].shape[1]
             qkv_first = aux["qkv"][:, :t_win, :]  # first window's tokens
             q, k, v = split_qkv_dino(qkv_first, nh)
             feats = np.asarray({"k": k, "q": q, "v": v}[self.which])
             scales = [h / patch_size, w / patch_size]
             return feats, (ws, ws), (ws, ws), scales, aux["attn"]
-        # CNN path: exact shapes (conv receptive fields cross any extra
-        # padding, so bucket-masking would not be exact).
+        # CNN path. Default: feature-grid bucketing (one compile per bucket
+        # — round-4 ask); cnn_bucket=1 (`--exact-shapes`) restores the
+        # reference's native-resolution regime (one compile per unique
+        # image shape), which is exact because conv receptive fields cross
+        # any extra padding.
+        cb = self.cnn_bucket
+        if cb > 1:
+            fh, fw = self._cnn_fdim(h), self._cnn_fdim(w)
+            FH, FW = -(-fh // cb) * cb, -(-fw // cb) * cb
+            H, W = self._cnn_canon_input(FH), self._cnn_canon_input(FW)
+            img_b = np.zeros((H, W, 3), np.float32)
+            img_b[:h, :w] = img_hwc
+            feats, (FH2, FW2) = self._cnn_forward_bucketed(
+                self.variables,
+                jnp.asarray(img_b)[None].astype(self.compute_dtype),
+                jnp.asarray([fh, fw], jnp.int32),
+            )
+            assert (FH2, FW2) == (FH, FW), (FH2, FW2, FH, FW)
+            # scales from the EXACT feature dims: box coords map back
+            # through the true image/feature ratio, like the exact path
+            return feats, (FH, FW), (fh, fw), [h / fh, w / fw], None
         feats, (fh, fw) = self._cnn_forward(
             self.variables,
             jnp.asarray(img_hwc)[None].astype(self.compute_dtype),
@@ -661,6 +804,12 @@ def run_lost(args) -> int:
         need_attn=bool(args.dinoseg),
         compute_dtype=dtype,
         sequence_mesh=seq_mesh,
+        # CNN LOST: feature-grid bucketing by default (one compile per
+        # bucket); `--exact-shapes` restores the reference's exact
+        # native-resolution regime (boundary-exact, compile per shape)
+        cnn_bucket=1 if getattr(args, "exact_shapes", False)
+        else int(getattr(args, "cnn_bucket", 0) or 4),
+        swin_all_windows=bool(getattr(args, "swin_all_windows", False)),
     )
     acc = CorLocAccumulator()
     n_imgs = 0
