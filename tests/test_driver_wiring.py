@@ -91,6 +91,7 @@ def test_cache_dataset_wired(tiny_imagenet, tmp_path):
     assert len(pkls) == 2  # train + val listings cached
 
 
+@pytest.mark.slow  # 60-85s: keeps the smoke loop fast (VERDICT r3 weak #6)
 def test_resnet_dilate_builds_dilated_model(tiny_imagenet, tmp_path):
     from vipers.train.driver import build_session
 

@@ -228,6 +228,7 @@ def test_swin_importer_roundtrips_pruned_checkpoint():
     np.testing.assert_allclose(got, (w * mask).numpy().T)
 
 
+@pytest.mark.slow  # 60-85s: keeps the smoke loop fast (VERDICT r3 weak #6)
 def test_seq_pad_multiple_matches_unpadded():
     """seq_pad_multiple (one-shot token padding for flash alignment) must
     leave valid-token outputs equal to the unpadded run up to f32

@@ -356,6 +356,7 @@ def test_lost_workers_zero_is_synchronous(monkeypatch, tmp_path):
 
 # ----------------------------------------------- round-3 review-pass fixes
 
+@pytest.mark.slow  # 60-85s: keeps the smoke loop fast (VERDICT r3 weak #6)
 def test_ptq_calibration_probes_masked_params(tmp_path, monkeypatch):
     """PTQ calibration must observe the PRUNED network: probe_vars passed to
     ptq_calibrate carry mask-applied params (raw params keep stale nonzero

@@ -459,6 +459,7 @@ def test_slim_cli_vgg_roundtrip(tmp_path):
 
 # --------------------------------------------------------------- Swin family
 
+@pytest.mark.slow  # 60-85s: keeps the smoke loop fast (VERDICT r3 weak #6)
 def test_slim_swin_equals_masked_model_exactly(rng):
     """Swin MLP slimming exactness: res-post-norm does not break the
     contract because fc2's OUTPUT (norm2's input) is unchanged when the
