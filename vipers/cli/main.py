@@ -131,7 +131,11 @@ def main(argv=None):
                            "the bench headline; LOST thresholds are "
                            "parity-insensitive at box granularity; int8 "
                            "executes dense/conv as dynamic-quantized "
-                           "integer matmuls, rest bf16)")
+                           "integer matmuls, rest bf16 — a MEMORY option "
+                           "on v5e, not a speed win: measured -12%% vs "
+                           "bf16 at ViT-S/D=384, -4%% at ViT-B/D=768; the "
+                           "QDQ gap shrinks with width but never crosses "
+                           "at this family's scales, docs/PERF.md)")
     lost.add_argument("--data-parallel", action="store_true",
                       help="shard LOST batches over all devices of a "
                            "(data,) mesh")
