@@ -968,3 +968,49 @@ def test_swin_all_windows_extract_ab():
     feats_r, dims_r, vdims_r, scales_r, _ = ex_ref.extract(img, 4)
     assert dims_r == (8, 8)
     assert feats_r.shape[1] == 64
+
+
+@pytest.mark.slow
+def test_cnn_batched_pipeline_matches_per_image():
+    """The batched CNN pipeline (one program per canonical bucket) must
+    produce the SAME boxes as the per-image bucketed extract+lost path —
+    same features, same masked slab LayerNorm, same lost_core, just
+    batched."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.discovery.lost import box_feat_to_image, lost
+
+    spec = build_model("vgg16_bottom", input_size=(64, 64))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False
+    )
+    ex = LostFeatureExtractor(spec, variables, arch="vgg16",
+                              which_features="k", cnn_bucket=4)
+    rng = np.random.default_rng(3)
+    imgs = []
+    for hw in ((96, 128), (112, 128), (128, 112)):
+        im = rng.normal(size=(*hw, 3)).astype(np.float32) * 0.2
+        im[hw[0] // 4: 3 * hw[0] // 4, hw[1] // 4: 3 * hw[1] // 4] += 2.0
+        imgs.append(im)
+    # all three share one bucket: vgg stride 16 -> fh in {6,7,8} -> FH 8
+    keys = {ex.cnn_bucket_key(*im.shape[:2]) for im in imgs}
+    assert len(keys) == 1, keys
+    canon = keys.pop()
+
+    pipe = ex.make_batched_cnn_pipeline(k_patches=100)
+    images, valid_fhw = ex.prepare_cnn_batch(imgs, canon)
+    box_feat, seeds, seed_bg = jax.device_get(
+        pipe(ex.variables, images, valid_fhw))
+    assert not seed_bg.any()
+
+    for i, im in enumerate(imgs):
+        h, w = im.shape[:2]
+        feats, dims, vdims, scales, _ = ex.extract(im, 16)
+        pred, _A, _s, seed = lost(
+            feats, dims, scales, (3, h, w), k_patches=100, valid_dims=vdims)
+        batched_pred = box_feat_to_image(
+            box_feat[i], ex.cnn_scales(h, w), (3, h, w))
+        assert int(seeds[i]) == int(seed), (i, seeds[i], seed)
+        np.testing.assert_allclose(batched_pred, np.asarray(pred), atol=0)

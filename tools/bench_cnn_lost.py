@@ -47,8 +47,11 @@ def main():
                     help="number of distinct shapes to run (<= %d)"
                          % len(VOC_SHAPES))
     ap.add_argument("--bucket", type=int, default=4)
-    ap.add_argument("--regimes", nargs="+", default=["bucket", "exact"],
-                    choices=["bucket", "exact"])
+    ap.add_argument("--regimes", nargs="+",
+                    default=["batched", "bucket", "exact"],
+                    choices=["batched", "bucket", "exact"])
+    ap.add_argument("--batch", type=int, default=8,
+                    help="images per program in the batched regime")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -69,6 +72,46 @@ def main():
     )(jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)))
 
     for regime in args.regimes:
+        if regime == "batched":
+            # the shipped product path (run_lost use_batched_cnn): one
+            # program per (canonical bucket, batch) — whole batches of
+            # same-bucket images through conv features + vmapped LOST
+            ex = LostFeatureExtractor(
+                spec, variables, arch=args.arch, which_features="k",
+                compute_dtype=jnp.bfloat16, cnn_bucket=args.bucket,
+            )
+            pipe = ex.make_batched_cnn_pipeline(k_patches=100)
+            groups: dict = {}
+            for img in imgs:
+                groups.setdefault(
+                    ex.cnn_bucket_key(*img.shape[:2]), []).append(img)
+            batches = []
+            for key, members in groups.items():
+                mem = (members * ((args.batch // len(members)) + 1))[
+                    : args.batch]
+                batches.append(ex.prepare_cnn_batch(mem, key))
+            t0 = time.perf_counter()
+            for b in batches:
+                jax.device_get(pipe(ex.variables, *b))
+            cold = time.perf_counter() - t0
+            # device_get, not block_until_ready: the tunneled platform's
+            # block_until_ready returns before remote execution finishes
+            # (measured 0.1 ms/img phantom vs 1.9 ms/img real)
+            reps = 4
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                outs = [pipe(ex.variables, *b) for b in batches]
+            jax.device_get(outs)
+            warm = time.perf_counter() - t0
+            n = args.batch * len(batches) * reps
+            print(
+                f"batched: {len(groups)} buckets x B={args.batch} -> "
+                f"{len(batches)} compile signatures | cold {cold:6.1f}s | "
+                f"warm {1000 * warm / n:6.1f} ms/img "
+                f"({n / warm:6.1f} img/s)",
+                flush=True,
+            )
+            continue
         cb = args.bucket if regime == "bucket" else 1
         ex = LostFeatureExtractor(
             spec, variables, arch=args.arch, which_features="k",

@@ -553,6 +553,85 @@ class LostFeatureExtractor:
 
         return run
 
+    def make_batched_cnn_pipeline(self, k_patches: int = 100):
+        """Batched CNN LOST, ONE jitted program per canonical bucket input
+        (round 4 — possible only because `--cnn-bucket` gives every image
+        in a bucket the same padded shape): batched conv features, the
+        per-image masked slab LayerNorm, and the vmapped LOST core.  Like
+        the transformer pipeline, only 4-int boxes/seeds/flags leave the
+        chip.  The reference's CNN flow is a per-image batch-1 loop
+        (`main_lost.py:570-600`).
+
+        Returns fn(variables, images (B,H,W,3), valid_fhw (B,2) i32)
+        -> (box_feat (B,4), seed (B,), seed_in_background (B,))."""
+        raw = self._raw_cnn_feats
+        cdt = self.compute_dtype
+
+        @jax.jit
+        def run(variables, images, valid_fhw):
+            feats = raw(variables, images.astype(cdt))  # (B, FH, FW, D)
+            b, fh, fw, d = feats.shape
+            f = feats.reshape(b, fh * fw, d)
+            m = (
+                (jnp.arange(fh)[None, :, None] < valid_fhw[:, 0, None, None])
+                & (jnp.arange(fw)[None, None, :] < valid_fhw[:, 1, None, None])
+            ).reshape(b, fh * fw, 1)
+            mf = m.astype(f.dtype)
+            cnt = (valid_fhw[:, 0] * valid_fhw[:, 1] * d).astype(
+                f.dtype)[:, None, None]
+            mu = jnp.sum(f * mf, axis=(1, 2), keepdims=True) / cnt
+            var = jnp.sum(jnp.square((f - mu) * mf), axis=(1, 2),
+                          keepdims=True) / cnt
+            f = ((f - mu) / jnp.sqrt(var + 1e-5)) * mf
+            out = jax.vmap(
+                lambda ff, v: lost_core(
+                    ff, v, grid_hw=(fh, fw), k_patches=k_patches, lean=True
+                )
+            )(f, valid_fhw)
+            return out["box_feat"], out["seed"], out["seed_in_background"]
+
+        return run
+
+    def cnn_bucket_key(self, h: int, w: int):
+        """Canonical padded input (H, W) for an image — the batched-CNN
+        buffer key: every image with this key shares one compile."""
+        cb = self.cnn_bucket
+        fh, fw = self._cnn_fdim(h), self._cnn_fdim(w)
+        return (self._cnn_canon_input(-(-fh // cb) * cb),
+                self._cnn_canon_input(-(-fw // cb) * cb))
+
+    def prepare_cnn_batch(self, imgs, canon_hw):
+        """Stack same-bucket images into (images (B,H,W,3) zero-padded to
+        the canonical extent, valid_fhw (B,2) exact feature dims)."""
+        H, W = canon_hw
+        batch = np.zeros((len(imgs), H, W, 3), np.float32)
+        fhw = []
+        for i, im in enumerate(imgs):
+            batch[i, : im.shape[0], : im.shape[1]] = im
+            fhw.append((self._cnn_fdim(im.shape[0]),
+                        self._cnn_fdim(im.shape[1])))
+        return jnp.asarray(batch), jnp.asarray(fhw, jnp.int32)
+
+    def cnn_scales(self, h: int, w: int):
+        """Per-image feature->pixel scales for box_feat_to_image (the
+        transformer pipeline's constant [patch, patch] equivalent)."""
+        return [h / self._cnn_fdim(h), w / self._cnn_fdim(w)]
+
+    def shard_cnn_for_mesh(self, mesh, batch_inputs):
+        """Data-parallel placement for the batched CNN pipeline inputs."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        images, valid_fhw = batch_inputs
+        if images.shape[0] % mesh.devices.size:
+            raise ValueError(
+                f"batch {images.shape[0]} not divisible by "
+                f"{mesh.devices.size} devices"
+            )
+        self.variables = jax.device_put(
+            self.variables, NamedSharding(mesh, P()))
+        data = NamedSharding(mesh, P("data"))
+        return jax.device_put(images, data), jax.device_put(valid_fhw, data)
+
     def shard_for_mesh(self, mesh, batch_inputs):
         """Data-parallel LOST: place the batch on a ("data",) mesh (batch
         arrays sharded over the data axis, params/pos replicated) so the
@@ -821,14 +900,25 @@ def run_lost(args) -> int:
     use_batched = (
         arch in ("vit", "dino") and not args.visualize and not args.dinoseg
     )
+    # CNN batching rides the bucketed compile economics: every image in a
+    # bucket shares the canonical padded shape, so a whole batch is one
+    # program (the reference's CNN flow is a per-image batch-1 loop).
+    # --exact-shapes keeps the per-image parity path.
+    use_batched_cnn = (
+        arch not in ("vit", "dino", "swin")
+        and extractor.cnn_bucket > 1
+        and not args.visualize and not args.dinoseg
+    )
     batch_size = int(getattr(args, "batch_size", 0) or 8)
     buffers: dict = {}
     pipeline = (
         extractor.make_batched_pipeline(k_patches=args.k_patches)
-        if use_batched else None
+        if use_batched else
+        extractor.make_batched_cnn_pipeline(k_patches=args.k_patches)
+        if use_batched_cnn else None
     )
     mesh = None
-    if use_batched and getattr(args, "data_parallel", False):
+    if (use_batched or use_batched_cnn) and getattr(args, "data_parallel", False):
         from vipers.parallel.mesh import make_mesh
 
         mesh = make_mesh(model_parallel=1)
@@ -860,7 +950,11 @@ def run_lost(args) -> int:
                     )
                 failed.append(im_name)
                 continue
-            pred = box_feat_to_image(box_feat[i], [p, p], init_size)
+            scales = (
+                extractor.cnn_scales(*_img.shape[:2]) if use_batched_cnn
+                else [p, p]
+            )
+            pred = box_feat_to_image(box_feat[i], scales, init_size)
             acc.add(im_name, pred, gt_i)
 
     def flush(bucket_key):
@@ -870,14 +964,22 @@ def run_lost(args) -> int:
         # pad the tail batch by repeating the last image so every bucket
         # compiles exactly one batch shape
         imgs = imgs + [imgs[-1]] * (batch_size - n_real)
-        batch_inputs = extractor.prepare_batch(imgs, p)
-        if mesh is not None:
-            batch_inputs = extractor.shard_for_mesh(mesh, batch_inputs)
-        images, pos, tmask, vhw = batch_inputs
-        in_flight.append((
-            pipeline(extractor.variables, images, pos, tmask, vhw),
-            recs, n_real,
-        ))
+        if use_batched_cnn:
+            batch_inputs = extractor.prepare_cnn_batch(imgs, bucket_key)
+            if mesh is not None:
+                batch_inputs = extractor.shard_cnn_for_mesh(mesh, batch_inputs)
+            in_flight.append((
+                pipeline(extractor.variables, *batch_inputs), recs, n_real,
+            ))
+        else:
+            batch_inputs = extractor.prepare_batch(imgs, p)
+            if mesh is not None:
+                batch_inputs = extractor.shard_for_mesh(mesh, batch_inputs)
+            images, pos, tmask, vhw = batch_inputs
+            in_flight.append((
+                pipeline(extractor.variables, images, pos, tmask, vhw),
+                recs, n_real,
+            ))
         while len(in_flight) > 1:
             drain_one()
 
@@ -894,9 +996,13 @@ def run_lost(args) -> int:
     ):
         n_imgs += 1
 
-        if use_batched:
-            key = bucket_hw(padded.shape[0], padded.shape[1], p,
-                            extractor.bucket)
+        if use_batched or use_batched_cnn:
+            key = (
+                extractor.cnn_bucket_key(padded.shape[0], padded.shape[1])
+                if use_batched_cnn else
+                bucket_hw(padded.shape[0], padded.shape[1], p,
+                          extractor.bucket)
+            )
             buffers.setdefault(key, []).append(
                 (im_name, padded, init_image_size, gt)
             )
