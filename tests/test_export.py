@@ -1,0 +1,176 @@
+"""Serving export (core/export.py): StableHLO artifacts via jax.export.
+
+The reference's deployment story is a cleaned state_dict
+(`/root/reference/utils.py:323-391`) that still needs torch + the research
+scripts to run; vipers exports a self-contained compiled artifact. These
+tests pin the contract: the deserialized artifact reproduces direct model
+apply exactly (same program), masks are baked, slim sidecars are honored
+through the CLI, and int8 export runs real integer kernels.
+"""
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vipers.core.export import (export_serving, load_artifact,
+                                make_serving_forward, save_artifact)
+from vipers.core.registry import (ModelSpec, build_model, get_model_builder,
+                                  register_model)
+from vipers.models.vit import ViTConfig, VisionTransformer
+
+IMG = (32, 32)
+CFG = ViTConfig(patch_size=4, num_layers=2, num_heads=4, hidden_dim=32,
+                mlp_dim=64, num_classes=10)
+
+
+def _register_tiny():
+    try:
+        get_model_builder("vit_export_tiny")
+    except (KeyError, ValueError):
+        @register_model("vit_export_tiny")
+        def _build(num_classes: int = 10, **_kw):
+            cfg = dataclasses.replace(CFG, num_classes=num_classes)
+            return ModelSpec(
+                name="vit_export_tiny",
+                module=VisionTransformer(cfg=cfg, image_size=IMG),
+                input_size=IMG, num_classes=num_classes,
+                prune_exclude=("qkv",), patch_size=CFG.patch_size,
+                family="vit",
+            )
+
+
+def _tiny():
+    _register_tiny()
+    spec = build_model("vit_export_tiny", num_classes=10)
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, *IMG, 3)), train=False)
+    return spec, variables
+
+
+def test_export_roundtrip_exact(tmp_path):
+    """Deserialized artifact reproduces direct jitted apply. The StableHLO
+    is the same traced program, but XLA compiles the deserialized module
+    afresh, so fusion choices may regroup reductions — tolerance is the
+    float32 rounding floor, not a semantic gap."""
+    spec, variables = _tiny()
+    blob, meta = export_serving(spec, variables, batch_size=2)
+    out = str(tmp_path / "art")
+    save_artifact(out, blob, meta)
+
+    assert os.path.exists(os.path.join(out, "model.stablehlo"))
+    with open(os.path.join(out, "meta.json")) as f:
+        assert json.load(f)["model"] == "vit_export_tiny"
+    assert meta["input_shape"] == [2, *IMG, 3]
+    assert meta["output_shape"] == [2, 10]
+    assert meta["num_classes"] == 10
+    assert meta["compute_dtype"] == "float32"
+
+    fn, meta2 = load_artifact(out)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(1), (2, *IMG, 3)), np.float32)
+    got = np.asarray(fn(x))
+    want = np.asarray(
+        make_serving_forward(spec, variables)(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    assert meta2["platforms"] == meta["platforms"]
+
+
+def test_export_bakes_masks(tmp_path):
+    """Pruning masks are multiplied into the artifact's weights: the
+    artifact matches masked apply, not dense apply, and records sparsity."""
+    from vipers.pruning.masks import apply_masks, init_masks
+
+    spec, variables = _tiny()
+    masks = init_masks(variables["params"], exclude=spec.prune_exclude)
+    rng = np.random.default_rng(0)
+    masks = {
+        k: jnp.asarray(rng.random(v.shape) > 0.5) for k, v in masks.items()
+    }
+
+    blob, meta = export_serving(spec, variables, batch_size=1, masks=masks)
+    out = str(tmp_path / "art")
+    save_artifact(out, blob, meta)
+    assert meta["sparsity_pct"] is not None and meta["sparsity_pct"] > 10
+
+    fn, _ = load_artifact(out)
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(2), (1, *IMG, 3)), np.float32)
+    masked_params = apply_masks(variables["params"], masks)
+    want, _aux = spec.module.apply(
+        {"params": masked_params}, jnp.asarray(x), train=False,
+        need_attn=False)
+    np.testing.assert_allclose(np.asarray(fn(x)),
+                               np.asarray(want, np.float32),
+                               atol=1e-5, rtol=1e-5)
+    dense, _aux = spec.module.apply(
+        variables, jnp.asarray(x), train=False, need_attn=False)
+    assert np.abs(np.asarray(dense) - np.asarray(fn(x))).max() > 1e-4
+
+
+def test_export_int8_and_bf16(tmp_path):
+    """bf16 export casts compute; int8 export replays real integer
+    kernels inside the artifact and stays close to the float output."""
+    spec, variables = _tiny()
+    x = np.asarray(
+        jax.random.normal(jax.random.PRNGKey(3), (2, *IMG, 3)), np.float32)
+    ref = np.asarray(make_serving_forward(spec, variables)(jnp.asarray(x)))
+
+    blob, meta = export_serving(spec, variables, batch_size=2,
+                                dtype=jnp.bfloat16)
+    save_artifact(str(tmp_path / "bf16"), blob, meta)
+    fn, _ = load_artifact(str(tmp_path / "bf16"))
+    got = np.asarray(fn(x))
+    assert got.dtype == np.float32
+    assert meta["compute_dtype"] == "bfloat16"
+    np.testing.assert_allclose(got, ref, atol=0.15)
+
+    blob, meta = export_serving(spec, variables, batch_size=2, int8=True)
+    save_artifact(str(tmp_path / "int8"), blob, meta)
+    assert meta["compute_dtype"] == "int8+bf16"
+    fn8, _ = load_artifact(str(tmp_path / "int8"))
+    got8 = np.asarray(fn8(x))
+    np.testing.assert_allclose(got8, ref, atol=0.35)
+    # int8 path must actually differ from the bf16 path (quantization
+    # noise) — guards against silently exporting the float program
+    assert np.abs(got8 - got).max() > 1e-6
+
+
+@pytest.mark.slow
+def test_export_cli_slim_sidecar(tmp_path):
+    """CLI chain: checkpoint -> `vipers slim` -> `vipers export --verify`
+    picks up the .slim.json sidecar, rebuilds the slim module, and the
+    artifact output matches the slim model's direct apply."""
+    from vipers.cli.main import main
+    from vipers.core.checkpoint import save_checkpoint
+
+    _register_tiny()
+    spec = build_model("vit_export_tiny", num_classes=10)
+    variables = spec.module.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, *IMG, 3)), train=False)
+    src = os.path.join(tmp_path, "ckpt")
+    save_checkpoint(src, {"params": variables["params"]})
+
+    rc = main([
+        "slim", "--model", "vit_export_tiny", "--checkpoint", src,
+        "--num-classes", "10", "--mlp-keep", "0.5", "--heads-keep", "0.5",
+        "--round-to", "1", "--output-dir", str(tmp_path),
+    ])
+    assert rc == 0
+    slim_ckpt = os.path.join(tmp_path, "vit_export_tiny_slim_m32_h2")
+
+    out = str(tmp_path / "art")
+    rc = main([
+        "export", "--model", "vit_export_tiny", "--checkpoint", slim_ckpt,
+        "--batch-size", "1", "--dtype", "f32", "--output-dir", out,
+        "--verify",
+    ])
+    assert rc == 0
+    fn, meta = load_artifact(out)
+    assert meta["compute_dtype"] == "float32"
+    x = np.zeros((1, *IMG, 3), np.float32)
+    assert np.asarray(fn(x)).shape == (1, 10)

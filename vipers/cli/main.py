@@ -249,6 +249,39 @@ def main(argv=None):
                            "(128 = TPU native; 1 disables)")
     slim.add_argument("--output-dir", default=".")
 
+    exp = sub.add_parser(
+        "export",
+        help="compile a self-contained StableHLO serving artifact from a "
+             "(pruned / slimmed / quantize-calibrated) checkpoint "
+             "(core/export.py; the reference's release export is a bare "
+             "state_dict, utils.py:323-391)",
+    )
+    exp.add_argument("--model", required=True)
+    exp.add_argument("--checkpoint", default="",
+                     help="orbax dir or .pth; masks baked in, .slim.json "
+                          "sidecar picked up automatically")
+    exp.add_argument("--num-classes", type=int, default=0,
+                     help="head width when exporting without a checkpoint "
+                          "(0 = registry default)")
+    exp.add_argument("--batch-size", type=int, default=8,
+                     help="static serving batch (one artifact per batch "
+                          "shape, AOT-compile style)")
+    exp.add_argument("--image-size", type=int, nargs=2, default=None,
+                     metavar=("H", "W"))
+    exp.add_argument("--dtype", default="bf16",
+                     choices=["f32", "bf16", "int8"],
+                     help="compute dtype; int8 = real integer Dense/Conv "
+                          "with observer-calibrated or dynamic qparams")
+    exp.add_argument("--platforms", nargs="+", default=None,
+                     choices=["cpu", "tpu", "cuda", "rocm"],
+                     help="lowering platforms (default: current backend); "
+                          "pass several for one multi-platform artifact")
+    exp.add_argument("--resnet-dilate", type=int, default=1)
+    exp.add_argument("--output-dir", required=True)
+    exp.add_argument("--verify", action="store_true",
+                     help="deserialize the artifact and check its output "
+                          "against direct model apply")
+
     clus = sub.add_parser("cluster", help="k-means pseudo-labels for discovered boxes")
     clus.add_argument("--preds", "--pred-file", dest="preds", required=True)
     clus.add_argument("--nb-clusters", type=int, default=20)
@@ -360,6 +393,10 @@ def main(argv=None):
         from vipers.pruning.structured import run_slim_cli
 
         return run_slim_cli(args)
+    if args.cmd == "export":
+        from vipers.core.export import run_export
+
+        return run_export(args)
     if args.cmd == "cluster":
         from vipers.discovery.cluster import run_cluster_cli
 

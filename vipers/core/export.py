@@ -1,0 +1,240 @@
+"""Serving export: the model forward as a portable StableHLO artifact.
+
+The reference has no deployment story — its "release export" is a cleaned
+``state_dict`` (`/root/reference/utils.py:323-391`) that still needs the
+whole research codebase (torch, torchvision, the vendored ViT, the
+prune-identity/load/remove dance of `/root/reference/main_lost.py:141-162`)
+to run an image through the network.  ``vipers export`` instead lowers the
+jitted forward — dense, pruned (masks baked in), structurally slimmed
+(``.slim.json`` sidecar arch), or real-int8 dynamic — to StableHLO via
+``jax.export`` and writes a self-contained artifact directory:
+
+    <out>/model.stablehlo   serialized jax.export artifact, weights baked in
+    <out>/meta.json         model name, shapes, dtype, sparsity, platforms
+
+The artifact replays under any matching JAX runtime with NO vipers, flax,
+or checkpoint code on the box::
+
+    fn, meta = load_artifact(out_dir)
+    logits = fn(images)          # (B, H, W, 3) float32 -> (B, classes) f32
+
+Serving contract: input is float32 NHWC (already preprocessed — the same
+tensors ``data/preprocess.py`` produces); compute runs in the dtype chosen
+at export; logits always come back float32.  The export records the
+lowering platform(s); a TPU artifact replays on TPU, and ``--platforms cpu
+tpu`` lowers one artifact for both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_ARTIFACT = "model.stablehlo"
+_META = "meta.json"
+
+_TOKEN_FAMILIES = ("vit", "dino_vit")
+
+
+def make_serving_forward(spec, variables, masks=None, dtype=None,
+                         int8: bool = False, observers=None):
+    """Build ``fn(images) -> logits`` ready to jit/export.
+
+    Mask bake, compute-dtype cast, and int8 weight quantization mirror the
+    LOST extractor's serving setup (`discovery/driver.py`,
+    ``LostFeatureExtractor.__init__``): masks are multiplied into the
+    params ONCE (the artifact then carries dense-but-zeroed kernels — the
+    reference instead re-does its prune-mask dance at every load,
+    `main_lost.py:141-162`), float params are cast to the compute dtype,
+    and int8 mode executes every quantizable Dense/Conv as a real integer
+    matmul/conv with dynamic (or observer-calibrated static) activation
+    qparams.
+    """
+    params = variables["params"]
+    if masks:
+        from vipers.pruning.masks import apply_masks
+
+        params = jax.jit(apply_masks)(params, masks)
+
+    q = scales = static_qparams = None
+    if int8:
+        from vipers.train.quantize import (quantize_params_int8,
+                                           static_qparams_from_observers)
+
+        q, scales = jax.jit(
+            lambda p: quantize_params_int8(p, exclude=spec.quant_exclude)
+        )(params)
+        static_qparams = static_qparams_from_observers(observers)
+        dtype = dtype or jnp.bfloat16
+
+    if dtype is not None:
+        params = jax.jit(lambda p: jax.tree.map(
+            lambda a: a.astype(dtype)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            p,
+        ))(params)
+    compute_dtype = dtype or jnp.float32
+    variables = dict(variables, params=params)
+
+    # transformer forwards take need_attn; conv nets don't have the kwarg
+    kwargs = (
+        {"need_attn": False} if spec.family in _TOKEN_FAMILIES else {}
+    )
+
+    if int8:
+        from vipers.train.quantize import int8_dynamic_apply
+
+        def apply_fn(v, x):
+            return int8_dynamic_apply(
+                spec.module, v, x, q, scales, exclude=spec.quant_exclude,
+                static_qparams=static_qparams, train=False, **kwargs,
+            )
+    else:
+        def apply_fn(v, x):
+            return spec.module.apply(v, x, train=False, **kwargs)
+
+    def forward(images):
+        logits, _aux = apply_fn(variables, images.astype(compute_dtype))
+        return logits.astype(jnp.float32)
+
+    return forward
+
+
+def export_serving(spec, variables, *, batch_size: int,
+                   image_size: Optional[tuple] = None, masks=None,
+                   dtype=None, int8: bool = False, observers=None,
+                   platforms: Optional[Sequence[str]] = None):
+    """Lower the serving forward for a fixed batch shape; returns
+    ``(blob: bytes, meta: dict)``.  Weights are baked into the artifact
+    (it is self-contained); the batch shape is static — export one
+    artifact per serving batch size, exactly like a production
+    ahead-of-time compile."""
+    from jax import export as jexport
+
+    h, w = image_size or spec.input_size
+    fwd = make_serving_forward(spec, variables, masks=masks, dtype=dtype,
+                               int8=int8, observers=observers)
+    exp = jexport.export(jax.jit(fwd), platforms=platforms)(
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    )
+    blob = exp.serialize()
+    out_shape = tuple(int(d) for d in exp.out_avals[0].shape)
+    sparsity = None
+    if masks:
+        from vipers.pruning.masks import compute_sparsity_global
+
+        sparsity = float(compute_sparsity_global(
+            variables["params"], masks))
+    meta = {
+        "model": spec.name,
+        "family": spec.family,
+        "input_shape": [batch_size, h, w, 3],
+        "input_dtype": "float32",
+        "output_shape": list(out_shape),
+        "output_dtype": "float32",
+        "compute_dtype": ("int8+bf16" if int8
+                          else jnp.dtype(dtype or jnp.float32).name),
+        "num_classes": out_shape[-1] if len(out_shape) == 2 else None,
+        "sparsity_pct": sparsity,
+        "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+        "calibrated_sites": (len(observers) if (int8 and observers) else 0),
+    }
+    return blob, meta
+
+
+def save_artifact(out_dir: str, blob: bytes, meta: dict) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, _ARTIFACT), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out_dir, _META), "w") as f:
+        json.dump(meta, f, indent=1, sort_keys=True)
+
+
+def load_artifact(out_dir: str):
+    """Deserialize an exported artifact; returns ``(fn, meta)``.  Needs
+    only jax — no vipers model code, no flax, no checkpoint."""
+    from jax import export as jexport
+
+    with open(os.path.join(out_dir, _ARTIFACT), "rb") as f:
+        exp = jexport.deserialize(f.read())
+    with open(os.path.join(out_dir, _META)) as f:
+        meta = json.load(f)
+
+    def fn(images):
+        return exp.call(jnp.asarray(images, jnp.float32))
+
+    return fn, meta
+
+
+def run_export(args) -> int:
+    """CLI driver: load (possibly pruned / slimmed / observer-calibrated)
+    checkpoint, lower the serving forward, write the artifact, optionally
+    verify the deserialized program against direct apply."""
+    from vipers.core.registry import build_model, init_variables
+    from vipers.pruning.structured import arch_sidecar
+
+    model_kw = {}
+    if args.num_classes:
+        model_kw["num_classes"] = args.num_classes
+    if "resnet" in args.model and getattr(args, "resnet_dilate", 1) != 1:
+        model_kw["dilate"] = args.resnet_dilate
+    overrides = arch_sidecar(getattr(args, "checkpoint", "") or "")
+    if overrides:
+        model_kw["arch_overrides"] = overrides
+        print(f"slim architecture: {overrides}")
+    spec = build_model(args.model, **model_kw)
+
+    image_size = (
+        tuple(args.image_size) if getattr(args, "image_size", None)
+        else spec.input_size
+    )
+    if spec.family in _TOKEN_FAMILIES and image_size != spec.input_size:
+        # rebuild so the pos-embedding table matches the serving size
+        spec = build_model(args.model, **model_kw, image_size=image_size)
+
+    rng = jax.random.PRNGKey(0)
+    variables = init_variables(
+        spec.module, rng, jnp.zeros((1, *image_size, 3)), train=False)
+    masks = observers = None
+    if args.checkpoint:
+        from vipers.core.checkpoint import infer_num_classes
+        from vipers.discovery.driver import load_lost_checkpoint
+
+        variables, masks, observers = load_lost_checkpoint(
+            args.checkpoint, spec, variables)
+        n_cls = infer_num_classes(variables["params"])
+        if n_cls is not None and n_cls != spec.num_classes:
+            model_kw["num_classes"] = n_cls
+            spec = build_model(args.model, **model_kw)
+
+    dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": None}[args.dtype]
+    int8 = args.dtype == "int8"
+    blob, meta = export_serving(
+        spec, variables, batch_size=args.batch_size, image_size=image_size,
+        masks=masks, dtype=dtype, int8=int8, observers=observers,
+        platforms=args.platforms or None,
+    )
+    save_artifact(args.output_dir, blob, meta)
+    print(f"exported {meta['model']} {meta['input_shape']} "
+          f"({meta['compute_dtype']}, platforms {meta['platforms']}) "
+          f"-> {args.output_dir} ({len(blob) / 1e6:.1f} MB)")
+
+    if args.verify:
+        fn, _ = load_artifact(args.output_dir)
+        x = np.asarray(jax.random.normal(
+            jax.random.PRNGKey(1), (args.batch_size, *image_size, 3)),
+            np.float32)
+        got = np.asarray(fn(x))
+        want = np.asarray(make_serving_forward(
+            spec, variables, masks=masks, dtype=dtype, int8=int8,
+            observers=observers)(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+        print(f"verify: artifact output matches direct apply "
+              f"(max abs err {np.abs(got - want).max():.2e})")
+    return 0

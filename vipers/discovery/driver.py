@@ -237,24 +237,11 @@ class LostFeatureExtractor:
         spec = self.spec
         if not self.int8:
             return spec.module.apply
-        from vipers.train.quantize import int8_dynamic_apply
+        from vipers.train.quantize import (int8_dynamic_apply,
+                                           static_qparams_from_observers)
 
         q, scales = self._q, self._scales
-        static_qparams = None
-        if self.observers:
-            from vipers.train.quantize import ObserverState
-
-            static_qparams = {}
-            for site, mm in self.observers.items():
-                site = site[:-3] if site.endswith(":in") else site
-                if site.endswith(":out"):
-                    continue
-                obs = ObserverState(
-                    jnp.asarray(mm["min"], jnp.float32),
-                    jnp.asarray(mm["max"], jnp.float32),
-                    jnp.ones((), bool),
-                )
-                static_qparams[site] = obs.qparams()
+        static_qparams = static_qparams_from_observers(self.observers)
 
         def apply_int8(variables, img, **kwargs):
             # exclude bucket-/seq-pad token rows from each site's dynamic

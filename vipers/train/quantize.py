@@ -127,6 +127,29 @@ class ObserverState:
         return scale, zp
 
 
+def static_qparams_from_observers(observers):
+    """Calibrated observer ranges (``{site: {"min", "max"}}`` as written
+    into checkpoints by ``vipers quantize``) -> ``{site: (scale, zp)}``
+    static activation qparams for the real-int8 serving paths (torch
+    static-quantization semantics: no per-batch min/max on the hot path).
+    ``:in`` suffixes are stripped; ``:out`` observer sites are skipped
+    (only input qparams feed the integer matmul/conv)."""
+    if not observers:
+        return None
+    out = {}
+    for site, mm in observers.items():
+        site = site[:-3] if site.endswith(":in") else site
+        if site.endswith(":out"):
+            continue
+        obs = ObserverState(
+            jnp.asarray(mm["min"], jnp.float32),
+            jnp.asarray(mm["max"], jnp.float32),
+            jnp.ones((), bool),
+        )
+        out[site] = obs.qparams()
+    return out or None
+
+
 def quantize_params_int8(params, exclude=()):
     """Bake int8 weights + scales for inference ("convert"). Returns
     (int8_params, scales) flat dicts keyed by kernel path."""
