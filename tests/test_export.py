@@ -140,6 +140,53 @@ def test_export_int8_and_bf16(tmp_path):
     assert np.abs(got8 - got).max() > 1e-6
 
 
+def test_export_lost_pipeline(tmp_path):
+    """The batched LOST program exports and replays: boxes/seeds from the
+    artifact match the direct serving forward AND the driver's per-image
+    lost() on the same features."""
+    from vipers.core.export import (export_lost_pipeline,
+                                    make_lost_serving_forward)
+
+    spec, variables = _tiny()
+    spec = dataclasses.replace(
+        spec, extra={"num_heads": CFG.num_heads,
+                     "hidden_dim": CFG.hidden_dim,
+                     "num_layers": CFG.num_layers},
+    )
+    rng = np.random.default_rng(5)
+    imgs = rng.normal(size=(2, *IMG, 3)).astype(np.float32) * 0.2
+    imgs[:, 8:24, 8:24] += 2.0
+
+    blob, meta = export_lost_pipeline(
+        spec, variables, batch_size=2, image_size=IMG, k_patches=20)
+    out = str(tmp_path / "lost_art")
+    save_artifact(out, blob, meta)
+    assert meta["pipeline"] == "lost"
+    assert meta["k_patches"] == 20
+
+    fn, _ = load_artifact(out)
+    boxes, seeds, bg = (np.asarray(o) for o in fn(imgs))
+    assert boxes.shape == (2, 4) and seeds.shape == (2,)
+    assert (boxes[:, 2] <= IMG[1]).all() and (boxes[:, 3] <= IMG[0]).all()
+
+    direct = make_lost_serving_forward(
+        spec, variables, batch_size=2, image_size=IMG, k_patches=20)
+    dboxes, dseeds, dbg = (np.asarray(o) for o in direct(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(seeds, dseeds)
+    np.testing.assert_allclose(boxes, dboxes, atol=1e-4)
+
+    # cross-check one image against the host lost() wrapper
+    from vipers.discovery.driver import LostFeatureExtractor
+    from vipers.discovery.lost import lost
+
+    ex = LostFeatureExtractor(spec, variables, arch="vit",
+                              which_features="k", bucket=1)
+    feats, dims, vdims, scales, _ = ex.extract(imgs[0], CFG.patch_size)
+    pred, _a, _s, seed = lost(feats, dims, scales, (3, *IMG), k_patches=20)
+    assert int(seeds[0]) == int(seed)
+    np.testing.assert_allclose(boxes[0], np.asarray(pred), atol=1e-4)
+
+
 @pytest.mark.slow
 def test_export_cli_slim_sidecar(tmp_path):
     """CLI chain: checkpoint -> `vipers slim` -> `vipers export --verify`

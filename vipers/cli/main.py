@@ -276,6 +276,16 @@ def main(argv=None):
                      choices=["cpu", "tpu", "cuda", "rocm"],
                      help="lowering platforms (default: current backend); "
                           "pass several for one multi-platform artifact")
+    exp.add_argument("--pipeline", default="classify",
+                     choices=["classify", "lost"],
+                     help="classify = logits forward; lost = the batched "
+                          "LOST discovery program (boxes/seeds out) at a "
+                          "fixed serving shape")
+    exp.add_argument("--k-patches", type=int, default=100,
+                     help="[lost] seed-expansion pool size")
+    exp.add_argument("--which-features", default="k",
+                     choices=["k", "q", "v"],
+                     help="[lost] qkv feature modality")
     exp.add_argument("--resnet-dilate", type=int, default=1)
     exp.add_argument("--output-dir", required=True)
     exp.add_argument("--verify", action="store_true",

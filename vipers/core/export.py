@@ -148,6 +148,99 @@ def export_serving(spec, variables, *, batch_size: int,
     return blob, meta
 
 
+def make_lost_serving_forward(spec, variables, *, batch_size: int,
+                              image_size: tuple, masks=None, dtype=None,
+                              int8: bool = False, observers=None,
+                              k_patches: int = 100,
+                              which_features: str = "k",
+                              arch: str = "vit"):
+    """``fn(images (B, H, W, 3) f32) -> (boxes xyxy f32, seed i32,
+    seed_in_background bool)`` over the shipped batched LOST program, with
+    weights / pos-embeddings / box scaling closed over — what
+    :func:`export_lost_pipeline` lowers and ``--verify`` replays."""
+    from vipers.discovery.driver import LostFeatureExtractor
+
+    h, w = image_size
+    p = spec.patch_size
+    ex = LostFeatureExtractor(
+        spec, variables, masks, arch=arch, which_features=which_features,
+        compute_dtype=("int8" if int8 else dtype), observers=observers,
+        bucket=1,  # fixed serving shape: exact fit, no bucket padding
+    )
+    pipe = ex.make_batched_pipeline(k_patches=k_patches)
+    dummy = [np.zeros((h, w, 3), np.float32)] * batch_size
+    _imgs, pos, tmask, vhw = ex.prepare_batch(dummy, p)
+    assert tmask is None, "exact-fit serving shape must skip token masks"
+    baked = ex.variables
+
+    def forward(images):
+        box_feat, seed, bg = pipe(baked, images, pos, None, vhw)
+        ymin, ymax, xmin, xmax = (box_feat[:, i] for i in range(4))
+        boxes = jnp.stack([
+            p * xmin.astype(jnp.float32), p * ymin.astype(jnp.float32),
+            jnp.minimum(p * xmax.astype(jnp.float32), float(w)),
+            jnp.minimum(p * ymax.astype(jnp.float32), float(h)),
+        ], axis=-1)
+        return boxes, seed.astype(jnp.int32), bg
+
+    return forward
+
+
+def export_lost_pipeline(spec, variables, *, batch_size: int,
+                         image_size: tuple, masks=None, dtype=None,
+                         int8: bool = False, observers=None,
+                         k_patches: int = 100, which_features: str = "k",
+                         arch: str = "vit",
+                         platforms: Optional[Sequence[str]] = None):
+    """The batched LOST program — `vipers lost`'s shipped product path
+    (`discovery/driver.py` ``make_batched_pipeline``) — as a serving
+    artifact for a FIXED image shape: ``fn(images (B, H, W, 3) float32)
+    -> (boxes (B, 4) xyxy f32 in image coords, seed (B,) i32,
+    seed_in_background (B,) bool)``.  Weights, interpolated
+    pos-embeddings, and the feature->image box scaling are all baked in;
+    the reference needs its whole research stack plus a /scratch dump
+    round-trip per image for the same computation
+    (`main_lost.py:383-612`).
+
+    The serving shape must be a patch multiple.  Platform checks inside
+    the kernels (Pallas flash attention engages on TPU at long T) resolve
+    at trace time, so the artifact targets the backend present at export
+    — leave ``platforms`` unset unless exporting einsum-path models.
+    """
+    from jax import export as jexport
+
+    h, w = image_size
+    p = spec.patch_size
+    if h % p or w % p:
+        raise ValueError(f"serving shape {h}x{w} not a multiple of "
+                         f"patch {p}")
+    forward = make_lost_serving_forward(
+        spec, variables, masks=masks, dtype=dtype, int8=int8,
+        observers=observers, batch_size=batch_size, image_size=image_size,
+        k_patches=k_patches, which_features=which_features, arch=arch,
+    )
+    exp = jexport.export(jax.jit(forward), platforms=platforms)(
+        jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
+    )
+    blob = exp.serialize()
+    meta = {
+        "model": spec.name,
+        "family": spec.family,
+        "pipeline": "lost",
+        "which_features": which_features,
+        "k_patches": k_patches,
+        "input_shape": [batch_size, h, w, 3],
+        "input_dtype": "float32",
+        "outputs": ["boxes_xyxy (B, 4) f32", "seed (B,) i32",
+                    "seed_in_background (B,) bool"],
+        "compute_dtype": ("int8+bf16" if int8
+                          else jnp.dtype(dtype or jnp.float32).name),
+        "platforms": list(exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    return blob, meta
+
+
 def save_artifact(out_dir: str, blob: bytes, meta: dict) -> None:
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, _ARTIFACT), "wb") as f:
@@ -215,26 +308,56 @@ def run_export(args) -> int:
 
     dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": None}[args.dtype]
     int8 = args.dtype == "int8"
-    blob, meta = export_serving(
-        spec, variables, batch_size=args.batch_size, image_size=image_size,
-        masks=masks, dtype=dtype, int8=int8, observers=observers,
-        platforms=args.platforms or None,
-    )
+    lost = getattr(args, "pipeline", "classify") == "lost"
+    if lost:
+        arch = "dino" if spec.family == "dino_vit" else "vit"
+        blob, meta = export_lost_pipeline(
+            spec, variables, batch_size=args.batch_size,
+            image_size=image_size, masks=masks, dtype=dtype, int8=int8,
+            observers=observers, k_patches=args.k_patches,
+            which_features=args.which_features, arch=arch,
+            platforms=args.platforms or None,
+        )
+    else:
+        blob, meta = export_serving(
+            spec, variables, batch_size=args.batch_size,
+            image_size=image_size, masks=masks, dtype=dtype, int8=int8,
+            observers=observers, platforms=args.platforms or None,
+        )
     save_artifact(args.output_dir, blob, meta)
-    print(f"exported {meta['model']} {meta['input_shape']} "
-          f"({meta['compute_dtype']}, platforms {meta['platforms']}) "
-          f"-> {args.output_dir} ({len(blob) / 1e6:.1f} MB)")
+    print(f"exported {meta['model']} {meta.get('pipeline', 'classify')} "
+          f"{meta['input_shape']} ({meta['compute_dtype']}, platforms "
+          f"{meta['platforms']}) -> {args.output_dir} "
+          f"({len(blob) / 1e6:.1f} MB)")
 
     if args.verify:
         fn, _ = load_artifact(args.output_dir)
         x = np.asarray(jax.random.normal(
             jax.random.PRNGKey(1), (args.batch_size, *image_size, 3)),
             np.float32)
-        got = np.asarray(fn(x))
-        want = np.asarray(make_serving_forward(
-            spec, variables, masks=masks, dtype=dtype, int8=int8,
-            observers=observers)(jnp.asarray(x)))
-        np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+        if lost:
+            direct = make_lost_serving_forward(
+                spec, variables, masks=masks, dtype=dtype, int8=int8,
+                observers=observers, batch_size=args.batch_size,
+                image_size=image_size, k_patches=args.k_patches,
+                which_features=args.which_features, arch=arch,
+            )
+            got, want = fn(x), direct(jnp.asarray(x))
+            err = 0.0
+            for g, w_ in zip(got, want):
+                g, w_ = np.asarray(g), np.asarray(w_)
+                np.testing.assert_allclose(
+                    g.astype(np.float64), w_.astype(np.float64),
+                    atol=1e-3, rtol=1e-4)
+                err = max(err, float(np.abs(
+                    g.astype(np.float64) - w_.astype(np.float64)).max()))
+        else:
+            got = np.asarray(fn(x))
+            want = np.asarray(make_serving_forward(
+                spec, variables, masks=masks, dtype=dtype, int8=int8,
+                observers=observers)(jnp.asarray(x)))
+            np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+            err = float(np.abs(got - want).max())
         print(f"verify: artifact output matches direct apply "
-              f"(max abs err {np.abs(got - want).max():.2e})")
+              f"(max abs err {err:.2e})")
     return 0
