@@ -299,3 +299,19 @@ def test_golden_full_pipeline(fixture_root, tmp_path, capsys):
         "--out", mr_png,
     ]) in (0, None)
     assert os.path.getsize(mr_png) > 0
+
+    # ---------------------------------------------------------- 8. export
+    # the slim checkpoint ships as a serving artifact; --verify replays the
+    # deserialized program against direct apply (asserts internally)
+    art = str(tmp_path / "artifact")
+    assert cli([
+        "export", "--model", MODEL, "--checkpoint", slim_ckpt,
+        "--batch-size", "1", "--image-size", "32", "32",
+        "--dtype", "f32", "--output-dir", art, "--verify",
+    ]) in (0, None)
+    from vipers.core.export import load_artifact
+
+    fn, meta = load_artifact(art)
+    assert meta["num_classes"] == 2
+    logits = np.asarray(fn(np.zeros((1, 32, 32, 3), np.float32)))
+    assert logits.shape == (1, 2) and np.all(np.isfinite(logits))

@@ -14,7 +14,11 @@ Usage: python tools/bench_export.py [--batch 128] [--pipelines classify lost]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():

@@ -356,7 +356,18 @@ def run_export(args) -> int:
             want = np.asarray(make_serving_forward(
                 spec, variables, masks=masks, dtype=dtype, int8=int8,
                 observers=observers)(jnp.asarray(x)))
-            np.testing.assert_allclose(got, want, atol=5e-5, rtol=5e-5)
+            # the artifact is the same traced program, but XLA recompiles
+            # the deserialized module and may regroup fusions/reductions:
+            # f32 shifts by rounding only; bf16 by its ~3-decimal-digit
+            # mantissa; int8's DYNAMIC activation qparams are min/max
+            # reductions whose bf16 regrouping can move a site's scale by
+            # one quantization step (measured 0.11 max on ViT-S logits) —
+            # all rounding floors, not semantic gaps
+            atol, rtol = {
+                "f32": (5e-5, 5e-5), "bf16": (5e-2, 5e-2),
+                "int8": (0.3, 0.0),
+            }[args.dtype]
+            np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
             err = float(np.abs(got - want).max())
         print(f"verify: artifact output matches direct apply "
               f"(max abs err {err:.2e})")
