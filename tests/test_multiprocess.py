@@ -214,6 +214,32 @@ def test_batch_interleaved_shard_reassembles_global_order():
     assert rebuilt == single[:len(rebuilt)]
 
 
+def test_batch_interleaved_drop_last_matches_single_process_step_count():
+    """With n % G != 0 the train loaders (drop_last=True, as _train_loader
+    passes) must run the SAME number of optimizer steps as the
+    single-process run — n // G — not one extra step on wrap-duplicated
+    tail samples, and steps_per_epoch/LR stay in sync."""
+    from vipers.data.sampler import shard_indices_for_host
+
+    n, world, B = 70, 2, 8  # G = 16, n % G = 6
+    G = B * world
+    single = shard_indices_for_host(n, 1, 0, epoch=1, seed=7)
+    shards = [
+        shard_indices_for_host(n, world, r, epoch=1, seed=7, batch_size=B,
+                               drop_last=True)
+        for r in range(world)
+    ]
+    # each rank yields exactly n // G full batches — no padded tail step
+    assert all(len(s) == (n // G) * B for s in shards)
+    rebuilt = []
+    for b in range(n // G):
+        for r in range(world):
+            rebuilt += shards[r][b * B:(b + 1) * B]
+    assert rebuilt == single[:(n // G) * G]
+    # no index appears that the single-process drop_last run would not see
+    assert set(rebuilt) <= set(single)
+
+
 def test_rank_loaders_decode_bitexact_global_stream(tiny_ds):
     """Concatenating each rank's decoded b-th batch reproduces the
     single-process decoded batch BIT-FOR-BIT (indices via batch-interleave,

@@ -288,28 +288,54 @@ def run_export(args) -> int:
         else spec.input_size
     )
     if spec.family in _TOKEN_FAMILIES and image_size != spec.input_size:
-        # rebuild so the pos-embedding table matches the serving size
-        spec = build_model(args.model, **model_kw, image_size=image_size)
+        # rebuild so the pos-embedding table matches the serving size;
+        # keep it in model_kw so later rebuilds (num_classes below)
+        # don't silently drop it
+        model_kw["image_size"] = image_size
+        spec = build_model(args.model, **model_kw)
 
     rng = jax.random.PRNGKey(0)
     variables = init_variables(
         spec.module, rng, jnp.zeros((1, *image_size, 3)), train=False)
     masks = observers = None
     if args.checkpoint:
-        from vipers.core.checkpoint import infer_num_classes
+        from vipers.core.checkpoint import (
+            infer_num_classes, infer_vit_image_size,
+        )
         from vipers.discovery.driver import load_lost_checkpoint
 
         variables, masks, observers = load_lost_checkpoint(
             args.checkpoint, spec, variables)
+        rebuild = False
         n_cls = infer_num_classes(variables["params"])
         if n_cls is not None and n_cls != spec.num_classes:
             model_kw["num_classes"] = n_cls
+            rebuild = True
+        if spec.family == "vit" and not getattr(args, "image_size", None):
+            # serve at the checkpoint's own trained resolution (its pos
+            # table replaced the init one above) — the same inference
+            # run_lost/explain do (`core.checkpoint.infer_vit_image_size`);
+            # an explicit --image-size still wins
+            size = infer_vit_image_size(variables["params"], spec.patch_size)
+            if size is not None and size != image_size:
+                image_size = size
+                model_kw["image_size"] = size
+                rebuild = True
+        if rebuild:
             spec = build_model(args.model, **model_kw)
 
     dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": None}[args.dtype]
     int8 = args.dtype == "int8"
     lost = getattr(args, "pipeline", "classify") == "lost"
     if lost:
+        if spec.family not in _TOKEN_FAMILIES:
+            raise SystemExit(
+                "--pipeline lost exports the ViT/DINO transformer LOST "
+                f"program only; model {args.model!r} (family "
+                f"{spec.family!r}) is not supported — CNN/swin LOST runs "
+                "via `vipers lost`, whose feature path is not a single "
+                "fixed-shape program"
+            )
         arch = "dino" if spec.family == "dino_vit" else "vit"
         blob, meta = export_lost_pipeline(
             spec, variables, batch_size=args.batch_size,

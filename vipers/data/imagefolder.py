@@ -98,6 +98,7 @@ class ImageFolderLoader:
         self.seed = seed
         self.rank = rank
         self.world = world
+        self._pad_row = None  # lazily-built zero row for sentinel padding
 
     def __len__(self):
         n = len(self.indices)
@@ -115,10 +116,15 @@ class ImageFolderLoader:
             if idx < 0:
                 # sentinel padding row (multi-process eval tails,
                 # data.sampler pad_with_sentinel): zero image, label -1 —
-                # masked out of loss/top-k/counts by the eval step
-                path, _ = self.dataset.samples[0]
-                probe = self.decode_fn(path, np.random.default_rng(0))
-                return np.zeros_like(probe), -1
+                # masked out of loss/top-k/counts by the eval step.
+                # The probe decode only establishes the output shape (a
+                # constant of the decode config) — do it once, not per
+                # pad row per epoch.
+                if self._pad_row is None:
+                    path, _ = self.dataset.samples[0]
+                    probe = self.decode_fn(path, np.random.default_rng(0))
+                    self._pad_row = np.zeros_like(probe)
+                return self._pad_row, -1
             path, label = self.dataset.samples[idx]
             rng = np.random.default_rng((self.seed, pos, idx))
             return self.decode_fn(path, rng), label

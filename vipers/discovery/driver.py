@@ -44,6 +44,19 @@ from vipers.models.vit import scrambled_qkv_gather, split_qkv_torchvision
 from vipers.pruning.masks import apply_masks
 
 
+def masked_slab_layernorm(f, mf, cnt):
+    """The reference's whole-(tokens, dim)-slab LayerNorm with identity
+    affine (`/root/reference/main_lost.py:581-584`), over VALID cells only:
+    ``f`` (..., T, D), ``mf`` the {0,1} validity mask broadcastable to it,
+    ``cnt`` the valid-element count (already broadcast-shaped).  Pad cells
+    come out zeroed for ``lost_core``'s valid_dims masking.  Single source
+    of truth for the per-image bucketed path and the batched pipeline —
+    the former validates the latter numerically."""
+    mu = jnp.sum(f * mf, axis=(1, 2), keepdims=True) / cnt
+    var = jnp.sum(jnp.square((f - mu) * mf), axis=(1, 2), keepdims=True) / cnt
+    return ((f - mu) / jnp.sqrt(var + 1e-5)) * mf
+
+
 @functools.lru_cache(maxsize=None)
 def _interp_fn(grid_hw, align: bool):
     """One jitted interpolation program per target grid, pinned to the
@@ -176,17 +189,22 @@ class LostFeatureExtractor:
 
         self._swin_forward = swin_forward
 
-        @jax.jit
-        def cnn_forward(variables, img):
+        def _raw_cnn_feats(variables, img):
             out, aux = module_apply(variables, img, train=False)
             # headless (`*_bottom`) models return the feature map as the
             # primary output; full classifiers expose it via aux — so a
             # TRAINED resnet/vgg checkpoint runs LOST directly, matching
             # the reference's Bottom-wrapper-around-checkpoint flow
             # (`/root/reference/networks.py:96-105`, `main_lost.py:570-600`)
-            feats = aux["features"] if (
+            return aux["features"] if (
                 isinstance(aux, dict) and "features" in aux and out.ndim != 4
             ) else out
+
+        self._raw_cnn_feats = _raw_cnn_feats
+
+        @jax.jit
+        def cnn_forward(variables, img):
+            feats = _raw_cnn_feats(variables, img)
             n, h, w, d = feats.shape
             f = feats.reshape(n, h * w, d)
             # `main_lost.py:581-584`: LayerNorm over the whole (tokens, dim)
@@ -194,14 +212,6 @@ class LostFeatureExtractor:
             mu = jnp.mean(f, axis=(1, 2), keepdims=True)
             var = jnp.var(f, axis=(1, 2), keepdims=True)
             return (f - mu) / jnp.sqrt(var + 1e-5), (h, w)
-
-        def _raw_cnn_feats(variables, img):
-            out, aux = module_apply(variables, img, train=False)
-            return aux["features"] if (
-                isinstance(aux, dict) and "features" in aux and out.ndim != 4
-            ) else out
-
-        self._raw_cnn_feats = _raw_cnn_feats
 
         @jax.jit
         def cnn_forward_bucketed(variables, img, valid_fhw):
@@ -219,12 +229,8 @@ class LostFeatureExtractor:
                 & (jnp.arange(fw)[None, :] < valid_fhw[1])
             ).reshape(1, fh * fw, 1)
             f = feats.reshape(n, fh * fw, d)
-            mf = m.astype(f.dtype)
             cnt = (valid_fhw[0] * valid_fhw[1] * d).astype(f.dtype)
-            mu = jnp.sum(f * mf, axis=(1, 2), keepdims=True) / cnt
-            var = jnp.sum(jnp.square((f - mu) * mf), axis=(1, 2),
-                          keepdims=True) / cnt
-            return ((f - mu) / jnp.sqrt(var + 1e-5)) * mf, (fh, fw)
+            return masked_slab_layernorm(f, m.astype(f.dtype), cnt), (fh, fw)
 
         self._cnn_forward_bucketed = cnn_forward_bucketed
 
@@ -563,13 +569,9 @@ class LostFeatureExtractor:
                 (jnp.arange(fh)[None, :, None] < valid_fhw[:, 0, None, None])
                 & (jnp.arange(fw)[None, None, :] < valid_fhw[:, 1, None, None])
             ).reshape(b, fh * fw, 1)
-            mf = m.astype(f.dtype)
             cnt = (valid_fhw[:, 0] * valid_fhw[:, 1] * d).astype(
                 f.dtype)[:, None, None]
-            mu = jnp.sum(f * mf, axis=(1, 2), keepdims=True) / cnt
-            var = jnp.sum(jnp.square((f - mu) * mf), axis=(1, 2),
-                          keepdims=True) / cnt
-            f = ((f - mu) / jnp.sqrt(var + 1e-5)) * mf
+            f = masked_slab_layernorm(f, m.astype(f.dtype), cnt)
             out = jax.vmap(
                 lambda ff, v: lost_core(
                     ff, v, grid_hw=(fh, fw), k_patches=k_patches, lean=True

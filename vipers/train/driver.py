@@ -310,6 +310,20 @@ def build_session(cfg: TrainConfig) -> Session:
         state_sharder = _shard_state
         shard_io = batch_sharder(mesh)
         n_data = mesh.shape["data"]
+        nproc = jax.process_count()
+        per_proc = max(n_data // nproc, 1)
+        if nproc > 1 and cfg.batch_size % per_proc:
+            # batch_sharder pads ragged per-process shards with label=-1
+            # sentinel rows; the EVAL step masks those, the TRAIN step
+            # must never see them (they would dilute the loss mean, feed
+            # label smoothing real gradients from black images, and
+            # pollute BatchNorm batch statistics), so reject up front.
+            raise SystemExit(
+                f"--batch-size {cfg.batch_size} (per process) must be a "
+                f"multiple of the {per_proc} local devices per process: "
+                "ragged train shards would be sentinel-padded and the "
+                "pad rows would pollute the loss/BN statistics"
+            )
 
         def _wrap_step(fn, with_rng):
             if with_rng:
@@ -352,7 +366,11 @@ def _train_loader(s: Session, epoch: int):
     cfg = s.cfg
     if cfg.ra_sampler:
         # repeated augmentation: each sample appears ra_reps times across
-        # hosts per epoch (`/root/reference/train.py:228-236`, sampler.py)
+        # hosts per epoch (`/root/reference/train.py:228-236`, sampler.py).
+        # RA keeps the reference's per-sample striding, so — like the
+        # reference's RASampler — it makes no single-process-equivalence
+        # claim; the repeats still draw distinct augmentations (each copy
+        # lands at a distinct (rank, batch-pos) rng position).
         from vipers.data.sampler import ra_sampler_indices
 
         idx = ra_sampler_indices(
@@ -362,10 +380,15 @@ def _train_loader(s: Session, epoch: int):
     else:
         # batch-interleaved blocks (multi-process): the global batch
         # assembled by batch_sharder equals the single-process batch,
-        # element for element — DDP-equivalence (see data/sampler.py)
+        # element for element — DDP-equivalence (see data/sampler.py).
+        # drop_last matches the single-process loader (drop_last=True
+        # below): without it the sampler pads the tail up to a full
+        # global batch and every epoch trains one extra step on
+        # wrap-duplicated samples, desyncing steps_per_epoch/LR.
         idx = shard_indices_for_host(
             len(s.train_ds), jax.process_count(), jax.process_index(),
             epoch, seed=cfg.seed, batch_size=cfg.batch_size,
+            drop_last=True,
         )
     # C++ decode is bilinear-only; other interpolation modes use PIL
     if cfg.native_decode and cfg.interpolation == "bilinear":
@@ -469,9 +492,12 @@ def _checkpoint_fn(s: Session, method: str, tag):
         else:
             name = f"{cfg.model}_epoch_{epoch}_{method}_{tag}"
             save_checkpoint(os.path.join(cfg.output_dir, name), tree)
-        if s.arch_overrides:
+        if s.arch_overrides and jax.process_index() == 0:
             # slim fine-tune: propagate the sidecar so lost/evaluate/
-            # explain rebuild this checkpoint at the slim widths
+            # explain rebuild this checkpoint at the slim widths.
+            # Rank 0 only — unlike the orbax save above this is a bare
+            # file write, and concurrent ranks writing the same path can
+            # tear it (save_on_master, `/root/reference/utils.py:240-242`)
             from vipers.pruning.structured import write_sidecar
 
             write_sidecar(os.path.join(cfg.output_dir, name), cfg.model,
