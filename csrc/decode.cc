@@ -168,6 +168,51 @@ int vipers_decode_eval(const uint8_t* data, size_t len, int resize, int crop,
   return 0;
 }
 
+// Full-resolution decode straight into a zero-padded (out_h, out_w, 3)
+// row-major uint8 buffer (row stride out_w*3) — the LOST driver's
+// native-resolution feed (`/root/reference/main_lost.py:383-407` decodes
+// per image in its loop; here one C call produces the patch-padded uint8
+// slab the device consumes, normalization happens ON DEVICE).  Scanlines
+// land directly in the destination: no intermediate buffer, no float
+// math, no second copy.  Writes the decoded dims to (*w, *h); fails (2)
+// if the image exceeds the destination extent.
+int vipers_decode_pad(const uint8_t* data, size_t len, uint8_t* out,
+                      int out_h, int out_w, int* w, int* h) {
+  jpeg_decompress_struct cinfo;
+  ErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+  if (setjmp(jerr.jmp)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  const int iw = cinfo.output_width, ih = cinfo.output_height;
+  if (iw > out_w || ih > out_h) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *w = iw;
+  *h = ih;
+  const size_t dst_stride = static_cast<size_t>(out_w) * 3;
+  const size_t pad_right = dst_stride - static_cast<size_t>(iw) * 3;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + static_cast<size_t>(cinfo.output_scanline) * dst_stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+    if (pad_right) std::memset(row + static_cast<size_t>(iw) * 3, 0, pad_right);
+  }
+  if (ih < out_h)
+    std::memset(out + static_cast<size_t>(ih) * dst_stride, 0,
+                static_cast<size_t>(out_h - ih) * dst_stride);
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
 int vipers_decode_rrc(const uint8_t* data, size_t len, int cx, int cy, int cw,
                       int ch, int out_size, int flip, uint8_t* out) {
   std::vector<uint8_t> img;

@@ -567,6 +567,71 @@ def test_batched_pipeline_matches_per_image(synthetic_voc):
         np.testing.assert_allclose(have, want, atol=0)
 
 
+def test_uint8_fast_feed_bit_equals_host_normalize(synthetic_voc):
+    """Round-5 e2e feed: uint8 decode + ON-DEVICE normalization must be
+    bit-equal to the host-normalized float path — (a) the native C
+    `decode_pad` slab matches PIL-decode + pad, (b) `_device_normalize`
+    reproduces `load_image_normalized`'s f32 math exactly incl. re-zeroed
+    pads, (c) the batched pipeline emits identical boxes from either
+    feed."""
+    import jax
+
+    from vipers.core.registry import build_model
+    from vipers.data import native
+    from vipers.data.detection import DiscoveryDataset, load_image_normalized
+    from vipers.discovery.driver import LostFeatureExtractor, _device_normalize
+
+    spec = build_model("vit_s_16", num_classes=10, image_size=(224, 224))
+    variables = spec.module.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), train=False
+    )
+    ex = LostFeatureExtractor(spec, variables, arch="vit", which_features="k")
+    ds = DiscoveryDataset("VOC07", "trainval", synthetic_voc, no_hard=False)
+    p = 16
+
+    f32_imgs, u8_imgs, exact = [], [], []
+    for path, _im_name in ds:
+        img = load_image_normalized(path)
+        ph = int(np.ceil(img.shape[0] / p) * p)
+        pw = int(np.ceil(img.shape[1] / p) * p)
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[: img.shape[0], : img.shape[1]] = img
+        f32_imgs.append(padded)
+        u8, (h, w) = native.decode_pad(path, pad_multiple=p)
+        assert (h, w) == img.shape[:2] and u8.shape == padded.shape
+        u8_imgs.append(u8)
+        exact.append((h, w))
+
+    # group by bucket like the driver does
+    from collections import defaultdict
+
+    from vipers.data.preprocess import bucket_hw
+
+    groups = defaultdict(list)
+    for i, im in enumerate(f32_imgs):
+        groups[bucket_hw(im.shape[0], im.shape[1], p, ex.bucket)].append(i)
+
+    pipe = ex.make_batched_pipeline(k_patches=100)
+    for idxs in groups.values():
+        fl = [f32_imgs[i] for i in idxs]
+        u8 = [u8_imgs[i] for i in idxs]
+        ehw = [exact[i] for i in idxs]
+        f_in = ex.prepare_batch(fl, p)
+        u_in = ex.prepare_batch(u8, p, exact_hw=ehw)
+        assert len(u_in) == 5 and u_in[0].dtype == jnp.uint8
+        # (b) the device-normalized uint8 batch == host-normalized floats,
+        # bit for bit (same f32 op order), incl. 0.0 pads
+        np.testing.assert_array_equal(
+            np.asarray(_device_normalize(u_in[0], u_in[4])),
+            np.asarray(f_in[0]))
+        # (c) identical boxes from either feed
+        bf_f, seed_f, bg_f = jax.device_get(pipe(ex.variables, *f_in))
+        bf_u, seed_u, bg_u = jax.device_get(pipe(ex.variables, *u_in))
+        np.testing.assert_array_equal(bf_f, bf_u)
+        np.testing.assert_array_equal(seed_f, seed_u)
+        np.testing.assert_array_equal(bg_f, bg_u)
+
+
 @pytest.mark.slow
 def test_batched_pipeline_int8_matches_f32_boxes():
     """--dtype int8 (dynamic-quantized integer dense/conv, rest bf16-free

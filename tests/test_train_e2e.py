@@ -30,7 +30,9 @@ def tiny_imagenet(tmp_path_factory):
                 arr = rng.integers(0, 255, size=(40, 40, 3), dtype=np.uint8)
                 # make classes trivially separable: bias one channel
                 if cls == "class_b":
-                    arr[..., 0] = np.minimum(arr[..., 0] + 80, 255)
+                    arr[..., 0] = np.minimum(
+                        arr[..., 0].astype(np.int16) + 80, 255
+                    ).astype(np.uint8)
                 Image.fromarray(arr).save(d / f"img_{i}.jpg")
     return str(root)
 

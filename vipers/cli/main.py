@@ -87,6 +87,11 @@ def main(argv=None):
                       help="images per jitted LOST batch (per bucket shape)")
     lost.add_argument("--workers", type=int, default=8,
                       help="host decode/prefetch threads feeding the device")
+    lost.add_argument("--host-normalize", action="store_true",
+                      help="feed the batched pipelines host-normalized "
+                           "float32 instead of the default uint8 fast feed "
+                           "(native C decode + on-device normalization; "
+                           "bit-equal, 4x less host traffic)")
     lost.add_argument("--image-path", default=None,
                       help="run LOST on ONE image instead of a dataset "
                            "(forces --no-evaluation, no preds.pkl; "

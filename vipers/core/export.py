@@ -186,6 +186,53 @@ def make_lost_serving_forward(spec, variables, *, batch_size: int,
     return forward
 
 
+def make_cnn_lost_serving_forward(spec, variables, *, batch_size: int,
+                                  image_size: tuple, masks=None, dtype=None,
+                                  int8: bool = False, observers=None,
+                                  k_patches: int = 100):
+    """CNN-family analogue of :func:`make_lost_serving_forward`: the
+    round-4 batched CNN LOST program (`discovery/driver.py`
+    ``make_batched_cnn_pipeline`` — batched conv features, masked slab
+    LayerNorm, vmapped LOST core) at ONE canonical bucket input shape,
+    with weights and the feature->image box scaling baked in.  Returns
+    ``fn(images (B, H, W, 3) f32 normalized) -> (boxes xyxy f32, seed
+    i32, seed_in_background bool)``."""
+    from vipers.discovery.driver import LostFeatureExtractor
+
+    h, w = image_size
+    ex = LostFeatureExtractor(
+        spec, variables, masks, arch=spec.family, which_features="k",
+        compute_dtype=("int8" if int8 else dtype), observers=observers,
+    )
+    canon = ex.cnn_bucket_key(h, w)
+    if canon != (h, w):
+        raise ValueError(
+            f"serving shape {h}x{w} is not a canonical CNN bucket input "
+            f"for {spec.name}; the nearest canonical shape is "
+            f"{canon[0]}x{canon[1]} — export at that size and feed "
+            "zero-padded images"
+        )
+    pipe = ex.make_batched_cnn_pipeline(k_patches=k_patches)
+    fh, fw = ex._cnn_fdim(h), ex._cnn_fdim(w)
+    valid_fhw = jnp.tile(jnp.asarray([[fh, fw]], jnp.int32),
+                         (batch_size, 1))
+    sy, sx = ex.cnn_scales(h, w)
+    baked = ex.variables
+
+    def forward(images):
+        box_feat, seed, bg = pipe(baked, images, valid_fhw)
+        ymin, ymax, xmin, xmax = (box_feat[:, i] for i in range(4))
+        # feature->image scale + clip, `discovery.lost.box_feat_to_image`
+        boxes = jnp.stack([
+            sx * xmin.astype(jnp.float32), sy * ymin.astype(jnp.float32),
+            jnp.minimum(sx * xmax.astype(jnp.float32), float(w)),
+            jnp.minimum(sy * ymax.astype(jnp.float32), float(h)),
+        ], axis=-1)
+        return boxes, seed.astype(jnp.int32), bg
+
+    return forward
+
+
 def export_lost_pipeline(spec, variables, *, batch_size: int,
                          image_size: tuple, masks=None, dtype=None,
                          int8: bool = False, observers=None,
@@ -210,15 +257,25 @@ def export_lost_pipeline(spec, variables, *, batch_size: int,
     from jax import export as jexport
 
     h, w = image_size
-    p = spec.patch_size
-    if h % p or w % p:
-        raise ValueError(f"serving shape {h}x{w} not a multiple of "
-                         f"patch {p}")
-    forward = make_lost_serving_forward(
-        spec, variables, masks=masks, dtype=dtype, int8=int8,
-        observers=observers, batch_size=batch_size, image_size=image_size,
-        k_patches=k_patches, which_features=which_features, arch=arch,
-    )
+    if spec.family in _TOKEN_FAMILIES:
+        p = spec.patch_size
+        if h % p or w % p:
+            raise ValueError(f"serving shape {h}x{w} not a multiple of "
+                             f"patch {p}")
+        forward = make_lost_serving_forward(
+            spec, variables, masks=masks, dtype=dtype, int8=int8,
+            observers=observers, batch_size=batch_size,
+            image_size=image_size, k_patches=k_patches,
+            which_features=which_features, arch=arch,
+        )
+    else:
+        # round-5: the batched CNN LOST program exports the same way
+        # (round-4 verdict ask #8) — one jitted fn at a canonical bucket
+        forward = make_cnn_lost_serving_forward(
+            spec, variables, masks=masks, dtype=dtype, int8=int8,
+            observers=observers, batch_size=batch_size,
+            image_size=image_size, k_patches=k_patches,
+        )
     exp = jexport.export(jax.jit(forward), platforms=platforms)(
         jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.float32)
     )
@@ -327,14 +384,29 @@ def run_export(args) -> int:
     dtype = {"f32": None, "bf16": jnp.bfloat16, "int8": None}[args.dtype]
     int8 = args.dtype == "int8"
     lost = getattr(args, "pipeline", "classify") == "lost"
+    if (lost and spec.family in ("resnet", "vgg")
+            and not getattr(args, "image_size", None)):
+        # default CNN LOST serving shape: snap the model's input size to
+        # its canonical bucket input (the shape `vipers lost --cnn-bucket`
+        # actually compiles); an explicit --image-size must already be
+        # canonical and errors otherwise
+        from vipers.discovery.driver import LostFeatureExtractor
+
+        ex = LostFeatureExtractor(spec, variables, masks,
+                                  arch=spec.family, which_features="k")
+        snapped = ex.cnn_bucket_key(*image_size)
+        if snapped != image_size:
+            print(f"serving shape {image_size} -> canonical bucket "
+                  f"{snapped}")
+            image_size = snapped
     if lost:
-        if spec.family not in _TOKEN_FAMILIES:
+        if spec.family not in (*_TOKEN_FAMILIES, "resnet", "vgg"):
             raise SystemExit(
-                "--pipeline lost exports the ViT/DINO transformer LOST "
-                f"program only; model {args.model!r} (family "
-                f"{spec.family!r}) is not supported — CNN/swin LOST runs "
-                "via `vipers lost`, whose feature path is not a single "
-                "fixed-shape program"
+                "--pipeline lost exports the ViT/DINO transformer and "
+                f"resnet/vgg CNN LOST programs; model {args.model!r} "
+                f"(family {spec.family!r}) is not supported — swin LOST "
+                "runs via `vipers lost`, whose windowed feature path is "
+                "not a single fixed-shape program"
             )
         arch = "dino" if spec.family == "dino_vit" else "vit"
         blob, meta = export_lost_pipeline(
@@ -362,12 +434,19 @@ def run_export(args) -> int:
             jax.random.PRNGKey(1), (args.batch_size, *image_size, 3)),
             np.float32)
         if lost:
-            direct = make_lost_serving_forward(
-                spec, variables, masks=masks, dtype=dtype, int8=int8,
-                observers=observers, batch_size=args.batch_size,
-                image_size=image_size, k_patches=args.k_patches,
-                which_features=args.which_features, arch=arch,
-            )
+            if spec.family in _TOKEN_FAMILIES:
+                direct = make_lost_serving_forward(
+                    spec, variables, masks=masks, dtype=dtype, int8=int8,
+                    observers=observers, batch_size=args.batch_size,
+                    image_size=image_size, k_patches=args.k_patches,
+                    which_features=args.which_features, arch=arch,
+                )
+            else:
+                direct = make_cnn_lost_serving_forward(
+                    spec, variables, masks=masks, dtype=dtype, int8=int8,
+                    observers=observers, batch_size=args.batch_size,
+                    image_size=image_size, k_patches=args.k_patches,
+                )
             got, want = fn(x), direct(jnp.asarray(x))
             err = 0.0
             for g, w_ in zip(got, want):

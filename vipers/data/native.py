@@ -44,6 +44,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             lib.vipers_jpeg_dims.restype = ctypes.c_int
             lib.vipers_decode_eval.restype = ctypes.c_int
             lib.vipers_decode_rrc.restype = ctypes.c_int
+            lib.vipers_decode_pad.restype = ctypes.c_int
             _LIB = lib
         except (subprocess.CalledProcessError, OSError) as e:  # pragma: no cover
             print(f"[vipers.native] falling back to PIL decode: {e}")
@@ -94,6 +95,45 @@ def decode_eval(path: str, resize: int = 256, crop: int = 224) -> np.ndarray:
 
         return eval_decode(path, resize, crop)
     return out
+
+
+def decode_pad(path: str, pad_multiple: int = 16):
+    """LOST-driver fast path: full-resolution decode straight into a
+    zero-padded uint8 slab whose extent is the image rounded UP to
+    ``pad_multiple`` (the transformer tier-1 pad).  One C call, no float
+    math on host — normalization happens on device
+    (`discovery.driver` batched pipelines).  Returns
+    ``(padded (PH, PW, 3) uint8, (h, w) exact decoded dims)``.
+    PIL fallback for non-JPEGs / missing toolchain."""
+    lib = _build_and_load()
+    if lib is not None and path.lower().endswith((".jpg", ".jpeg")):
+        data = np.fromfile(path, dtype=np.uint8)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        if lib.vipers_jpeg_dims(
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), data.size,
+            ctypes.byref(w), ctypes.byref(h),
+        ) == 0:
+            ph = -(-h.value // pad_multiple) * pad_multiple
+            pw = -(-w.value // pad_multiple) * pad_multiple
+            out = np.empty((ph, pw, 3), np.uint8)
+            rc = lib.vipers_decode_pad(
+                data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                data.size,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                ph, pw, ctypes.byref(w), ctypes.byref(h),
+            )
+            if rc == 0:
+                return out, (h.value, w.value)
+    from PIL import Image
+
+    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.uint8)
+    h_, w_ = img.shape[:2]
+    ph = -(-h_ // pad_multiple) * pad_multiple
+    pw = -(-w_ // pad_multiple) * pad_multiple
+    out = np.zeros((ph, pw, 3), np.uint8)
+    out[:h_, :w_] = img
+    return out, (h_, w_)
 
 
 def decode_train(path: str, rng: np.random.Generator, crop_size: int = 224,

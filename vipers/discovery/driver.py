@@ -80,6 +80,27 @@ def _jitted_interpolate(pos, grid_hw, align: bool):
     return _interp_fn(tuple(int(v) for v in grid_hw), bool(align))(pos)
 
 
+def _device_normalize(images, pixel_hw):
+    """uint8 (B,H,W,3) -> normalized float32, ON DEVICE (the uint8 fast
+    feed): x/255 -> (x-mean)/std in f32 — the exact op order of
+    `data.detection.load_image_normalized`, so results are bit-equal to
+    the host-normalized float path — then re-zeroes everything beyond each
+    image's exact pixel extent (host zero-pads BEFORE normalize, so pad
+    pixels must be 0.0, not normalize(0))."""
+    from vipers.data.preprocess import IMAGENET_MEAN, IMAGENET_STD
+
+    x = images.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN, jnp.float32)) / jnp.asarray(
+        IMAGENET_STD, jnp.float32)
+    if pixel_hw is not None:
+        r = jnp.arange(images.shape[1])[None, :, None]
+        c = jnp.arange(images.shape[2])[None, None, :]
+        valid = (r < pixel_hw[:, 0, None, None]) & (
+            c < pixel_hw[:, 1, None, None])
+        x = jnp.where(valid[..., None], x, 0.0)
+    return x
+
+
 def _seq_pad(img_shape, patch: int, need_attn: bool):
     """128-multiple token padding for transformer forwards where the flash
     kernel engages (t >= flash_min_t(), no attention-probs output) —
@@ -493,11 +514,15 @@ class LostFeatureExtractor:
         module_apply = self._module_apply
 
         @jax.jit
-        def run(variables, images, pos, token_mask, valid_hw):
+        def run(variables, images, pos, token_mask, valid_hw, pixel_hw=None):
             # token_mask=None is the exact-fit fast path: every image fills
             # its bucket (the canonical VOC 512x384 batch does), so the
             # attention mask, the per-image compaction argsort and the
             # scatter all drop out of the compiled program.
+            if images.dtype == jnp.uint8:
+                # uint8 fast feed: normalize on device (bit-equal to the
+                # host float path; XLA fuses it into the input pipeline)
+                images = _device_normalize(images, pixel_hw)
             images = images.astype(cdt)
             pos = pos.astype(cdt)
             _, aux = module_apply(
@@ -561,7 +586,9 @@ class LostFeatureExtractor:
         cdt = self.compute_dtype
 
         @jax.jit
-        def run(variables, images, valid_fhw):
+        def run(variables, images, valid_fhw, pixel_hw=None):
+            if images.dtype == jnp.uint8:
+                images = _device_normalize(images, pixel_hw)
             feats = raw(variables, images.astype(cdt))  # (B, FH, FW, D)
             b, fh, fw, d = feats.shape
             f = feats.reshape(b, fh * fw, d)
@@ -589,17 +616,28 @@ class LostFeatureExtractor:
         return (self._cnn_canon_input(-(-fh // cb) * cb),
                 self._cnn_canon_input(-(-fw // cb) * cb))
 
-    def prepare_cnn_batch(self, imgs, canon_hw):
+    def prepare_cnn_batch(self, imgs, canon_hw, exact_hw=None):
         """Stack same-bucket images into (images (B,H,W,3) zero-padded to
-        the canonical extent, valid_fhw (B,2) exact feature dims)."""
+        the canonical extent, valid_fhw (B,2) exact feature dims).  uint8
+        images keep their dtype (device-side normalization — see
+        ``prepare_batch``) and append a ``pixel_hw`` element."""
+        u8 = imgs[0].dtype == np.uint8
         H, W = canon_hw
-        batch = np.zeros((len(imgs), H, W, 3), np.float32)
+        batch = np.zeros((len(imgs), H, W, 3), np.uint8 if u8 else np.float32)
         fhw = []
         for i, im in enumerate(imgs):
             batch[i, : im.shape[0], : im.shape[1]] = im
             fhw.append((self._cnn_fdim(im.shape[0]),
                         self._cnn_fdim(im.shape[1])))
-        return jnp.asarray(batch), jnp.asarray(fhw, jnp.int32)
+        out = jnp.asarray(batch), jnp.asarray(fhw, jnp.int32)
+        if not u8:
+            return out
+        if exact_hw is None:
+            raise ValueError("uint8 batches need exact_hw (pixel dims)")
+        pixel_exact = all(t == (H, W) for t in exact_hw)
+        return out + (
+            None if pixel_exact else jnp.asarray(exact_hw, jnp.int32),
+        )
 
     def cnn_scales(self, h: int, w: int):
         """Per-image feature->pixel scales for box_feat_to_image (the
@@ -607,10 +645,11 @@ class LostFeatureExtractor:
         return [h / self._cnn_fdim(h), w / self._cnn_fdim(w)]
 
     def shard_cnn_for_mesh(self, mesh, batch_inputs):
-        """Data-parallel placement for the batched CNN pipeline inputs."""
+        """Data-parallel placement for the batched CNN pipeline inputs
+        (images, valid_fhw[, pixel_hw])."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        images, valid_fhw = batch_inputs
+        images = batch_inputs[0]
         if images.shape[0] % mesh.devices.size:
             raise ValueError(
                 f"batch {images.shape[0]} not divisible by "
@@ -619,40 +658,54 @@ class LostFeatureExtractor:
         self.variables = jax.device_put(
             self.variables, NamedSharding(mesh, P()))
         data = NamedSharding(mesh, P("data"))
-        return jax.device_put(images, data), jax.device_put(valid_fhw, data)
+        return tuple(
+            None if x is None else jax.device_put(x, data)
+            for x in batch_inputs
+        )
 
     def shard_for_mesh(self, mesh, batch_inputs):
         """Data-parallel LOST: place the batch on a ("data",) mesh (batch
         arrays sharded over the data axis, params/pos replicated) so the
         jitted pipeline runs SPMD over all chips — XLA partitions the
         vmapped program with zero collectives (per-image independence).
-        Replaces the reference's single-GPU loop with mesh scaling."""
+        Replaces the reference's single-GPU loop with mesh scaling.
+        ``batch_inputs`` is (images, pos, token_mask, valid_hw[, pixel_hw])
+        — every non-None element is batch-leading and shards on "data"."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         data = NamedSharding(mesh, P("data"))
         repl = NamedSharding(mesh, P())
-        images, pos, tmask, vhw = batch_inputs
+        images = batch_inputs[0]
         if images.shape[0] % mesh.devices.size:
             raise ValueError(
                 f"batch {images.shape[0]} not divisible by "
                 f"{mesh.devices.size} devices"
             )
         self.variables = jax.device_put(self.variables, repl)
-        return (
-            jax.device_put(images, data),
-            jax.device_put(pos, data),
-            None if tmask is None else jax.device_put(tmask, data),
-            jax.device_put(vhw, data),
+        return tuple(
+            None if x is None else jax.device_put(x, data)
+            for x in batch_inputs
         )
 
-    def prepare_batch(self, imgs, patch: int):
+    def prepare_batch(self, imgs, patch: int, exact_hw=None):
         """Stack tier-1-padded images sharing one bucket shape into the
         batched-pipeline inputs (images, pos, token_mask, valid_hw).
         token_mask comes back None when every image exactly fills the
-        bucket (the pipeline's fast path)."""
+        bucket (the pipeline's fast path).
+
+        uint8 fast feed (round 5): when ``imgs`` are uint8 (decoded, NOT
+        normalized — `data.native.decode_pad`), the batch stays uint8
+        (4x less host memory traffic + host->device transfer) and the
+        pipeline normalizes ON DEVICE.  ``exact_hw`` must then carry each
+        image's exact pixel dims so the device can re-zero the tier-1 +
+        bucket pad (host-normalized zero-pad is 0.0, but normalize(0)
+        != 0).  Returns a 5th element ``pixel_hw`` ((B, 2) i32, or None
+        when every image pixel-exactly fills the bucket)."""
+        u8 = imgs[0].dtype == np.uint8
         bh, bw = bucket_hw(imgs[0].shape[0], imgs[0].shape[1], patch, self.bucket)
         GH, GW = bh // patch, bw // patch
-        batch = np.zeros((len(imgs), bh, bw, 3), np.float32)
+        batch = np.zeros((len(imgs), bh, bw, 3),
+                         np.uint8 if u8 else np.float32)
         poss, tmasks, vhw = [], [], []
         for i, im in enumerate(imgs):
             h, w = im.shape[:2]
@@ -663,27 +716,48 @@ class LostFeatureExtractor:
             tmasks.append(mask)
             vhw.append((gh, gw))
         exact_fit = all(t == (GH, GW) for t in vhw)
-        return (
+        out = (
             jnp.asarray(batch),
             jnp.concatenate(poss, axis=0),
             None if exact_fit
             else jnp.concatenate([jnp.asarray(m) for m in tmasks], axis=0),
             jnp.asarray(vhw, jnp.int32),
         )
+        if not u8:
+            return out
+        if exact_hw is None:
+            raise ValueError("uint8 batches need exact_hw (pixel dims)")
+        pixel_exact = all(t == (bh, bw) for t in exact_hw)
+        return out + (
+            None if pixel_exact else jnp.asarray(exact_hw, jnp.int32),
+        )
 
 
 def _prefetch_decoded(dataset, patch: int, no_hard: bool, workers: int = 8,
-                      need_gt: bool = True):
+                      need_gt: bool = True, as_uint8: bool = False):
     """Decode + tier-1-pad images on a bounded thread pool, preserving
     dataset order. The reference decodes synchronously inside its batch-1
     loop (`main_lost.py:383-407`); here host decode overlaps device
     compute so the jitted pipeline, not libjpeg, sets the pace.
-    Yields (path, im_name, padded_image, init_image_size, gt)."""
+    Yields (path, im_name, padded_image, init_image_size, gt).
+
+    ``as_uint8``: the batched-pipeline fast feed — one native C decode
+    straight into the patch-padded uint8 slab (`data.native.decode_pad`),
+    NO host float math (normalization runs on device) and 4x less host
+    memory traffic.  The GIL is released inside the C call, so the thread
+    pool scales across cores."""
     from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
     def load(item):
         path, im_name = item
+        if as_uint8:
+            from vipers.data import native
+
+            padded, (h, w) = native.decode_pad(path, pad_multiple=patch)
+            init_image_size = (3, h, w)
+            gt = dataset.extract_gt(im_name)[0] if need_gt else None
+            return path, im_name, padded, init_image_size, gt
         img = load_image_normalized(path)
         init_image_size = (3, img.shape[0], img.shape[1])
         # --no-evaluation runs must not touch annotations at all — the
@@ -906,6 +980,13 @@ def run_lost(args) -> int:
         extractor.make_batched_cnn_pipeline(k_patches=args.k_patches)
         if use_batched_cnn else None
     )
+    # uint8 fast feed (default for the batched paths): native C decode into
+    # patch-padded uint8 slabs, normalization ON DEVICE (bit-equal — same
+    # f32 op order).  `--host-normalize` restores the float host feed.
+    feed_uint8 = (
+        (use_batched or use_batched_cnn)
+        and not getattr(args, "host_normalize", False)
+    )
     mesh = None
     if (use_batched or use_batched_cnn) and getattr(args, "data_parallel", False):
         from vipers.parallel.mesh import make_mesh
@@ -953,22 +1034,24 @@ def run_lost(args) -> int:
         # pad the tail batch by repeating the last image so every bucket
         # compiles exactly one batch shape
         imgs = imgs + [imgs[-1]] * (batch_size - n_real)
+        exact_hw = None
+        if feed_uint8:
+            # exact pixel dims per image (init_image_size is (3, h, w)) —
+            # the device normalize re-zeroes beyond them
+            exact_hw = [tuple(r[2][1:]) for r in recs]
+            exact_hw += [exact_hw[-1]] * (batch_size - n_real)
         if use_batched_cnn:
-            batch_inputs = extractor.prepare_cnn_batch(imgs, bucket_key)
+            batch_inputs = extractor.prepare_cnn_batch(
+                imgs, bucket_key, exact_hw=exact_hw)
             if mesh is not None:
                 batch_inputs = extractor.shard_cnn_for_mesh(mesh, batch_inputs)
-            in_flight.append((
-                pipeline(extractor.variables, *batch_inputs), recs, n_real,
-            ))
         else:
-            batch_inputs = extractor.prepare_batch(imgs, p)
+            batch_inputs = extractor.prepare_batch(imgs, p, exact_hw=exact_hw)
             if mesh is not None:
                 batch_inputs = extractor.shard_for_mesh(mesh, batch_inputs)
-            images, pos, tmask, vhw = batch_inputs
-            in_flight.append((
-                pipeline(extractor.variables, images, pos, tmask, vhw),
-                recs, n_real,
-            ))
+        in_flight.append((
+            pipeline(extractor.variables, *batch_inputs), recs, n_real,
+        ))
         while len(in_flight) > 1:
             drain_one()
 
@@ -982,6 +1065,7 @@ def run_lost(args) -> int:
         dataset, p, args.no_hard,
         workers=workers,
         need_gt=not no_evaluation,
+        as_uint8=feed_uint8,
     ):
         n_imgs += 1
 

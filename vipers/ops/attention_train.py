@@ -64,11 +64,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(                        # P @ V, f32 accum
-            (p / l).astype(v_ref.dtype), v_ref[g, 0],
+            p.astype(v_ref.dtype), v_ref[g, 0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[g, 0] = o.astype(o_ref.dtype)
+        # normalize on the (T, hd) OUTPUT, not the (T, T) matrix: T/hd x
+        # fewer VPU divides, and the f32 divide after the rounded-bf16 dot
+        # is (marginally) more accurate than rounding P/l before it
+        o_ref[g, 0] = (o / l).astype(o_ref.dtype)
         lse_ref[g, 0] = (m + jnp.log(l))[:, 0][None, :]
 
 
@@ -129,11 +132,12 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, valid_ref, o_ref, lse_ref, *,
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=1, keepdims=True)
         o = jax.lax.dot_general(
-            (p / l).astype(v_ref.dtype), v_ref[0, g, 0],
+            p.astype(v_ref.dtype), v_ref[0, g, 0],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        o_ref[g, 0] = o.astype(o_ref.dtype)
+        # see _fwd_kernel: normalization deferred to the (T, hd) output
+        o_ref[g, 0] = (o / l).astype(o_ref.dtype)
         lse_ref[g, 0] = (m + jnp.log(l))[:, 0][None, :]
 
 

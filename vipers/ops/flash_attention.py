@@ -348,9 +348,11 @@ def _packed_fwd_kernel(q_ref, k_ref, v_ref, valid_ref, o_ref, *,
         p = jnp.exp(s - m)
         l = jnp.maximum(jnp.sum(p, axis=1, keepdims=True), 1e-20)
         o = jnp.dot(
-            (p / l).astype(v.dtype), v, preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
-        o_ref[0, :, lo:lo + hd] = o.astype(o_ref.dtype)
+        # normalize on the (bq, hd) output instead of the (bq, t) matrix:
+        # t/hd x fewer VPU divides (round-5 softmax-VPU lever)
+        o_ref[0, :, lo:lo + hd] = (o / l).astype(o_ref.dtype)
 
 
 def _packed_fwd(qkv, valid, scale, num_heads, block_q, block_k,

@@ -70,6 +70,10 @@ class Session:
     # host-local batches that bypass the wrapped step fns (the SNIP saliency
     # batch) must go through it too, or masks diverge across processes
     shard_io: Optional[object] = None
+    # the device mesh behind shard_io (None when running unsharded) — lets
+    # secondary drivers (quantize) replicate their own aux state (observers,
+    # int8 tables) onto the same global placement
+    mesh: Optional[object] = None
 
 
 def build_session(cfg: TrainConfig) -> Session:
@@ -242,6 +246,7 @@ def build_session(cfg: TrainConfig) -> Session:
 
     state_sharder = None
     shard_io = None
+    mesh = None
     if cfg.data_parallel or cfg.model_parallel > 1 or jax.process_count() > 1:
         # In-process multi-device training (vipers train --data-parallel
         # [--model-parallel k]): batches shard over the mesh's data axis,
@@ -358,7 +363,7 @@ def build_session(cfg: TrainConfig) -> Session:
         eval_step=eval_step, eval_step_ema=eval_step_ema, normalize=normalize,
         mixup=mixup, rng=run_rng, writer=writer,
         train_ds=train_ds, val_ds=val_ds, state_sharder=state_sharder,
-        arch_overrides=arch, shard_io=shard_io,
+        arch_overrides=arch, shard_io=shard_io, mesh=mesh,
     )
 
 

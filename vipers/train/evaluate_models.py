@@ -45,19 +45,42 @@ VOC_CLASSES = (
 def _voc_eval_batches(cfg: TrainConfig, normalize_fn,
                       dataset: str = "VOC07", split: str = "trainval"):
     """Yield (images, labels) batches from a VOC detection set, labels =
-    first GT object's VOC class index (eval preset preprocessing)."""
+    first GT object's VOC class index (eval preset preprocessing).
+
+    Multi-process: each host decodes only its batch-interleaved shard of
+    the annotated items (the reference's DistributedSampler on the test
+    set, `/root/reference/evaluate_models.py:159-160`); ragged tails pad
+    with label ``-1`` sentinel rows (zero image) that the eval step masks
+    out, so every host yields the same number of equally-shaped batches —
+    the lockstep the global-mesh collectives require."""
     from vipers.data.detection import DiscoveryDataset
     from vipers.data.preprocess import eval_decode
+    from vipers.data.sampler import shard_indices_for_host
 
     ds = DiscoveryDataset(dataset, split, cfg.data_path, no_hard=False)
-    images, labels = [], []
+    items = []  # (path, voc_label) for every annotated image, dataset order
     for path, im_name in ds:
         gt, cls = ds.extract_gt(im_name)
         if gt is None or len(gt) == 0:
             continue
-        images.append(eval_decode(path, cfg.val_resize_size, cfg.val_crop_size,
-                                  interpolation=cfg.interpolation))
-        labels.append(VOC_CLASSES.index(cls[0]) if cls[0] in VOC_CLASSES else 0)
+        items.append((
+            path, VOC_CLASSES.index(cls[0]) if cls[0] in VOC_CLASSES else 0))
+    nproc, rank = jax.process_count(), jax.process_index()
+    idx = shard_indices_for_host(
+        len(items), nproc, rank, 0, shuffle=False,
+        pad_with_sentinel=nproc > 1)
+    shape = (cfg.val_crop_size, cfg.val_crop_size, 3)
+    images, labels = [], []
+    for i in idx:
+        if i < 0:  # sentinel pad row: zero image, label -1 (masked)
+            images.append(np.zeros(shape, np.uint8))
+            labels.append(-1)
+        else:
+            path, label = items[i]
+            images.append(eval_decode(
+                path, cfg.val_resize_size, cfg.val_crop_size,
+                interpolation=cfg.interpolation))
+            labels.append(label)
         if len(images) == cfg.batch_size:
             yield normalize_fn(np.stack(images)), jnp.asarray(labels, jnp.int32)
             images, labels = [], []
@@ -121,10 +144,16 @@ def _eval_only_session(cfg: TrainConfig, with_val: bool = False,
         val_ds = ImageFolder(os.path.join(cfg.data_path, "val"),
                              cache_dir=cfg.cache_dataset)
     eval_step = make_eval_step(spec.module.apply, cfg.num_classes)
-    if cfg.data_parallel:
+    if cfg.data_parallel or jax.process_count() > 1:
         # evaluate sweeps honor --data-parallel too: batches shard over
         # every local device, params replicate (same recipe as the train
-        # driver's mesh block)
+        # driver's mesh block).  Multi-PROCESS sweeps (the reference DDP-
+        # wraps its evaluation, `/root/reference/evaluate_models.py:314-316`
+        # + `:159-160` DistributedSampler) take this branch automatically:
+        # `_val_loader`/`_voc_eval_batches` yield host-local shards
+        # (`shard_indices_for_host`, sentinel-padded tails) and
+        # batch_sharder assembles the global batch, so metrics come out of
+        # the jitted step globally reduced — identical on every rank.
         from vipers.parallel.mesh import batch_sharder, make_mesh, replicate
 
         mesh = make_mesh(jax.devices())
@@ -214,8 +243,12 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
     rows = []
     from vipers.pruning.structured import arch_sidecar
 
+    # metrics come out of the jitted step globally reduced (identical on
+    # every rank) — only rank 0 appends the txt artifacts, the
+    # save_on_master split (`/root/reference/utils.py:240-242`)
+    rank0 = jax.process_index() == 0
     slim_sessions = {}
-    with open(out_txt, "a") as f:
+    with open(out_txt if rank0 else os.devnull, "a") as f:
         for ckpt in ckpts:
             sess = s
             arch = arch_sidecar(ckpt)
@@ -254,7 +287,7 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
                 f.write(f"{split}/{name} {val} custom_x_axis {sparsity}\n")
             rows.append((acc1, sparsity))
             print(f"{ckpt}: sparsity {sparsity:.2f}% acc1 {acc1:.3f}")
-    if rows:
+    if rows and rank0:
         MetricsWriter.export_performance_txt(
             os.path.join(cfg.output_dir, "performance.txt"), rows
         )

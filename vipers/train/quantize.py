@@ -196,7 +196,11 @@ def observer_sites(module, variables, x, exclude=(), **apply_kwargs):
         return out
 
     with nn.intercept_methods(ic):
-        module.apply(variables, x, **apply_kwargs)
+        # eval_shape: discover sites by TRACING (no FLOPs, and — under a
+        # multi-process mesh — no eager ops on non-addressable global
+        # params, which would raise)
+        jax.eval_shape(
+            lambda v, xx: module.apply(v, xx, **apply_kwargs), variables, x)
     return sites
 
 
@@ -661,6 +665,28 @@ def run_quantize(args) -> int:
     cfg = config_from_args(args)
     os.makedirs(cfg.output_dir, exist_ok=True)
     s = build_session(cfg)
+    # Parallel wiring (the reference runs QAT under DDP —
+    # `train_quantization.py:72-73`): build_session already sharded
+    # s.state / wrapped s.eval_step for --data-parallel / multi-process
+    # runs; the quantize-specific programs (calibration, QAT step, int8
+    # eval) ride the same mesh.  Aux state (observers, int8 tables) is
+    # replicated so one SPMD program serves every device.
+    from vipers.parallel.mesh import replicate
+
+    repl_put = (
+        (lambda t: jax.device_put(t, replicate(s.mesh)))
+        if s.mesh is not None else (lambda t: t)
+    )
+
+    def shard_batch(images, labels):
+        """Host batch -> (normalized global images, global labels)."""
+        if s.shard_io is not None:
+            import numpy as _np
+
+            images, labels = s.shard_io((images, _np.asarray(labels)))
+            return s.normalize(images), labels
+        return s.normalize(images), jnp.asarray(labels)
+
     if not cfg.resume:
         # quantizing random weights silently "works" but is meaningless —
         # the reference always loads a trained model first
@@ -688,11 +714,14 @@ def run_quantize(args) -> int:
         module, probe_vars, jnp.zeros((1, h, w, 3)), exclude=exclude,
         train=False, need_attn=False,
     )
-    observers = init_observers(sites)
+    observers = repl_put(init_observers(sites))
     print(f"{len(sites)} quantizable activation sites")
 
     if args.mode == "ptq":
-        batches = ((s.normalize(i), l) for i, l in _train_loader(s, 0))
+        # calibration observes GLOBAL batches: every process sees the same
+        # assembled batch -> identical observer ranges everywhere (min/max
+        # are exact reductions, so this is bit-equal to single-process)
+        batches = (shard_batch(i, l) for i, l in _train_loader(s, 0))
         observers = ptq_calibrate(
             module, probe_vars, observers, batches,
             args.calibration_batches, exclude,
@@ -712,6 +741,9 @@ def run_quantize(args) -> int:
         print(f"PTQ QDQ:  acc1 {acc1:.3f} acc5 {acc5:.3f}")
         int8_step = make_int8_eval_step(module, q, scales, observers,
                                         cfg.num_classes)
+        if s.shard_io is not None:
+            base_int8, int8_step = int8_step, (
+                lambda st, b: base_int8(st, s.shard_io(b)))
         acc1_i, acc5_i, _ = evaluate(int8_step, s.state, _val_loader(s),
                                      normalize_fn=s.normalize)
         print(f"PTQ int8: acc1 {acc1_i:.3f} acc5 {acc5_i:.3f} "
@@ -728,11 +760,17 @@ def run_quantize(args) -> int:
             # BN models (the usual quantize targets) are unrestorable
             # without their statistics
             artifact["batch_stats"] = s.state.batch_stats
+        if jax.process_count() > 1:
+            # collective gather-to-host before the (every-rank) orbax save —
+            # same recipe as the train driver's _checkpoint_fn
+            from vipers.parallel.mesh import host_replicated_tree
+
+            artifact = host_replicated_tree(artifact)
         save_checkpoint(
             os.path.join(cfg.output_dir, "quantized_post_train_model"),
             artifact,
         )
-        if s.arch_overrides:
+        if s.arch_overrides and jax.process_index() == 0:
             from vipers.pruning.structured import write_sidecar
 
             write_sidecar(
@@ -763,10 +801,12 @@ def run_quantize(args) -> int:
             print(f"Freezing BN for subseq epochs, epoch = {epoch}")
         qat_step = step_cache[key]
 
-        # inline epoch loop: the step signature carries observers
+        # inline epoch loop: the step signature carries observers; batches
+        # assemble into GLOBAL arrays under --data-parallel / multi-process
+        # (the reference's DDP-wrapped QAT, `train_quantization.py:72-73`)
         rng = jax.random.fold_in(s.rng, epoch)
         for i, (images, labels) in enumerate(_train_loader(s, epoch)):
-            batch = (s.normalize(images), jnp.asarray(labels))
+            batch = shard_batch(images, labels)
             state, observers, metrics = qat_step(state, observers, batch, rng)
             if cfg.print_freq and i % cfg.print_freq == 0:
                 print(f"QAT epoch {epoch} [{i}] loss "
@@ -784,6 +824,9 @@ def run_quantize(args) -> int:
         q, scales = quantize_params_int8(masked, exclude)
         int8_step = make_int8_eval_step(module, q, scales, observers,
                                         cfg.num_classes)
+        if s.shard_io is not None:
+            int8_step = (lambda base: lambda st, b: base(st, s.shard_io(b)))(
+                int8_step)
         evaluate(int8_step, state, _val_loader(s), epoch,
                  normalize_fn=s.normalize, log_suffix="INT8")
 
@@ -798,12 +841,16 @@ def run_quantize(args) -> int:
         }
         if state.batch_stats is not None:
             qat_artifact["batch_stats"] = state.batch_stats
+        if jax.process_count() > 1:
+            from vipers.parallel.mesh import host_replicated_tree
+
+            qat_artifact = host_replicated_tree(qat_artifact)
         save_checkpoint(
             os.path.join(cfg.output_dir, "qat_checkpoint"),
             qat_artifact,
             use_async=True,
         )
-        if s.arch_overrides:
+        if s.arch_overrides and jax.process_index() == 0:
             from vipers.pruning.structured import write_sidecar
 
             write_sidecar(os.path.join(cfg.output_dir, "qat_checkpoint"),
