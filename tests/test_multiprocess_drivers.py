@@ -76,6 +76,20 @@ print("FINAL " + json.dumps({
 """
 
 
+_LOST_PROG = """
+import sys
+from vipers.parallel.mesh import maybe_initialize_distributed
+maybe_initialize_distributed(verbose=False)
+from vipers.cli.main import main as cli
+voc, out = sys.argv[1], sys.argv[2]
+cli(["lost", "--model", "vit_s_16", "--arch", "vit", "--dataset", "VOC07",
+     "--set", "trainval", "--data-path", voc, "--output-dir", out,
+     "--iteration", "0", "--workers", "1", "--batch-size", "2",
+     "--data-parallel"])
+print("LOSTDONE", flush=True)
+"""
+
+
 def _env(extra):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
@@ -143,6 +157,83 @@ def _tree_compare(a, b, rtol, atol, msg):
         np.testing.assert_allclose(
             fa[k], fb[k], rtol=rtol, atol=atol,
             err_msg=f"{msg}: {'/'.join(map(str, k))}")
+
+
+@pytest.fixture(scope="module")
+def voc_dir(tmp_path_factory):
+    """6-image synthetic VOC07 (two shapes -> two token buckets), so each
+    of 2 ranks owns a 3-image stride with a ragged tail batch."""
+    root = tmp_path_factory.mktemp("mplost") / "voc07"
+    (root / "JPEGImages").mkdir(parents=True)
+    (root / "Annotations").mkdir()
+    (root / "ImageSets" / "Main").mkdir(parents=True)
+    rng = np.random.default_rng(11)
+    names = []
+    for i in range(6):
+        h, w = (64, 80) if i % 2 else (80, 80)
+        arr = rng.integers(0, 60, size=(h, w, 3), dtype=np.uint8)
+        y0, x0 = 16 + 4 * i, 16
+        arr[y0:y0 + 24, x0:x0 + 32] = 220
+        name = f"im{i:03d}"
+        names.append(name)
+        Image.fromarray(arr).save(root / "JPEGImages" / f"{name}.jpg")
+        (root / "Annotations" / f"{name}.xml").write_text(
+            f"""<annotation><filename>{name}.jpg</filename>
+<size><width>{w}</width><height>{h}</height><depth>3</depth></size>
+<object><name>thing</name><truncated>0</truncated><difficult>0</difficult>
+<bndbox><xmin>{x0 + 1}</xmin><ymin>{y0 + 1}</ymin><xmax>{x0 + 32}</xmax><ymax>{y0 + 24}</ymax></bndbox>
+</object></annotation>""")
+    (root / "ImageSets" / "Main" / "trainval.txt").write_text(
+        "\n".join(names))
+    return str(root)
+
+
+@pytest.mark.slow
+def test_two_process_lost_matches_single_process(voc_dir, tmp_path):
+    """`vipers lost --data-parallel` under 2 processes: strided dataset
+    shards, per-process local meshes, host-side allgather merge, rank-0
+    artifact writes — preds.pkl and the results txt must equal the
+    single-process run exactly (per-image work is batch-independent)."""
+    import pickle
+
+    port = _free_port()
+    out_multi = str(tmp_path / "multi")
+    out_single = str(tmp_path / "single")
+
+    procs = []
+    for rank in range(2):
+        env = _env({
+            "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+            "MASTER_ADDR": "127.0.0.1",
+            "MASTER_PORT": str(port),
+            "RANK": str(rank),
+            "WORLD_SIZE": "2",
+        })
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _LOST_PROG, voc_dir, out_multi],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for rank, p in enumerate(procs):
+        out, err = p.communicate(timeout=1500)
+        assert p.returncode == 0, f"rank {rank} failed:\n{err[-5000:]}"
+        assert "LOSTDONE" in out
+
+    env = _env({"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    p = subprocess.run(
+        [sys.executable, "-c", _LOST_PROG, voc_dir, out_single],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1500,
+    )
+    assert p.returncode == 0, f"single run failed:\n{p.stderr[-5000:]}"
+
+    pm = pickle.load(open(os.path.join(out_multi, "preds.pkl"), "rb"))
+    ps = pickle.load(open(os.path.join(out_single, "preds.pkl"), "rb"))
+    assert set(pm) == set(ps) and len(ps) == 6
+    for k in ps:
+        np.testing.assert_array_equal(pm[k], ps[k], err_msg=k)
+    rm = open(os.path.join(out_multi, "results_iteration_00.txt")).read()
+    rs = open(os.path.join(out_single, "results_iteration_00.txt")).read()
+    assert rm == rs
 
 
 @pytest.mark.slow

@@ -336,7 +336,7 @@ def test_lost_workers_zero_is_synchronous(monkeypatch, tmp_path):
     seen = {}
     orig = ddriver._prefetch_decoded
 
-    def spy(dataset, p, no_hard, workers=8, need_gt=True):
+    def spy(dataset, p, no_hard, workers=8, need_gt=True, as_uint8=False):
         seen["workers"] = workers
         return iter(())
 

@@ -9,8 +9,12 @@ exported surfaces:
   * classify: pruned ViT-S/16 bf16 forward at 224px (the `evaluate` path)
   * lost:     the batched LOST program at the canonical VOC shape
               (512x384 -> 769 tokens), boxes/seeds out (the `lost` path)
+  * lost_cnn: the round-4 batched CNN LOST program (resnet50 bottom
+              features, masked slab LayerNorm, vmapped lost_core) at its
+              canonical bucket shape — the round-5 CNN export surface
 
-Usage: python tools/bench_export.py [--batch 128] [--pipelines classify lost]
+Usage: python tools/bench_export.py [--batch 128]
+       [--pipelines classify lost lost_cnn]
 """
 
 import argparse
@@ -24,8 +28,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--pipelines", nargs="+", default=["classify", "lost"],
-                    choices=["classify", "lost"])
+    ap.add_argument("--pipelines", nargs="+",
+                    default=["classify", "lost", "lost_cnn"],
+                    choices=["classify", "lost", "lost_cnn"])
     ap.add_argument("--reps", type=int, default=4)
     args = ap.parse_args()
 
@@ -57,9 +62,16 @@ def main():
 
     import tempfile
 
+    from vipers.core.export import make_cnn_lost_serving_forward
+
     for pipeline in args.pipelines:
         hw = (224, 224) if pipeline == "classify" else (512, 384)
-        spec = build_model("vit_s_16", num_classes=1000, image_size=hw)
+        if pipeline == "lost_cnn":
+            # (512, 384) is stride-aligned for resnet (ceil(px/32)), so it
+            # is its own canonical bucket input — zero extra pad
+            spec = build_model("resnet50", num_classes=1000)
+        else:
+            spec = build_model("vit_s_16", num_classes=1000, image_size=hw)
         variables = spec.module.init(
             jax.random.PRNGKey(0), jnp.zeros((1, *hw, 3)), train=False)
         masks = magnitude_prune(
@@ -75,6 +87,13 @@ def main():
                 spec, variables, masks=masks, dtype=jnp.bfloat16))
             blob, meta = export_serving(
                 spec, variables, batch_size=b, masks=masks,
+                dtype=jnp.bfloat16)
+        elif pipeline == "lost_cnn":
+            direct = jax.jit(make_cnn_lost_serving_forward(
+                spec, variables, masks=masks, dtype=jnp.bfloat16,
+                batch_size=b, image_size=hw))
+            blob, meta = export_lost_pipeline(
+                spec, variables, batch_size=b, image_size=hw, masks=masks,
                 dtype=jnp.bfloat16)
         else:
             direct = jax.jit(make_lost_serving_forward(

@@ -66,7 +66,10 @@ def _interp_fn(grid_hw, align: bool):
     import jax
 
     try:
-        cpu = jax.devices("cpu")[0]
+        # local_devices, not devices: under a multi-process runtime the
+        # global list's first CPU device belongs to rank 0 — jitting to
+        # it from another rank yields a non-addressable output
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         cpu = None
 
@@ -828,11 +831,32 @@ def _templated_checkpoint(models_dir: str, model: str, arch: str,
     )
 
 
+class _ProcessShardDataset:
+    """Strided per-process view of a discovery dataset for multi-process
+    `vipers lost`: process r owns items r, r+P, r+2P, ... — deterministic
+    with zero coordination (every image is independent work; the
+    reference's DDP drivers shard the same way via DistributedSampler,
+    `/root/reference/evaluate_models.py:159-160`).  Everything but
+    iteration (``extract_gt`` etc.) delegates to the wrapped dataset."""
+
+    def __init__(self, dataset, rank: int, nproc: int):
+        self._ds, self._rank, self._nproc = dataset, rank, nproc
+
+    def __iter__(self):
+        for i, item in enumerate(iter(self._ds)):
+            if i % self._nproc == self._rank:
+                yield item
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+
 def run_lost(args) -> int:
     t_start = time.time()
     image_path = getattr(args, "image_path", None)
     no_evaluation = bool(getattr(args, "no_evaluation", False))
     save_predictions = bool(getattr(args, "save_predictions", True))
+    nproc, rank = jax.process_count(), jax.process_index()
     if image_path:
         # single-image mode forces both off (`main_lost.py:297-300`)
         no_evaluation, save_predictions = True, False
@@ -843,6 +867,13 @@ def run_lost(args) -> int:
             coco_annotations=getattr(args, "coco_annotations", None),
             coco20k_list=getattr(args, "coco20k_list", None),
         )
+        if nproc > 1:
+            # multi-process sweep: each process runs its stride of the
+            # dataset on its own addressable devices; host results are
+            # all-gathered and merged before the rank-0 artifact write
+            dataset = _ProcessShardDataset(dataset, rank, nproc)
+            print(f"LOST multi-process: rank {rank}/{nproc} "
+                  "(strided dataset shard)")
     arch = args.arch
     model_kw = {}
     if arch == "dino":
@@ -991,7 +1022,12 @@ def run_lost(args) -> int:
     if (use_batched or use_batched_cnn) and getattr(args, "data_parallel", False):
         from vipers.parallel.mesh import make_mesh
 
-        mesh = make_mesh(model_parallel=1)
+        # multi-process: the dataset is already process-sharded, so each
+        # process data-parallelizes its OWN stride over its addressable
+        # devices — a local mesh, not a global one (no cross-process
+        # batch assembly needed; per-image independence)
+        mesh = make_mesh(
+            jax.local_devices() if nproc > 1 else None, model_parallel=1)
         n_dev = mesh.devices.size
         batch_size = max(batch_size // n_dev, 1) * n_dev
         print(f"LOST data-parallel over {n_dev} devices, batch {batch_size}")
@@ -1121,7 +1157,26 @@ def run_lost(args) -> int:
         flush(key)
     while in_flight:
         drain_one()
-    if failed:
+
+    if nproc > 1:
+        # merge every process's host-side results (collective — all
+        # ranks participate) so rank 0 writes the same preds.pkl /
+        # results txt a single-process run would
+        from vipers.parallel.mesh import allgather_host_objects
+
+        payloads = allgather_host_objects({
+            "hits": acc.hits, "count": acc.count, "preds": acc.preds,
+            "failed": failed, "n_imgs": n_imgs,
+        })
+        acc, failed, n_imgs = CorLocAccumulator(), [], 0
+        for pl in payloads:
+            acc.hits += pl["hits"]
+            acc.count += pl["count"]
+            acc.preds.update(pl["preds"])
+            failed += pl["failed"]
+            n_imgs += pl["n_imgs"]
+
+    if failed and rank == 0:
         print(
             f"WARNING: seed in background component for {len(failed)} "
             f"image(s), skipped: {', '.join(failed[:10])}"
@@ -1129,11 +1184,13 @@ def run_lost(args) -> int:
             + " (rerun with --strict for reference-parity crashing)"
         )
 
-    os.makedirs(args.output_dir, exist_ok=True)
-    acc.save(args.output_dir, iteration, save_preds=save_predictions,
-             save_results=not no_evaluation)
-    dt = time.time() - t_start
-    print(f"LOST: {n_imgs} images in {dt:.1f}s ({n_imgs / max(dt, 1e-9):.2f} img/s)")
+    if rank == 0:
+        os.makedirs(args.output_dir, exist_ok=True)
+        acc.save(args.output_dir, iteration, save_preds=save_predictions,
+                 save_results=not no_evaluation)
+        dt = time.time() - t_start
+        print(f"LOST: {n_imgs} images in {dt:.1f}s "
+              f"({n_imgs / max(dt, 1e-9):.2f} img/s)")
     return 0
 
 

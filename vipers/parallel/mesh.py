@@ -207,6 +207,62 @@ def sharding_like(mesh: Mesh, tree, spec_tree=None):
     return jax.tree.map(lambda _: replicate(mesh), tree)
 
 
+_ALLGATHER_CALLS = 0
+
+
+def allgather_host_objects(obj, timeout_s: int = 1200):
+    """All-gather arbitrary picklable HOST objects across processes;
+    returns ``[obj_from_process_0, ..., obj_from_process_P-1]``.
+
+    The multi-process drivers accumulate host-side Python state (CorLoc
+    predictions, failure lists, observer dicts) that must be merged on
+    rank 0 before the artifact write (torch-land would use
+    ``torch.distributed.all_gather_object``).  Deliberately NOT a device
+    collective: the callers' per-rank sweeps are independent work whose
+    durations can drift far apart (compile skew, unequal shards), and
+    the backend's Gloo/ICI context initialization enforces a short
+    rendezvous deadline (~30 s) on the FIRST collective a communicator
+    runs — a late rank would kill the whole job at the finish line.  The
+    coordination-service key-value store (the same channel
+    `jax.distributed.initialize` rendezvous rides) has no such
+    constraint: each rank publishes its pickled payload under a
+    per-call key, blocking-reads every peer's (``timeout_s`` budget for
+    stragglers), and a barrier fences the keys' deletion.  Every process
+    MUST call this the same number of times (keys are sequence-numbered);
+    single-process returns ``[obj]`` without touching the backend.
+    """
+    import pickle
+
+    nproc = jax.process_count()
+    if nproc == 1:
+        return [obj]
+    global _ALLGATHER_CALLS
+    seq = _ALLGATHER_CALLS
+    _ALLGATHER_CALLS += 1
+
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is None:  # pragma: no cover - initialize() precedes nproc>1
+        raise RuntimeError(
+            "allgather_host_objects: multi-process run without an "
+            "initialized jax.distributed client"
+        )
+    rank = jax.process_index()
+    prefix = f"vipers/allgather/{seq}"
+    client.key_value_set_bytes(f"{prefix}/{rank}", pickle.dumps(obj))
+    out = [
+        pickle.loads(
+            client.blocking_key_value_get_bytes(
+                f"{prefix}/{r}", timeout_s * 1000))
+        for r in range(nproc)
+    ]
+    # fence: nobody deletes a key a peer has not read yet
+    client.wait_at_barrier(f"{prefix}/done", timeout_s * 1000, None)
+    client.key_value_delete(f"{prefix}/{rank}")
+    return out
+
+
 def host_replicated_tree(tree):
     """Materialize a pytree of (possibly cross-process) jax.Arrays as host
     numpy on every process.
