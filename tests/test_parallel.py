@@ -216,3 +216,15 @@ def test_sp_composes_with_int8_serving():
     out_p = jax.device_get(pipe_p(plain.variables, *plain.prepare_batch(imgs, 16)))
     out_s = jax.device_get(pipe_s(sp.variables, *sp.prepare_batch(imgs, 16)))
     np.testing.assert_allclose(out_s[0], out_p[0], atol=1e-4, rtol=1e-4)
+
+
+def test_allgather_host_objects_single_process():
+    """Single-process identity: returns [obj] without touching the
+    distributed backend (the multi-process path — coordination-service
+    KV gather + barrier — is exercised for real by
+    test_multiprocess_drivers.py::test_two_process_lost_matches_single_process)."""
+    from vipers.parallel.mesh import allgather_host_objects
+
+    obj = {"hits": 3, "preds": {"im000": [1.0, 2.0, 3.0, 4.0]}}
+    out = allgather_host_objects(obj)
+    assert out == [obj] and out[0] is obj

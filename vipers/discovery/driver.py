@@ -22,7 +22,6 @@ Feature modalities (`main_lost.py:478-499`):
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from collections import deque
@@ -39,7 +38,6 @@ from vipers.data.preprocess import bucket_hw
 from vipers.discovery.corloc import CorLocAccumulator
 from vipers.discovery.lost import box_feat_to_image, dino_seg, lost, lost_core
 from vipers.models.dino_vit import split_qkv_dino
-from vipers.models.interpolate import interpolate_pos_embedding
 from vipers.models.vit import scrambled_qkv_gather, split_qkv_torchvision
 from vipers.pruning.masks import apply_masks
 
@@ -55,32 +53,6 @@ def masked_slab_layernorm(f, mf, cnt):
     mu = jnp.sum(f * mf, axis=(1, 2), keepdims=True) / cnt
     var = jnp.sum(jnp.square((f - mu) * mf), axis=(1, 2), keepdims=True) / cnt
     return ((f - mu) / jnp.sqrt(var + 1e-5)) * mf
-
-
-@functools.lru_cache(maxsize=None)
-def _interp_fn(grid_hw, align: bool):
-    """One jitted interpolation program per target grid, pinned to the
-    host CPU backend: the op is tiny, but eager dispatch compiles ~15
-    micro-programs per shape (~0.4 s each on a 1-core host) and on a
-    tunneled TPU each would also be a network round trip."""
-    import jax
-
-    try:
-        # local_devices, not devices: under a multi-process runtime the
-        # global list's first CPU device belongs to rank 0 — jitting to
-        # it from another rank yields a non-addressable output
-        cpu = jax.local_devices(backend="cpu")[0]
-    except RuntimeError:
-        cpu = None
-
-    def run(pos):
-        return interpolate_pos_embedding(pos, grid_hw, align_corners=align)
-
-    return jax.jit(run, device=cpu) if cpu is not None else jax.jit(run)
-
-
-def _jitted_interpolate(pos, grid_hw, align: bool):
-    return _interp_fn(tuple(int(v) for v in grid_hw), bool(align))(pos)
 
 
 def _device_normalize(images, pixel_hw):
@@ -176,6 +148,23 @@ class LostFeatureExtractor:
         self.compute_dtype = compute_dtype or jnp.float32
         self.variables = dict(variables, params=params)
         self._pos_cache = {}
+
+        @jax.jit
+        def pos_interp(pos, mat_h, mat_w):
+            # (1, S_h*S_w+1, D) stored pos -> (1, GH*GW+1, D) f32:
+            # bicubic resize to (gh, gw) + scatter into the bucket grid
+            # as two dense matmuls with host-built weight matrices
+            # (resize_weight_matrix_np) — see _pos_and_mask
+            pos = pos.astype(jnp.float32)
+            cls = pos[:, :1]
+            sh, sw = mat_h.shape[1], mat_w.shape[1]
+            grid = pos[0, 1:].reshape(sh, sw, -1)
+            g = jnp.einsum("hs,swd->hwd", mat_h, grid, precision="highest")
+            g = jnp.einsum("wt,htd->hwd", mat_w, g, precision="highest")
+            g = g.reshape(1, -1, g.shape[-1])
+            return jnp.concatenate([cls, g], axis=1)
+
+        self._pos_interp = pos_interp
         self._module_apply = self._make_module_apply()
         self.sequence_mesh = sequence_mesh
         if sequence_mesh is not None:
@@ -303,34 +292,38 @@ class LostFeatureExtractor:
         into the bucket grid, plus the CLS+valid token mask."""
         key = (gh, gw, GH, GW)
         if key not in self._pos_cache:
+            from vipers.models.interpolate import resize_weight_matrix_np
+
             pname = "pos_embedding" if self.arch == "vit" else "pos_embed"
             pos = self.variables["params"][pname]
             p = self.spec.patch_size
-            stored = (self.spec.input_size[0] // p, self.spec.input_size[1] // p)
-            if (gh, gw) == stored:
-                interp = jnp.asarray(pos, jnp.float32)  # native grid: no resize
-            else:
-                align = self.arch == "vit"  # torchvision align=True; DINO False
-                # pin the interpolation to the host CPU backend: it's a
-                # tiny one-shot op, but on a (tunneled) TPU every unique
-                # (gh, gw) would otherwise cost a fresh ~20 s device
-                # compile — measured 58 s of a 4-image CLI run
-                interp = _jitted_interpolate(
-                    np.asarray(pos, np.float32), (gh, gw), align
-                )
-            d = interp.shape[-1]
-            full = np.zeros((1, GH * GW + 1, d), np.float32)
-            full[:, 0] = np.asarray(interp[:, 0])
-            grid = np.asarray(interp[0, 1:]).reshape(gh, gw, d)
-            scat = np.zeros((GH, GW, d), np.float32)
-            scat[:gh, :gw] = grid
-            full[:, 1:] = scat.reshape(1, GH * GW, d)
+            side_h = self.spec.input_size[0] // p
+            side_w = self.spec.input_size[1] // p
+            align = self.arch == "vit"  # torchvision align=True; DINO False
+            # Interpolation as two host-built weight matrices applied ON
+            # DEVICE (one jitted matmul-matmul per bucket signature):
+            #   * the stored pos table never leaves the device — on the
+            #     tunneled backend a device->host read of this one 300 KB
+            #     parameter measured ~100 s AND degraded every subsequent
+            #     transfer ~50x (the round-5 e2e bench's 16 img/s),
+            #   * the (gh, gw) grid is data (zero rows beyond gh/gw land
+            #     the scatter-into-bucket for free), so new grids cost no
+            #     new compile — only new BUCKET shapes do,
+            #   * gh == side yields the exact identity matrix (Keys
+            #     kernel at integer offsets), i.e. the reference's
+            #     no-resize native path.
+            mat_h = np.zeros((GH, side_h), np.float32)
+            mat_h[:gh] = resize_weight_matrix_np(side_h, gh, align)
+            mat_w = np.zeros((GW, side_w), np.float32)
+            mat_w[:gw] = resize_weight_matrix_np(side_w, gw, align)
+            full = self._pos_interp(
+                pos, jnp.asarray(mat_h), jnp.asarray(mat_w))
             rows = np.arange(GH * GW) // GW
             cols = np.arange(GH * GW) % GW
             mask = np.concatenate(
                 [[True], (rows < gh) & (cols < gw)]
             )[None, :]
-            self._pos_cache[key] = (jnp.asarray(full), jnp.asarray(mask))
+            self._pos_cache[key] = (full, mask)
         return self._pos_cache[key]
 
     def _cnn_fdim(self, px: int) -> int:
@@ -709,21 +702,41 @@ class LostFeatureExtractor:
         GH, GW = bh // patch, bw // patch
         batch = np.zeros((len(imgs), bh, bw, 3),
                          np.uint8 if u8 else np.float32)
-        poss, tmasks, vhw = [], [], []
+        # Per-image pos embeddings are (1, T, D) f32 — at VOC scale ~1.2 MB
+        # each, and most images in a bucket share the SAME valid grid.
+        # Concatenating B host copies per batch (the round-4 form) shipped
+        # ~150 MB of redundant host->device traffic as B separate eager
+        # transfers — measured 5-7 s/batch through a tunneled chip, the
+        # entire e2e budget.  Instead: ONE device-resident row per (gh,
+        # gw) grid (computed on device, cached — _pos_and_mask) and the
+        # (B, T, D) batch gathered/broadcast on device.
+        order: dict = {}
+        rows, mask_rows, idx, vhw = [], [], [], []
         for i, im in enumerate(imgs):
             h, w = im.shape[:2]
             batch[i, :h, :w] = im
             gh, gw = h // patch, w // patch
-            pos, mask = self._pos_and_mask(gh, gw, GH, GW)
-            poss.append(pos)
-            tmasks.append(mask)
+            key = (gh, gw, GH, GW)
+            if key not in order:
+                pos, mask = self._pos_and_mask(gh, gw, GH, GW)
+                order[key] = len(rows)
+                rows.append(pos)          # (1, T, D) device f32
+                mask_rows.append(mask)    # (1, T) host bool
+            idx.append(order[key])
             vhw.append((gh, gw))
+        pos_batch = (
+            jnp.take(jnp.concatenate(rows, axis=0),
+                     jnp.asarray(idx, jnp.int32), axis=0)
+            if len(rows) > 1 else
+            jnp.broadcast_to(rows[0], (len(imgs),) + tuple(rows[0].shape[1:]))
+        )
         exact_fit = all(t == (GH, GW) for t in vhw)
         out = (
             jnp.asarray(batch),
-            jnp.concatenate(poss, axis=0),
+            pos_batch,
             None if exact_fit
-            else jnp.concatenate([jnp.asarray(m) for m in tmasks], axis=0),
+            else jnp.asarray(np.concatenate(
+                [mask_rows[u] for u in idx], axis=0)),
             jnp.asarray(vhw, jnp.int32),
         )
         if not u8:
