@@ -87,10 +87,14 @@ class MeterSet:
     def __str__(self):
         return self.delimiter.join(f"{k}: {m}" for k, m in self.meters.items())
 
-    def log_every(self, iterable, print_freq: int, header: str = "", total: Optional[int] = None):
+    def log_every(self, iterable, print_freq: int, header: str = "",
+                  total: Optional[int] = None, pre_print=None):
         """Yield items, printing progress/ETA every ``print_freq`` steps.
 
-        Counterpart of `/root/reference/utils.py:101-156`.
+        Counterpart of `/root/reference/utils.py:101-156`.  ``pre_print``
+        (optional callable) runs immediately before each print — the train
+        loop uses it to flush its grouped device-metric fetches so every
+        printed meter value matches the old per-step-fetch output exactly.
         """
         if total is None:
             try:
@@ -106,6 +110,8 @@ class MeterSet:
             yield obj
             iter_time.update(time.time() - end)
             if print_freq and i % print_freq == 0:
+                if pre_print is not None:
+                    pre_print()
                 if total:
                     eta = iter_time.global_avg * (total - i)
                     eta_str = f" eta: {eta:.0f}s"

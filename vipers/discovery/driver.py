@@ -1050,31 +1050,41 @@ def run_lost(args) -> int:
     # image can't discard a whole accumulated sweep.
     strict = bool(getattr(args, "strict", False))
     failed: list = []
-    # Double buffering: pipeline dispatch is async, so flush() enqueues the
-    # device program and defers the blocking device_get until the NEXT
-    # flush — host decode + batch assembly of bucket N+1 overlap device
-    # compute of bucket N (the ~4-5 ms/batch dispatch+readback gap
-    # measured in docs/PERF.md round 3).
+    # Deep pipelining (round 5): dispatch is async, so flush() only
+    # enqueues the device program; the blocking device_get happens for a
+    # whole GROUP of queued batches in ONE call once the queue reaches
+    # DRAIN_DEPTH.  One fetch per group instead of per batch matters
+    # doubly: host decode + batch assembly of the next batches overlap
+    # device compute (round-3 double buffering), and on a tunneled chip
+    # — where any readback of device results costs seconds regardless of
+    # size (docs/PERF.md round 5) — the fetch penalty amortizes over
+    # DRAIN_DEPTH * batch images.
+    drain_depth = int(os.environ.get("VIPERS_LOST_DRAIN_DEPTH", "8"))
     in_flight = deque()
 
-    def drain_one():
-        outs, recs, n_real = in_flight.popleft()
-        box_feat, _seeds, seed_bg = jax.device_get(outs)
-        for i in range(n_real):
-            im_name, _img, init_size, gt_i = recs[i]
-            if bool(seed_bg[i]):
-                if strict:
-                    raise ValueError(
-                        f"The seed is in the background component ({im_name})."
-                    )
-                failed.append(im_name)
-                continue
-            scales = (
-                extractor.cnn_scales(*_img.shape[:2]) if use_batched_cnn
-                else [p, p]
-            )
-            pred = box_feat_to_image(box_feat[i], scales, init_size)
-            acc.add(im_name, pred, gt_i)
+    def drain_group():
+        group = []
+        while in_flight:
+            group.append(in_flight.popleft())
+        fetched = jax.device_get([outs for outs, _r, _n in group])
+        for (outs, recs, n_real), (box_feat, _seeds, seed_bg) in zip(
+                group, fetched):
+            for i in range(n_real):
+                im_name, _img, init_size, gt_i = recs[i]
+                if bool(seed_bg[i]):
+                    if strict:
+                        raise ValueError(
+                            "The seed is in the background component "
+                            f"({im_name})."
+                        )
+                    failed.append(im_name)
+                    continue
+                scales = (
+                    extractor.cnn_scales(*_img.shape[:2]) if use_batched_cnn
+                    else [p, p]
+                )
+                pred = box_feat_to_image(box_feat[i], scales, init_size)
+                acc.add(im_name, pred, gt_i)
 
     def flush(bucket_key):
         recs = buffers.pop(bucket_key)
@@ -1101,8 +1111,8 @@ def run_lost(args) -> int:
         in_flight.append((
             pipeline(extractor.variables, *batch_inputs), recs, n_real,
         ))
-        while len(in_flight) > 1:
-            drain_one()
+        if len(in_flight) >= drain_depth:
+            drain_group()
 
     # tier-1 padding (participates) — `main_lost.py:399-407` — happens in
     # the prefetch workers; host decode overlaps device compute.
@@ -1168,8 +1178,7 @@ def run_lost(args) -> int:
 
     for key in sorted(buffers):
         flush(key)
-    while in_flight:
-        drain_one()
+    drain_group()
 
     if nproc > 1:
         # merge every process's host-side results (collective — all

@@ -30,10 +30,34 @@ def train_one_epoch(
 ):
     meters = MeterSet()
     header = f"Epoch: [{epoch}]"
+    # Metric fetches are GROUPED: a per-step `device_get` would insert a
+    # host sync into every step (the reference's per-iteration
+    # `loss.item()` habit, `train.py:80-85`) — on a TPU that caps
+    # pipelining, and through a tunneled chip a device->host read costs
+    # seconds.  Steps dispatch async (donated state chains on device);
+    # pending metric dicts are fetched in ONE device_get per print window
+    # (so every printed value is exactly what the per-step fetch printed)
+    # and once at epoch end, keeping the aggregates exact.
+    flush_every = print_freq if print_freq and print_freq > 0 else 32
+    pending: list = []
+
+    def flush():
+        if not pending:
+            return
+        fetched = jax.device_get([m for _b, m in pending])
+        for (bsz, _m), met in zip(pending, fetched):
+            meters.update(
+                n=bsz,
+                loss=float(met["loss"]),
+                acc1=float(met["acc1"]),
+                acc5=float(met["acc5"]),
+            )
+        pending.clear()
+
+    t_prev = time.time()
     for i, (images, labels) in enumerate(
-        meters.log_every(loader, print_freq, header)
+        meters.log_every(loader, print_freq, header, pre_print=flush)
     ):
-        t0 = time.time()
         if normalize_fn is not None:
             # per-batch rng stream enables RandomErasing inside normalize
             erase_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x45), i)
@@ -42,15 +66,17 @@ def train_one_epoch(
             mix_rng = jax.random.fold_in(jax.random.fold_in(rng, 0x4d), i)
             images, labels = mixup_fn(mix_rng, images, labels)
         state, metrics = train_step(state, (images, labels), rng)
-        metrics = jax.device_get(metrics)
         bsz = images.shape[0]
-        meters.update(
-            n=bsz,
-            loss=float(metrics["loss"]),
-            acc1=float(metrics["acc1"]),
-            acc5=float(metrics["acc5"]),
-        )
-        meters.update(**{"img/s": bsz / max(time.time() - t0, 1e-9)})
+        pending.append((bsz, metrics))
+        if len(pending) >= flush_every:
+            flush()
+        # wall-clock pace between dispatches (under async pipelining the
+        # flush steps absorb the device time; the smoothed meter is the
+        # honest steady-state rate)
+        now = time.time()
+        meters.update(**{"img/s": bsz / max(now - t_prev, 1e-9)})
+        t_prev = now
+    flush()
     if writer:
         writer.write(
             "train", step=epoch,
@@ -75,10 +101,15 @@ def evaluate(
     not batch-averaged) — matches `/root/reference/train.py:92-141` incl. the
     dataset-coverage warning after distributed reduction."""
     totals = {"loss_sum": 0.0, "top1": 0, "top5": 0, "n": 0}
+    # batches dispatch async; the tiny per-batch sum dicts stay on device
+    # and come back in ONE grouped device_get (a per-batch fetch would
+    # sync every step — seconds each through a tunneled chip)
+    outs = []
     for images, labels in loader:
         if normalize_fn is not None:
             images = normalize_fn(images)
-        out = jax.device_get(eval_step(state, (images, labels)))
+        outs.append(eval_step(state, (images, labels)))
+    for out in jax.device_get(outs):
         for k in totals:
             totals[k] += out[k]
     # Cross-process reduction (`utils.py:394-402` semantics): with a global
