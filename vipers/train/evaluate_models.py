@@ -248,6 +248,8 @@ def run_sweep(cfg: TrainConfig, dilation: int = None, models_path: str = "",
     # save_on_master split (`/root/reference/utils.py:240-242`)
     rank0 = jax.process_index() == 0
     slim_sessions = {}
+    if rank0:
+        os.makedirs(cfg.output_dir, exist_ok=True)
     with open(out_txt if rank0 else os.devnull, "a") as f:
         for ckpt in ckpts:
             sess = s
